@@ -1,0 +1,148 @@
+"""StandardAnalyzer-equivalent analysis chain, vectorized for Arrow batches.
+
+Reference semantics (cited into /root/reference):
+
+* Chain = StandardTokenizer -> StandardFilter(no-op) -> LowerCaseFilter ->
+  StopFilter; `lucene/analysis/common/src/java/org/apache/lucene/analysis/
+  standard/StandardAnalyzer.java:84-97`.
+* Tokenizer = UAX#29 word break, Unicode 6.3 (`StandardTokenizerImpl.jflex:41`).
+  For the ASCII/Latin envelope of a source-code corpus the reachable grammar is:
+    - ALetter run:   [A-Za-z] (plus general Unicode letters)
+    - Numeric run:   [0-9]
+    - ExtendNumLet:  `_` (U+005F and other Pc connectors) joins everything and
+      may lead/trail a token (WB13a/WB13b)
+    - between two letter runs:  MidLetter | MidNumLet | SingleQuote
+      = `:`(MidLetter in Unicode 6.3) `.`(MidNumLet) `'`(SingleQuote) (WB6/WB7)
+    - between two numeric runs: MidNum | MidNumLet | SingleQuote
+      = `,` `;` `.` `'` (WB11/WB12)
+    - letter run and numeric run concatenate freely (WB9/WB10)
+  Grammar transcription from `StandardTokenizerImpl.jflex:122-164`.
+* Max token length: DEFAULT_MAX_TOKEN_LENGTH=255 (`StandardAnalyzer.java:39`).
+  The scanner buffer (`%buffer 255`, `StandardTokenizerImpl.jflex:48`) never
+  grows (`StandardTokenizerImpl.java:505-535` zzRefill has no reallocation), so
+  a run longer than 255 chars is *split* into <=255-char maximal-munch chunks,
+  each emitted as a normal token.  (The `yylength() <= maxTokenLength` discard
+  at `StandardTokenizer.java:156` only fires when maxTokenLength < buffer.)
+* Stop words: the 33-word English set, applied after lowercasing
+  (`analysis/core/StopAnalyzer.java:42-48`).
+* Position semantics: removed tokens leave *holes* — the filter adds
+  skippedPositions to the next surviving token's increment
+  (`analysis/util/FilteringTokenFilter.java:49-59`); document length for norms
+  counts only surviving tokens (`index/DefaultIndexingChain.java:636`
+  `invertState.length++` runs post-filter).
+
+The exported primitives operate on pandas Series (one call per Arrow batch);
+no per-row Python UDFs are used anywhere in the engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# StopAnalyzer.ENGLISH_STOP_WORDS_SET (StopAnalyzer.java:42-48)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:39
+
+# ASCII/Latin UAX#29 (Unicode 6.3) word token, transcribed from
+# StandardTokenizerImpl.jflex:122-164.  `\W\d_` complement gives Unicode
+# letters; good beyond ASCII for the corpus envelope (no Extend/Format chars).
+_LET = r"[^\W\d_]"
+_NUM = r"\d"
+# MidLetter ∪ MidNumLet ∪ Single_Quote between letters: `:`(6.3) `·` `.` `'` `’`
+_MID_LET = "[:.·'’․]"
+# MidNum ∪ MidNumLet ∪ Single_Quote between digits: `,` `;` `.` `'` `’`
+_MID_NUM = "[,;.'’․٬]"
+# ExtendNumLet = \p{Pc} (list from TestStandardAnalyzer.java:39)
+_EXT = "[_‿⁀⁔︳︴﹍-﹏＿]"
+
+_LET_CHAIN = f"{_LET}+(?:{_MID_LET}{_LET}+)*"
+_NUM_CHAIN = f"{_NUM}+(?:{_MID_NUM}{_NUM}+)*"
+_BODY = f"(?:{_LET_CHAIN}|{_NUM_CHAIN})+"
+TOKEN_PATTERN = f"{_EXT}*{_BODY}(?:{_EXT}+{_BODY})*{_EXT}*"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def _chunk_overlong(tokens: list[str]) -> list[str]:
+    """Split tokens > MAX_TOKEN_LENGTH into <=255-char maximal-munch chunks.
+
+    Mirrors the fixed 255-char scanner buffer: the scanner emits the longest
+    match that fits in the window, then rescans from the cut point
+    (StandardTokenizerImpl.java:505-535; StandardTokenizer.java:145-166).
+    """
+    out: list[str] = []
+    for tok in tokens:
+        if len(tok) <= MAX_TOKEN_LENGTH:
+            out.append(tok)
+            continue
+        rest = tok
+        while rest:
+            m = _TOKEN_RE.match(rest[:MAX_TOKEN_LENGTH])
+            if m is None:  # window starts on a medial separator: skip one char
+                rest = rest[1:]
+                continue
+            out.append(m.group(0))
+            rest = rest[m.end():]
+    return out
+
+
+def tokenize_series(texts: pd.Series) -> pd.Series:
+    """StandardTokenizer over a batch: Series[str] -> Series[list[str]].
+
+    Raw tokens in document order, original case, overlong runs chunked.
+    """
+    toks = texts.fillna("").str.findall(_TOKEN_RE)
+    # Slow-path fixup only for rows containing an overlong token (rare).
+    needs_fix = toks.map(lambda ts: any(len(t) > MAX_TOKEN_LENGTH for t in ts))
+    if needs_fix.any():
+        toks = toks.copy()
+        toks[needs_fix] = toks[needs_fix].map(_chunk_overlong)
+    return toks
+
+
+def analyze_tokens(raw_tokens: list[str]) -> tuple[list[str], list[int]]:
+    """LowerCase + Stop filters over one doc's raw tokens.
+
+    Returns (surviving terms, their pre-stop positions).  Positions are the
+    0-based ordinals of tokens *before* stopword removal, so removed stopwords
+    leave holes (FilteringTokenFilter.java:49-59) — load-bearing for phrase
+    queries across stopwords.
+    """
+    terms: list[str] = []
+    positions: list[int] = []
+    for pos, tok in enumerate(raw_tokens):
+        low = tok.lower()
+        if low in ENGLISH_STOP_WORDS:
+            continue
+        terms.append(low)
+        positions.append(pos)
+    return terms, positions
+
+
+def analyze_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Full chain over a batch -> (Series[list[str]], Series[list[int]])."""
+    toks = tokenize_series(texts)
+    pairs = toks.map(analyze_tokens)
+    terms = pairs.map(lambda p: p[0])
+    positions = pairs.map(lambda p: p[1])
+    return terms, positions
+
+
+def analyze_text(text: str) -> tuple[list[str], list[int]]:
+    """Single-string convenience wrapper (tests, oracle, query parsing)."""
+    return analyze_tokens(_chunk_overlong(_TOKEN_RE.findall(text or "")))
+
+
+def doc_lengths(terms: pd.Series) -> np.ndarray:
+    """Field length for norms = surviving token count (post-stop).
+
+    DefaultIndexingChain.java:636 counts post-filter tokens;
+    discountOverlaps=true with no overlap tokens in this chain.
+    """
+    return terms.map(len).to_numpy(dtype=np.int64)
