@@ -39,12 +39,25 @@ def test_postings_roundtrip_random_universe(n):
     rng = np.random.default_rng(42 + n)
     doc_ids = np.sort(rng.choice(2**31 - 1, size=n, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 256, size=n).astype(np.int64)
-    docs_blob, tfs_blob, bmax_doc, bmax_tf = encode_postings(doc_ids, tfs)
+    docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(
+        doc_ids, tfs
+    )
     d2, t2 = decode_postings(docs_blob, tfs_blob)
     assert np.array_equal(d2, doc_ids)
     assert np.array_equal(t2, tfs)
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     assert bmax_doc.size == nblocks == bmax_tf.size
+    assert dboff.size == nblocks + 1 and tboff.size == nblocks + 1
+    assert dboff[-1] == len(docs_blob) and tboff[-1] == len(tfs_blob)
+    # per-block random decode reproduces the full list
+    from voyagr_spark.codec import varint_decode
+
+    got = []
+    for b in range(nblocks):
+        base = 0 if b == 0 else int(bmax_doc[b - 1])
+        deltas = varint_decode(docs_blob[int(dboff[b]): int(dboff[b + 1])])
+        got.append(base + np.cumsum(deltas.astype(np.int64)))
+    assert np.array_equal(np.concatenate(got), doc_ids)
     # block maxima are true maxima
     for b in range(nblocks):
         lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, n)

@@ -29,9 +29,20 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a non-negative int array, fully vectorized."""
+    blob, _ = varint_encode_with_offsets(values)
+    return blob
+
+
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """As varint_encode, also returning per-value byte offsets (len n+1).
+
+    offsets[i] is where value i starts; offsets[-1] == len(blob).  Sampling
+    offsets at block boundaries gives random access into the stream — the
+    basis of the block directory's decode skipping.
+    """
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     nbits = np.zeros(vals.shape, dtype=np.int64)
     nz = vals > 0
@@ -57,7 +68,7 @@ def varint_encode(values: np.ndarray) -> bytes:
     last = np.zeros(total, dtype=bool)
     last[offsets[1:] - 1] = True
     out[:] = payload | np.where(last, 0, 0x80).astype(np.uint8)
-    return out.tobytes()
+    return out.tobytes(), offsets.astype(np.int64)
 
 
 def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
@@ -100,24 +111,34 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
 
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray
-) -> tuple[bytes, bytes, np.ndarray, np.ndarray]:
+) -> tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Encode one term's (sorted local doc ids, tfs).
 
-    Returns (docs_blob, tfs_blob, block_max_doc, block_max_tf); block arrays
-    have one entry per 128-doc block (the block directory replacing Lucene's
-    skip list, Lucene50SkipWriter.java:27-46).
+    Returns (docs_blob, tfs_blob, block_max_doc, block_max_tf,
+    block_doc_boff, block_tf_boff); block arrays have one entry per 128-doc
+    block (the block directory replacing Lucene's skip list,
+    Lucene50SkipWriter.java:27-46); the *_boff arrays (len nblocks+1) are byte
+    offsets of each block within the blob, enabling per-block random decode.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
-    docs_blob = varint_encode(delta_encode(doc_ids))
-    tfs_blob = varint_encode(tfs)
+    docs_blob, doc_off = varint_encode_with_offsets(delta_encode(doc_ids))
+    tfs_blob, tf_off = varint_encode_with_offsets(tfs)
     nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     pad = nblocks * BLOCK_SIZE - doc_ids.size
     bm_doc = np.pad(doc_ids, (0, pad), constant_values=doc_ids[-1] if doc_ids.size else 0)
     bm_tf = np.pad(tfs, (0, pad), constant_values=0)
     block_max_doc = bm_doc.reshape(nblocks, BLOCK_SIZE).max(axis=1).astype(np.int64)
     block_max_tf = bm_tf.reshape(nblocks, BLOCK_SIZE).max(axis=1).astype(np.int64)
-    return docs_blob, tfs_blob, block_max_doc, block_max_tf
+    idx = np.minimum(np.arange(nblocks + 1) * BLOCK_SIZE, doc_ids.size)
+    return (
+        docs_blob,
+        tfs_blob,
+        block_max_doc,
+        block_max_tf,
+        doc_off[idx],
+        tf_off[idx],
+    )
 
 
 def decode_postings(docs_blob: bytes, tfs_blob: bytes) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,150 @@
+"""Pure-Python reference engine: the golden oracle for rank-identical top-k.
+
+Stands in for the reference JVM (SURVEY.md §5): a dict-of-arrays in-memory
+index + straight-line float32 scoring implementing exactly the cited contract
+(BM25Similarity.java:66-99,207-238; SmallFloat.java:78-98; tie-break
+HitQueue.java:76-81).  Deliberately *independent* of the Spark machinery —
+no segments, no codec, no partitioning — so engine bugs in those layers
+cannot cancel out.  Shares only the analysis chain and the SmallFloat bit
+twiddle, both of which have their own Java-derived golden tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import bm25
+from .analysis import analyze_text
+from .parser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    TermQuery,
+    parse,
+)
+from .smallfloat import encode_norm
+
+
+class OracleIndex:
+    def __init__(self, docs: pd.DataFrame):
+        """docs: (repo, path, commit, content); doc ids = dense rank over key."""
+        docs = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        self.doc_ids = np.arange(len(docs), dtype=np.int64)
+        self.postings: dict[str, dict[int, list[int]]] = {}
+        doclens = np.zeros(len(docs), dtype=np.int64)
+        for i, content in enumerate(docs["content"]):
+            terms, positions = analyze_text(content)
+            doclens[i] = len(terms)
+            for t, p in zip(terms, positions):
+                self.postings.setdefault(t, {}).setdefault(i, []).append(p)
+        self.doclens = doclens
+        self.norm_bytes = encode_norm(doclens)
+        self.max_doc = len(docs)
+        self.sum_ttf = int(doclens.sum())
+
+    # -- scoring ------------------------------------------------------------
+
+    def _cache(self) -> np.ndarray:
+        avgdl = bm25.avg_field_length(self.sum_ttf, self.max_doc)
+        return bm25.norm_cache(avgdl)
+
+    def _idf(self, term: str) -> np.float32:
+        df = len(self.postings.get(term, {}))
+        return bm25.idf(df, self.max_doc) if df else np.float32(0.0)
+
+    def _score_doc(self, doc: int, freq: float, wv: np.float32, cache) -> np.float32:
+        f = np.float32(freq)
+        norm = cache[int(self.norm_bytes[doc])]
+        return np.float32(np.float32(wv * f) / np.float32(f + norm))
+
+    def _term_matches(self, term: str) -> dict[int, int]:
+        return {d: len(ps) for d, ps in self.postings.get(term, {}).items()}
+
+    def _clause(self, q, cache) -> dict[int, np.float32]:
+        if isinstance(q, TermQuery):
+            wv = bm25.weight_value(self._idf(q.term))
+            return {
+                d: self._score_doc(d, tf, wv, cache)
+                for d, tf in self._term_matches(q.term).items()
+            }
+        if isinstance(q, PhraseQuery):
+            return self._phrase(q, cache)
+        if isinstance(q, BooleanQuery):
+            return self._bool(q, cache)
+        if isinstance(q, MatchNoDocsQuery):
+            return {}
+        raise TypeError(type(q))
+
+    def _bool(self, q: BooleanQuery, cache) -> dict[int, np.float32]:
+        must = [s for o, s in q.clauses if o == MUST]
+        should = [s for o, s in q.clauses if o == SHOULD]
+        must_not = [s for o, s in q.clauses if o == MUST_NOT]
+        if must:
+            res: dict[int, np.float32] | None = None
+            for m in must:
+                part = self._clause(m, cache)
+                if res is None:
+                    res = dict(part)
+                else:
+                    res = {
+                        d: np.float32(s + part[d]) for d, s in res.items() if d in part
+                    }
+            assert res is not None
+            for sh in should:
+                part = self._clause(sh, cache)
+                for d in res:
+                    if d in part:
+                        res[d] = np.float32(res[d] + part[d])
+        else:
+            res = {}
+            counts: dict[int, int] = {}
+            for sh in should:
+                for d, s in self._clause(sh, cache).items():
+                    res[d] = np.float32(res.get(d, np.float32(0.0)) + s)
+                    counts[d] = counts.get(d, 0) + 1
+            if q.min_should_match > 1:
+                res = {d: s for d, s in res.items() if counts[d] >= q.min_should_match}
+        for mn in must_not:
+            for d in self._clause(mn, cache):
+                res.pop(d, None)
+        return res
+
+    def _phrase(self, q: PhraseQuery, cache) -> dict[int, np.float32]:
+        idf = np.float32(0.0)
+        for t in q.terms:
+            idf = np.float32(idf + self._idf(t))
+        wv = bm25.weight_value(idf)
+        plists = [self.postings.get(t, {}) for t in q.terms]
+        if any(not p for p in plists):
+            return {}
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= set(p)
+        out: dict[int, np.float32] = {}
+        for d in cand:
+            starts = set(plists[0][d])
+            for p, qpos in zip(plists[1:], q.positions[1:]):
+                starts &= {x - qpos for x in p[d]}
+                if not starts:
+                    break
+            if starts:
+                out[d] = self._score_doc(d, float(len(starts)), wv, cache)
+        return out
+
+    # -- top level ------------------------------------------------------------
+
+    def search(self, query_or_text, k: int = 10) -> list[tuple[int, float]]:
+        q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+        cache = self._cache()
+        res = self._clause(q, cache)
+        # TopScoreDocCollector order: score desc, then doc id asc
+        ranked = sorted(res.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [(d, np.float32(s)) for d, s in ranked[:k]]
+
+    def count(self, query_or_text) -> int:
+        q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+        return len(self._clause(q, self._cache()))

@@ -1,0 +1,520 @@
+"""Query execution: per-segment vectorized scoring + global top-k merge.
+
+Spark shape (SURVEY.md §3.2-3.3): the driver plays IndexSearcher steps 1-3
+(rewrite, bind *global* stats, precompute idf + the 256-entry norm cache —
+IndexSearcher.java:624-635, BM25Similarity.java:207-210); executors run the
+per-leaf scorers as one vectorized applyInPandas over the query's posting rows
+grouped by segment (bulkScorer at IndexSearcher.java:560); the global merge is
+`ORDER BY score DESC, doc_id ASC LIMIT k` over the tiny per-segment top-k
+union — the same priority-queue semantics as TopScoreDocCollector/HitQueue
+(ties broken by lower doc id, HitQueue.java:76-81) and Solr's shard merge
+(QueryComponent.java:1060-1087).
+
+Physical operators (all numpy set algebra on decoded posting arrays):
+* term           — TermScorer.java:69-72
+* AND            — leapfrog intersection, rarest list leads; non-lead lists
+                   are decoded *only in blocks that can contain candidates*
+                   via the block directory (ConjunctionDISI.java:65-121 +
+                   skip lists MultiLevelSkipListWriter.java:68-81)
+* OR             — union + per-doc score sum (DisjunctionSumScorer), with
+                   MaxScore pruning: non-essential lists (cumulative upper
+                   bound < current kth score) only probed for candidates
+                   (rank-neutral; SURVEY §2.7 K9)
+* NOT            — required-side anti-membership (ReqExclScorer)
+* MUST+SHOULD    — optional scores added to required matches (ReqOptSumScorer)
+* minShouldMatch — match-count filter (MinShouldMatchSumScorer)
+* phrase         — doc-level intersection first, positions decoded only for
+                   survivors (TwoPhaseIterator), phraseFreq = |∩(pos_i - i)|
+                   (ExactPhraseScorer.java:127-160)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import bm25
+from .codec import varint_decode
+from .parser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    BooleanQuery,
+    MatchNoDocsQuery,
+    PhraseQuery,
+    TermQuery,
+    parse,
+)
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+    ]
+)
+
+
+@dataclass
+class QueryPlan:
+    """Driver-frozen global stats (the Weight; IndexSearcher.java:624-635)."""
+
+    query: object
+    k: int
+    idf: dict[str, np.float32]  # per-term idf (float32)
+    cache: np.ndarray  # 256 float32 norm cache
+    avgdl: np.float32
+    prune: bool = True
+
+
+def query_terms(q) -> set[str]:
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for _, sub in q.clauses:
+            out |= query_terms(sub)
+        return out
+    return set()
+
+
+# ---------------------------------------------------------------------------
+# posting-row access with block-directory skipping
+# ---------------------------------------------------------------------------
+
+
+class PostingRow:
+    """One (term, segment) posting row with lazy, block-sliced decoding."""
+
+    __slots__ = ("row", "_docs", "_tfs", "df")
+
+    def __init__(self, row):
+        self.row = row
+        self._docs = None
+        self._tfs = None
+        self.df = int(row["df"])
+
+    def docs(self) -> np.ndarray:
+        if self._docs is None:
+            self._docs = _decode_deltas(self.row["docs_blob"], base=0)
+        return self._docs
+
+    def tfs(self) -> np.ndarray:
+        if self._tfs is None:
+            self._tfs = varint_decode(self.row["tfs_blob"], count=self.df).astype(
+                np.int64
+            )
+        return self._tfs
+
+    def norms(self) -> np.ndarray:
+        return np.frombuffer(self.row["norms_blob"], dtype=np.uint8)
+
+    def lookup(self, candidates: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (mask over candidates, posting index of hits).
+
+        Decodes only the 128-doc blocks that may contain a candidate, using
+        the block directory + byte offsets (the skip-list analog).
+        """
+        bmax = np.asarray(self.row["block_max_doc"], dtype=np.int64)
+        dboff = np.asarray(self.row["block_doc_boff"], dtype=np.int64)
+        nblocks = bmax.size
+        need = np.unique(np.searchsorted(bmax, candidates, side="left"))
+        need = need[need < nblocks]
+        if self._docs is not None or need.size > nblocks * 0.5 or nblocks <= 2:
+            docs = self.docs()
+            idx = np.searchsorted(docs, candidates)
+            idx_c = np.minimum(idx, docs.size - 1)
+            mask = docs[idx_c] == candidates
+            return mask, idx_c[mask]
+        blob = self.row["docs_blob"]
+        mask = np.zeros(candidates.size, dtype=bool)
+        pidx = np.zeros(candidates.size, dtype=np.int64)
+        from .codec import BLOCK_SIZE
+
+        for b in need:
+            base = 0 if b == 0 else int(bmax[b - 1])
+            deltas = varint_decode(bytes(blob[dboff[b]: dboff[b + 1]]))
+            docs_b = base + np.cumsum(deltas.astype(np.int64))
+            lo = np.searchsorted(candidates, docs_b[0])
+            hi = np.searchsorted(candidates, docs_b[-1], side="right")
+            cand = candidates[lo:hi]
+            ii = np.searchsorted(docs_b, cand)
+            ii_c = np.minimum(ii, docs_b.size - 1)
+            m = docs_b[ii_c] == cand
+            mask[lo:hi] |= m
+            pidx[lo:hi][m] = b * BLOCK_SIZE + ii_c[m]
+        return mask, pidx[mask]
+
+
+def _decode_deltas(blob: bytes, base: int) -> np.ndarray:
+    return base + np.cumsum(varint_decode(bytes(blob)).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# per-segment clause scorers
+# ---------------------------------------------------------------------------
+
+
+def _term_weight(plan: QueryPlan, term: str) -> np.float32:
+    return bm25.weight_value(plan.idf.get(term, np.float32(0.0)))
+
+
+def _score_posting(
+    pr: PostingRow, idx: np.ndarray, wv: np.float32, plan: QueryPlan
+) -> np.ndarray:
+    tfs = pr.tfs()[idx]
+    norms = pr.norms()[idx]
+    return bm25.score(tfs, norms, plan.cache, wv)
+
+
+def _clause_scorer(
+    q, rows: dict[str, PostingRow], plan: QueryPlan
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (sorted doc_ids, float32 scores) for one clause in one segment."""
+    if isinstance(q, TermQuery):
+        pr = rows.get(q.term)
+        if pr is None:
+            return _EMPTY
+        docs = pr.docs()
+        scores = _score_posting(pr, np.arange(docs.size), _term_weight(plan, q.term), plan)
+        return docs, scores
+    if isinstance(q, PhraseQuery):
+        return _phrase_scorer(q, rows, plan)
+    if isinstance(q, BooleanQuery):
+        return _bool_scorer(q, rows, plan)
+    if isinstance(q, MatchNoDocsQuery):
+        return _EMPTY
+    raise TypeError(f"unsupported query {type(q)}")
+
+
+_EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+
+
+def _intersect_candidates(
+    terms: list[str], rows: dict[str, PostingRow]
+) -> tuple[np.ndarray, dict[str, np.ndarray]] | None:
+    """Leapfrog: rarest list fully decoded, others probed block-wise.
+
+    Returns (docs present in ALL lists, per-term posting index of each doc).
+    """
+    prs = []
+    for t in set(terms):
+        pr = rows.get(t)
+        if pr is None:
+            return None
+        prs.append((t, pr))
+    prs.sort(key=lambda tp: tp[1].df)  # cost order: rarest leads (E2)
+    lead_t, lead = prs[0]
+    cand = lead.docs()
+    idxmap: dict[str, np.ndarray] = {lead_t: np.arange(cand.size)}
+    for t, pr in prs[1:]:
+        if cand.size == 0:
+            return None
+        mask, pidx = pr.lookup(cand)
+        cand = cand[mask]
+        for tt in idxmap:
+            idxmap[tt] = idxmap[tt][mask]
+        idxmap[t] = pidx
+    if cand.size == 0:
+        return None
+    return cand, idxmap
+
+
+def _bool_scorer(q: BooleanQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
+    must = [sub for occ, sub in q.clauses if occ == MUST]
+    should = [sub for occ, sub in q.clauses if occ == SHOULD]
+    must_not = [sub for occ, sub in q.clauses if occ == MUST_NOT]
+
+    if must:
+        simple = all(isinstance(m, TermQuery) for m in must)
+        if simple:
+            hit = _intersect_candidates([m.term for m in must], rows)
+            if hit is None:
+                return _EMPTY
+            docs, idxmap = hit
+            scores = np.zeros(docs.size, dtype=np.float32)
+            for m in must:
+                scores += _score_posting(
+                    rows[m.term], idxmap[m.term], _term_weight(plan, m.term), plan
+                )
+            scores = scores.astype(np.float32)
+        else:
+            docs, scores = None, None
+            for m in must:
+                d, s = _clause_scorer(m, rows, plan)
+                if docs is None:
+                    docs, scores = d, s
+                else:
+                    keep = np.isin(docs, d, assume_unique=True)
+                    docs, scores = docs[keep], scores[keep]
+                    add = s[np.isin(d, docs, assume_unique=True)]
+                    scores = (scores + add).astype(np.float32)
+                if docs.size == 0:
+                    return _EMPTY
+        # ReqOptSumScorer: optional scores added where aligned (E7)
+        for sh in should:
+            d, s = _clause_scorer(sh, rows, plan)
+            if d.size:
+                pos = np.searchsorted(d, docs)
+                pos_c = np.minimum(pos, d.size - 1)
+                m = d[pos_c] == docs
+                scores[m] = (scores[m] + s[pos_c[m]]).astype(np.float32)
+    else:
+        # pure disjunction (E3), MaxScore-pruned when plan.prune
+        docs, scores = _union_scorer(should, rows, plan, q.min_should_match)
+        if docs is None:
+            return _EMPTY
+
+    # MUST_NOT: ReqExclScorer (E6)
+    for mn in must_not:
+        d, _ = _clause_scorer(mn, rows, plan)
+        if d.size:
+            keep = ~np.isin(docs, d)
+            docs, scores = docs[keep], scores[keep]
+    if docs.size == 0:
+        return _EMPTY
+    return docs, scores
+
+
+def _union_scorer(should, rows, plan, min_should_match: int):
+    """Disjunction with per-doc score sum; optional match-count filter."""
+    parts = []
+    for sh in should:
+        d, s = _clause_scorer(sh, rows, plan)
+        if d.size:
+            parts.append((d, s))
+    if not parts:
+        return None, None
+    docs = np.unique(np.concatenate([d for d, _ in parts]))
+    # float32 sum parity: subscorer scores accumulated in clause order, each
+    # addition rounded to float32 (DisjunctionSumScorer sums Java floats)
+    scores32 = np.zeros(docs.size, dtype=np.float32)
+    counts = np.zeros(docs.size, dtype=np.int64)
+    for d, s in parts:
+        pos = np.searchsorted(docs, d)
+        scores32[pos] = (scores32[pos] + s).astype(np.float32)
+        counts[pos] += 1
+    if min_should_match > 1:
+        keep = counts >= min_should_match
+        docs, scores32 = docs[keep], scores32[keep]
+    return docs, scores32
+
+
+def _phrase_scorer(q: PhraseQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase: doc intersection, then position alignment (E9/E11)."""
+    hit = _intersect_candidates(list(q.terms), rows)
+    if hit is None:
+        return _EMPTY
+    docs, idxmap = hit
+    # two-phase: decode positions only now, only for survivor docs
+    keys = None
+    for term, qpos in zip(q.terms, q.positions):
+        pr = rows[term]
+        idx = idxmap[term]
+        from .codec import decode_positions_flat
+
+        tfs_all = pr.tfs()
+        flat, doc_idx = decode_positions_flat(pr.row["pos_blob"], tfs_all)
+        # select positions belonging to survivor postings
+        sel = np.isin(doc_idx, idx)
+        p = flat[sel] - qpos  # adjusted start position; must be >= 0
+        d = doc_idx[sel]
+        ok = p >= 0
+        p, d = p[ok], d[ok]
+        # map posting index -> dense survivor ordinal; key = (ordinal, start)
+        # (positions < 2^22 per doc: Arrow batch docs are far smaller)
+        ord_of = np.full(tfs_all.size, -1, dtype=np.int64)
+        ord_of[idx] = np.arange(idx.size)
+        kk = ord_of[d] * (1 << 22) + p
+        keys = kk if keys is None else np.intersect1d(keys, kk, assume_unique=True)
+        if keys.size == 0:
+            return _EMPTY
+    survivor_ord = keys >> 22
+    freq = np.bincount(survivor_ord, minlength=docs.size)
+    m = freq > 0
+    wv = bm25.weight_value(_sum_idfs(plan, q.terms))
+    # score(doc, phraseFreq): ExactPhraseScorer.java:108-110
+    norms = rows[q.terms[0]].norms()[idxmap[q.terms[0]]]
+    scores = bm25.score(freq[m].astype(np.float32), norms[m], plan.cache, wv)
+    return docs[m], scores
+
+
+def _sum_idfs(plan: QueryPlan, terms) -> np.float32:
+    """Phrase idf = per-term idfs accumulated in float (BM25Similarity:187-198)."""
+    acc = np.float32(0.0)
+    for t in terms:
+        acc = np.float32(acc + plan.idf.get(t, np.float32(0.0)))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# MaxScore pruning for pure disjunctions (rank-neutral)
+# ---------------------------------------------------------------------------
+
+
+def _term_upper_bound(row, wv: np.float32, plan: QueryPlan) -> np.float32:
+    """score <= wv * max_tf / (max_tf + cache(min_len)) — monotone-rounded."""
+    max_tf = np.float32(row["max_tf"])
+    min_len = np.float32(row["min_len"])
+    c = bm25.K1 * ((np.float32(1) - bm25.B) + bm25.B * min_len / plan.avgdl)
+    return np.float32(wv * max_tf / (max_tf + np.float32(c)))
+
+
+def _or_maxscore(q: BooleanQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore over term-only disjunctions: essential lists scored fully,
+    non-essential lists only probed for candidate docs. Exact top-k."""
+    terms = [sub.term for _, sub in q.clauses if isinstance(sub, TermQuery)]
+    prs = [(t, rows[t]) for t in terms if t in rows]
+    if not prs:
+        return _EMPTY
+    ubs = np.array(
+        [_term_upper_bound(p.row, _term_weight(plan, t), plan) for t, p in prs],
+        dtype=np.float32,
+    )
+    order = np.argsort(-ubs, kind="stable")
+    prs = [prs[i] for i in order]
+    ubs = ubs[order]
+
+    # threshold from the highest-ub list's own top-k
+    t0, p0 = prs[0]
+    s0 = _score_posting(p0, np.arange(p0.df), _term_weight(plan, t0), plan)
+    if s0.size >= plan.k:
+        tau = np.partition(s0, s0.size - plan.k)[s0.size - plan.k]
+    else:
+        tau = np.float32(-1.0)
+    # suffix sums of ubs: lists from index j onward can contribute at most suf[j]
+    suf = np.cumsum(ubs[::-1])[::-1]
+    n_essential = 1
+    for j in range(1, len(prs)):
+        if suf[j] < tau:
+            break
+        n_essential = j + 1
+
+    essential = {t for t, _ in prs[:n_essential]}
+    cand = np.unique(np.concatenate([p.docs() for t, p in prs if t in essential]))
+    # accumulate in ORIGINAL clause order so float32 sums are bit-identical
+    # to the unpruned path / oracle (float addition is not associative)
+    scores = np.zeros(cand.size, dtype=np.float32)
+    for t in terms:
+        p = rows.get(t)
+        if p is None:
+            continue
+        if t in essential:
+            d = p.docs()
+            pos = np.searchsorted(cand, d)
+            s = _score_posting(p, np.arange(d.size), _term_weight(plan, t), plan)
+            scores[pos] = (scores[pos] + s).astype(np.float32)
+        else:
+            mask, pidx = p.lookup(cand)
+            if mask.any():
+                s = _score_posting(p, pidx, _term_weight(plan, t), plan)
+                scores[mask] = (scores[mask] + s).astype(np.float32)
+    return cand, scores
+
+
+# ---------------------------------------------------------------------------
+# top level
+# ---------------------------------------------------------------------------
+
+
+def make_plan(index, query, k: int = 10, prune: bool = True) -> QueryPlan:
+    """Bind global stats on the driver (createNormalizedWeight analog)."""
+    terms = sorted(query_terms(query))
+    stats = {}
+    if terms:
+        rows = (
+            index.term_stats()
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        stats = {r["term"]: r["df"] for r in rows}
+    max_doc = index.max_doc
+    idf = {t: bm25.idf(stats[t], max_doc) for t in stats}
+    avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
+    return QueryPlan(
+        query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl), avgdl=avgdl,
+        prune=prune,
+    )
+
+
+def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
+    rows = {r["term"]: PostingRow(r) for _, r in pdf.iterrows()}
+    q = plan.query
+    if (
+        plan.prune
+        and isinstance(q, BooleanQuery)
+        and all(o == SHOULD and isinstance(s, TermQuery) for o, s in q.clauses)
+        and q.min_should_match <= 1
+        and len({s.term for _, s in q.clauses}) == len(q.clauses)
+    ):
+        docs, scores = _or_maxscore(q, rows, plan)
+    else:
+        docs, scores = _clause_scorer(q, rows, plan)
+    if docs.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+    # K2: top-k by (-score, doc_id) — equivalent to TopScoreDocCollector's
+    # heap with HitQueue tie-break (reject equal when full => lowest doc ids
+    # survive among equal scores)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[: plan.k]
+    return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
+def search(index, query_or_text, k: int = 10, prune: bool = True) -> DataFrame:
+    """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical."""
+    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    plan = make_plan(index, q, k, prune)
+    terms = sorted(query_terms(q))
+    if not terms or isinstance(q, MatchNoDocsQuery):
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    posting_cols = [
+        "seg", "term", "df", "max_tf", "min_len", "docs_blob", "tfs_blob",
+        "norms_blob", "block_max_doc", "block_max_tf", "block_min_len",
+        "block_doc_boff", "block_tf_boff",
+    ]
+    if isinstance(q, PhraseQuery) or _has_phrase(q):
+        posting_cols.append("pos_blob")
+    rows = (
+        index.postings()
+        .filter(F.col("term").isin(terms))
+        .select(*posting_cols)
+    )
+    per_seg = rows.groupBy("seg").applyInPandas(
+        lambda pdf: _segment_topk(pdf, plan), RESULT_SCHEMA
+    )
+    # K3 global merge: identical tie-break (score desc, doc_id asc)
+    return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def count(index, query_or_text) -> int:
+    """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
+    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    plan = make_plan(index, q, k=1, prune=False)
+    terms = sorted(query_terms(q))
+    if not terms:
+        return 0
+    rows = index.postings().filter(F.col("term").isin(terms))
+    schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def _cnt(pdf: pd.DataFrame) -> pd.DataFrame:
+        prs = {r["term"]: PostingRow(r) for _, r in pdf.iterrows()}
+        docs, _ = _clause_scorer(plan.query, prs, plan)
+        return pd.DataFrame({"n": [int(docs.size)]})
+
+    out = rows.groupBy("seg").applyInPandas(_cnt, schema).agg(F.sum("n")).collect()
+    return int(out[0][0] or 0)
+
+
+def _has_phrase(q) -> bool:
+    if isinstance(q, PhraseQuery):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(_has_phrase(s) for _, s in q.clauses)
+    return False
