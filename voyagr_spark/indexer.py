@@ -49,6 +49,7 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         # posting rows
         T.StructField("term", T.StringType()),
+        T.StructField("first_doc", T.LongType()),
         T.StructField("df", T.LongType()),
         T.StructField("ttf", T.LongType()),
         T.StructField("max_tf", T.LongType()),
@@ -155,6 +156,7 @@ def invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                     "seg": seg,
                     "kind": "posting",
                     "term": term,
+                    "first_doc": int(gdocs[0]),
                     "df": int(npost),
                     "ttf": int(tfs.sum()),
                     "max_tf": int(tfs.max()),
@@ -319,8 +321,20 @@ class Index:
     def sum_total_term_freq(self) -> int:
         return self.meta["sum_total_term_freq"]
 
+    def reload_meta(self) -> None:
+        self.meta = json.loads((self.dir / "meta.json").read_text())
+
+    @property
+    def live_segments(self) -> list[int] | None:
+        """Segments visible to queries; None = all (pre-merge index)."""
+        return self.meta.get("live_segments")
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.dir / "segments" / "kind=posting"))
+        df = self.spark.read.parquet(str(self.dir / "segments" / "kind=posting"))
+        live = self.live_segments
+        if live is not None:
+            df = df.filter(F.col("seg").isin(live))  # tombstone filter (pushdown)
+        return df
 
     def docstats(self) -> DataFrame:
         return self.spark.read.parquet(str(self.dir / "segments" / "kind=docstat"))

@@ -1,0 +1,215 @@
+"""Tiered segment merging (SURVEY.md §2.4).
+
+* Planner: a faithful-in-spirit TieredMergePolicy over the segment manifest —
+  same constants (maxMergeAtOnce=10, segsPerTier=10, floorSegmentBytes=2MB,
+  maxMergedSegmentBytes=5GB; TieredMergePolicy.java:81-88): segments are
+  floored, sorted by size, grouped into tiers of ~equal log-size; when a tier
+  holds more than segsPerTier segments, the smallest maxMergeAtOnce of them
+  become one merge job.  Runs on the driver over tiny metadata.
+
+* Executor: SegmentMerger (SegmentMerger.java:74-116) as
+  `groupBy(term, bucket).applyInPandas(merge_term)` — decode the term's
+  posting rows from the source segments, concatenate in ascending doc order
+  (global doc ids never change, so no docID remap is needed — doc ranges of
+  source segments are disjoint), re-encode with a fresh block directory.
+
+* Skew (north_rule "per-term posting-block splitting"): the shuffle key is
+  (term, bucket) where bucket groups source segments into contiguous runs, so
+  a stopword-like hot term becomes several bounded tasks instead of one giant
+  one.  The output then carries multiple posting-block rows for that term,
+  which the query reader (search.TermPostings) treats as one logical list.
+
+* Visibility: new segment files are appended, then meta.json's
+  `live_segments` swaps atomically (tmp+rename) — the Iceberg-snapshot-commit
+  stand-in.  Old rows stay on disk as tombstoned lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .codec import BLOCK_SIZE, decode_postings, encode_postings, varint_decode, varint_encode
+from .indexer import SEGMENT_SCHEMA, Index, _append_manifest
+from .smallfloat import NORM_TABLE
+
+# TieredMergePolicy.java:81-88
+MAX_MERGE_AT_ONCE = 10
+SEGS_PER_TIER = 10
+FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024
+MAX_MERGED_SEGMENT_BYTES = 5 * 1024**3
+
+
+def plan_merges(seg_bytes: dict[int, int]) -> list[list[int]]:
+    """Pick merge groups from {segment_id: approx_bytes}.
+
+    Tiering: floor sizes, sort ascending; while more than SEGS_PER_TIER
+    segments remain, merge the MAX_MERGE_AT_ONCE smallest whose combined size
+    stays under MAX_MERGED_SEGMENT_BYTES.
+    """
+    floored = sorted(
+        ((max(b, FLOOR_SEGMENT_BYTES), s) for s, b in seg_bytes.items())
+    )
+    merges: list[list[int]] = []
+    while len(floored) > SEGS_PER_TIER:
+        group, total = [], 0
+        rest = []
+        for size, seg in floored:
+            if len(group) < MAX_MERGE_AT_ONCE and total + size <= MAX_MERGED_SEGMENT_BYTES:
+                group.append(seg)
+                total += size
+            else:
+                rest.append((size, seg))
+        if len(group) < 2:
+            break
+        merges.append(group)
+        floored = rest
+    return merges
+
+
+def _merge_term(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
+    """Merge one (term, bucket) group: decode, concat doc-ordered, re-encode."""
+    pdf = pdf.sort_values("first_doc", kind="mergesort")
+    term = pdf["term"].iloc[0]
+    docs = []
+    tfs = []
+    norms = []
+    pos_parts = []
+    for _, r in pdf.iterrows():
+        d, t = decode_postings(r["docs_blob"], r["tfs_blob"])
+        docs.append(d)
+        tfs.append(t)
+        norms.append(np.frombuffer(r["norms_blob"], dtype=np.uint8))
+        pos_parts.append((r["pos_blob"], t))
+    docs = np.concatenate(docs)
+    tfs = np.concatenate(tfs)
+    norms = np.concatenate(norms)
+    # source ranges are disjoint and rows sorted by first_doc => already sorted
+    assert np.all(docs[1:] > docs[:-1]), "segment doc ranges overlap"
+    docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(docs, tfs)
+    # positions: per-doc delta streams concatenate verbatim (per-doc restart)
+    pos_blob = b"".join(p for p, _ in pos_parts)
+    lens = NORM_TABLE[norms]
+    nblocks = (docs.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = nblocks * BLOCK_SIZE - docs.size
+    bmin_len = (
+        np.pad(lens, (0, pad), constant_values=np.float32(np.inf))
+        .reshape(nblocks, BLOCK_SIZE)
+        .min(axis=1)
+        .astype(np.float32)
+    )
+    row = {
+        "seg": new_seg,
+        "kind": "posting",
+        "term": term,
+        "first_doc": int(docs[0]),
+        "df": int(docs.size),
+        "ttf": int(tfs.sum()),
+        "max_tf": int(tfs.max()),
+        "min_len": float(lens.min()),
+        "docs_blob": docs_blob,
+        "tfs_blob": tfs_blob,
+        "pos_blob": pos_blob,
+        "norms_blob": norms.tobytes(),
+        "block_max_doc": bmax_doc.tolist(),
+        "block_max_tf": bmax_tf.tolist(),
+        "block_min_len": bmin_len.tolist(),
+        "block_doc_boff": dboff.tolist(),
+        "block_tf_boff": tboff.tolist(),
+        "doc_id": None,
+        "doclen": None,
+        "norm_byte": None,
+    }
+    cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    return pd.DataFrame([row], columns=cols)
+
+
+def merge_segments(
+    index: Index,
+    seg_ids: list[int],
+    new_seg: int,
+    seg_buckets: int = 1,
+) -> None:
+    """Merge seg_ids into new_seg; query-visible only after the meta swap.
+
+    seg_buckets > 1 splits each term's merge into that many contiguous
+    source-segment runs (skew control for hot terms); the merged segment then
+    has up to seg_buckets posting-block rows per term.
+    """
+    spark = index.spark
+    seg_sorted = sorted(seg_ids)
+    rank = {s: i for i, s in enumerate(seg_sorted)}
+    per_bucket = max(1, -(-len(seg_sorted) // seg_buckets))
+    src = index.postings().filter(F.col("seg").isin(seg_ids))
+    bucket_expr = (F.col("seg_rank") / per_bucket).cast("int")
+    rank_df = spark.createDataFrame(
+        [(s, r) for s, r in rank.items()], "seg int, seg_rank int"
+    )
+    merged = (
+        src.join(F.broadcast(rank_df), "seg")
+        .withColumn("bucket", bucket_expr)
+        .groupBy("term", "bucket")
+        .applyInPandas(
+            lambda pdf: _merge_term(pdf.drop(columns=["bucket", "seg_rank"]), new_seg),
+            SEGMENT_SCHEMA,
+        )
+    )
+    seg_dir = index.dir / "segments"
+    merged.withColumn("kind", F.lit("posting")).write.mode("append").partitionBy(
+        "kind"
+    ).parquet(str(seg_dir))
+
+    # atomic visibility swap (the Iceberg snapshot-commit analog)
+    live = index.live_segments
+    if live is None:
+        live = [r["seg"] for r in index.postings().select("seg").distinct().collect()]
+    new_live = sorted((set(live) - set(seg_ids)) | {new_seg})
+    index.meta["live_segments"] = new_live
+    tmp = index.dir / "meta.json.tmp"
+    tmp.write_text(json.dumps(index.meta))
+    os.replace(tmp, index.dir / "meta.json")
+    _append_manifest(
+        index.spark,
+        index.dir / "manifest",
+        f"merge->{new_seg}",
+        [(s, -1, 0) for s in seg_ids],
+        0.0,
+    )
+
+
+def estimate_segment_bytes(index: Index) -> dict[int, int]:
+    """Approximate per-segment byte sizes from posting blob lengths."""
+    rows = (
+        index.postings()
+        .groupBy("seg")
+        .agg(
+            F.sum(
+                F.length("docs_blob")
+                + F.length("tfs_blob")
+                + F.length("pos_blob")
+                + F.length("norms_blob")
+            ).alias("bytes")
+        )
+        .collect()
+    )
+    return {r["seg"]: int(r["bytes"]) for r in rows}
+
+
+def run_tiered_merge(index: Index, seg_buckets: int = 1) -> int:
+    """One round of tiered merging; returns number of merges executed."""
+    sizes = estimate_segment_bytes(index)
+    live = index.live_segments
+    if live is not None:
+        sizes = {s: b for s, b in sizes.items() if s in live}
+    merges = plan_merges(sizes)
+    next_seg = max(sizes) + 1 if sizes else 0
+    for group in merges:
+        merge_segments(index, group, next_seg, seg_buckets=seg_buckets)
+        next_seg += 1
+    return len(merges)

@@ -156,6 +156,71 @@ def _decode_deltas(blob: bytes, base: int) -> np.ndarray:
     return base + np.cumsum(varint_decode(bytes(blob)).astype(np.int64))
 
 
+class TermPostings:
+    """All posting rows of one term in one segment.
+
+    A freshly-built segment has one row per term; a merged segment may carry
+    several *posting-block rows* per term (per-term posting-block splitting
+    for skewed/stopword-like terms, north_rule) with disjoint ascending doc
+    ranges.  This wrapper presents them as one logical posting list.
+    """
+
+    __slots__ = ("parts", "df", "_offsets")
+
+    def __init__(self, rows: list):
+        rows = sorted(rows, key=lambda r: r["first_doc"])
+        self.parts = [PostingRow(r) for r in rows]
+        dfs = [p.df for p in self.parts]
+        self.df = int(sum(dfs))
+        self._offsets = np.concatenate(([0], np.cumsum(dfs)))
+
+    @property
+    def row(self):  # term-level stats for upper bounds
+        if len(self.parts) == 1:
+            return self.parts[0].row
+        return {
+            "max_tf": max(p.row["max_tf"] for p in self.parts),
+            "min_len": min(p.row["min_len"] for p in self.parts),
+        }
+
+    def docs(self) -> np.ndarray:
+        if len(self.parts) == 1:
+            return self.parts[0].docs()
+        return np.concatenate([p.docs() for p in self.parts])
+
+    def tfs(self) -> np.ndarray:
+        if len(self.parts) == 1:
+            return self.parts[0].tfs()
+        return np.concatenate([p.tfs() for p in self.parts])
+
+    def norms(self) -> np.ndarray:
+        if len(self.parts) == 1:
+            return self.parts[0].norms()
+        return np.concatenate([p.norms() for p in self.parts])
+
+    def positions_flat(self) -> tuple[np.ndarray, np.ndarray]:
+        """(flat absolute positions, posting index per position) across parts."""
+        from .codec import decode_positions_flat
+
+        flats, idxs = [], []
+        for off, p in zip(self._offsets[:-1], self.parts):
+            f, di = decode_positions_flat(p.row["pos_blob"], p.tfs())
+            flats.append(f)
+            idxs.append(di + off)
+        return np.concatenate(flats), np.concatenate(idxs)
+
+    def lookup(self, candidates: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(self.parts) == 1:
+            return self.parts[0].lookup(candidates)
+        mask = np.zeros(candidates.size, dtype=bool)
+        pidx = np.zeros(candidates.size, dtype=np.int64)
+        for off, p in zip(self._offsets[:-1], self.parts):
+            m, pi = p.lookup(candidates)
+            pidx[m] = pi + off
+            mask |= m
+        return mask, pidx[mask]
+
+
 # ---------------------------------------------------------------------------
 # per-segment clause scorers
 # ---------------------------------------------------------------------------
@@ -317,10 +382,8 @@ def _phrase_scorer(q: PhraseQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
     for term, qpos in zip(q.terms, q.positions):
         pr = rows[term]
         idx = idxmap[term]
-        from .codec import decode_positions_flat
-
+        flat, doc_idx = pr.positions_flat()
         tfs_all = pr.tfs()
-        flat, doc_idx = decode_positions_flat(pr.row["pos_blob"], tfs_all)
         # select positions belonging to survivor postings
         sel = np.isin(doc_idx, idx)
         p = flat[sel] - qpos  # adjusted start position; must be >= 0
@@ -444,8 +507,15 @@ def make_plan(index, query, k: int = 10, prune: bool = True) -> QueryPlan:
     )
 
 
+def _group_rows(pdf: pd.DataFrame) -> dict[str, TermPostings]:
+    by_term: dict[str, list] = {}
+    for _, r in pdf.iterrows():
+        by_term.setdefault(r["term"], []).append(r)
+    return {t: TermPostings(rs) for t, rs in by_term.items()}
+
+
 def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
-    rows = {r["term"]: PostingRow(r) for _, r in pdf.iterrows()}
+    rows = _group_rows(pdf)
     q = plan.query
     if (
         plan.prune
@@ -475,9 +545,9 @@ def search(index, query_or_text, k: int = 10, prune: bool = True) -> DataFrame:
     if not terms or isinstance(q, MatchNoDocsQuery):
         return index.spark.createDataFrame([], RESULT_SCHEMA)
     posting_cols = [
-        "seg", "term", "df", "max_tf", "min_len", "docs_blob", "tfs_blob",
-        "norms_blob", "block_max_doc", "block_max_tf", "block_min_len",
-        "block_doc_boff", "block_tf_boff",
+        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
+        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
+        "block_min_len", "block_doc_boff", "block_tf_boff",
     ]
     if isinstance(q, PhraseQuery) or _has_phrase(q):
         posting_cols.append("pos_blob")
@@ -504,7 +574,7 @@ def count(index, query_or_text) -> int:
     schema = T.StructType([T.StructField("n", T.LongType())])
 
     def _cnt(pdf: pd.DataFrame) -> pd.DataFrame:
-        prs = {r["term"]: PostingRow(r) for _, r in pdf.iterrows()}
+        prs = _group_rows(pdf)
         docs, _ = _clause_scorer(plan.query, prs, plan)
         return pd.DataFrame({"n": [int(docs.size)]})
 
