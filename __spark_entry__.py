@@ -1,38 +1,275 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the full engine (index build -> BM25 top-k) on the
+sf0.001 documents table mapped to the input_hint corpus shape.
+
+`queries()` exposes the SQL-checkable relational surface of every operator
+family from SURVEY.md §2 plus the training-data pipeline ops; each has a
+matching `oracle_sql()` DuckDB statement with identical column names and
+double-precision score math (the engine's float32/SmallFloat contract is
+covered by tests/ against the Python oracle — not expressible in portable
+SQL).  A few engine-native entries (full index path) are exposed without
+oracle SQL and get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voyagr_spark import relational as R
+from voyagr_spark.analysis import ENGLISH_STOP_WORDS
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
+
+# shared oracle CTE prefix: tokenize (pre-stop positions) -> tf/doclen/stats
+_BASE = f"""
+WITH tok AS (
+  SELECT doc_id, lower(t) AS term, p AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS t,
+           unnest(range(len(string_split(text, ' ')))) AS p
+    FROM documents
+  )
+),
+terms AS (SELECT * FROM tok WHERE term NOT IN {_STOP_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM terms GROUP BY doc_id),
+st AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf FROM tf GROUP BY term),
+cs AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(doclen)::DOUBLE FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.doclen, st.df,
+         1.0 * ln(1.0 + (cs.n - st.df + 0.5) / (st.df + 0.5)) * 2.2 * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / cs.avgdl)) AS score
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN st USING (term)
+  CROSS JOIN cs
+)
+"""
+
+_HOT, _RARE = "batch", "dup"
+_OR3 = ["fast", "key", "vector"]
+
+
+# ---------------------------------------------------------------------------
+# engine-native path (rows-only check; float32 contract tested in tests/)
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _engine_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a real index over documents mapped to the
+    input_hint corpus shape (repo, path, commit, lang, content)."""
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.md5("text").alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+    )
+    try:
+        idx = Index(spark, idx_dir)  # reuse a previously built index
+    except Exception:
+        idx = build_index(spark, docs, idx_dir, num_segments=4)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _engine_search(qtext: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from voyagr_spark.search import search
+
+        idx = _engine_index(spark, sf_dir)
+        return search(idx, qtext, k=k)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full engine (tokenize -> segments -> BM25 -> top-k) on sf0.001."""
+    return _engine_search("fast AND key", k=10)(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# the correctness gate
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # §2.2 analysis + §2.3 build
+        "tokenize_tf": lambda s, d: R.terms_tf(s, d),
+        "doclen": lambda s, d: R.doclen(s, d),
+        "term_stats": lambda s, d: R.term_stats(s, d),
+        "collection_stats": lambda s, d: R.collection_stats(s, d),
+        # §2.6/§2.7 query execution + scoring (relational double-precision form)
+        "bm25_term_hot": lambda s, d: R.bm25_term(s, d, _HOT),
+        "bm25_term_rare": lambda s, d: R.bm25_term(s, d, _RARE),
+        "bm25_term_absent": lambda s, d: R.bm25_term(s, d, "zzzmissing"),
+        "bool_and": lambda s, d: R.bool_and(s, d, [_HOT, _RARE]),
+        "bool_or": lambda s, d: R.bool_or(s, d, _OR3),
+        "bool_not": lambda s, d: R.bool_not(s, d, _RARE, "vector"),
+        "min_should_match": lambda s, d: R.min_should_match(s, d, _OR3, 2),
+        "phrase_freq": lambda s, d: R.phrase_freq(s, d, "fast", "key"),
+        "topk_term": lambda s, d: R.topk_term(s, d, _HOT, 10),
+        # §2.8 faceting / grouping
+        "facet_lang": lambda s, d: R.facet_lang(s, d, _RARE),
+        "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
+        # training-data pipeline ops
+        "dedup_exact": lambda s, d: R.dedup_exact(s, d),
+        "minhash_signature": lambda s, d: R.minhash_signature(s, d),
+        "lsh_buckets": lambda s, d: R.lsh_buckets(s, d),
+        "jaccard_pairs": lambda s, d: R.jaccard_pairs(s, d, 0.7, 100),
+        "quality_stats": lambda s, d: R.quality_stats(s, d),
+        "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
+        "fingerprint": lambda s, d: R.fingerprint(s, d),
+        "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
+        # engine-native (rows-only check; bit-exact parity in tests/)
+        "engine_topk_hot": _engine_search(_HOT, 10),
+        "engine_topk_and": _engine_search(f"{_HOT} AND {_RARE}", 10),
+        "engine_topk_or": _engine_search(" OR ".join(_OR3), 10),
+        "engine_topk_phrase": _engine_search('"fast key"', 10),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = (
+        "SELECT doc_id, round(score, 4) AS score4 FROM scored WHERE term = '{t}'"
+    )
+    return {
+        "tokenize_tf": _BASE + "SELECT doc_id, term, tf FROM tf",
+        "doclen": _BASE + "SELECT doc_id, doclen FROM dl",
+        "term_stats": _BASE + "SELECT term, df, ttf FROM st",
+        "collection_stats": _BASE
+        + """SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
+                    (SELECT coalesce(sum(doclen), 0) FROM dl)::BIGINT AS sum_ttf""",
+        "bm25_term_hot": _BASE + bm25.format(t=_HOT),
+        "bm25_term_rare": _BASE + bm25.format(t=_RARE),
+        "bm25_term_absent": _BASE + bm25.format(t="zzzmissing"),
+        "bool_and": _BASE
+        + f"""SELECT doc_id, round(sum(score), 4) AS score4
+              FROM scored WHERE term IN ('{_HOT}', '{_RARE}')
+              GROUP BY doc_id HAVING count(*) = 2""",
+        "bool_or": _BASE
+        + f"""SELECT doc_id, round(sum(score), 4) AS score4
+              FROM scored WHERE term IN ('{_OR3[0]}', '{_OR3[1]}', '{_OR3[2]}')
+              GROUP BY doc_id""",
+        "bool_not": _BASE
+        + f"""SELECT doc_id, round(score, 4) AS score4
+              FROM scored WHERE term = '{_RARE}'
+              AND doc_id NOT IN (SELECT doc_id FROM scored WHERE term = 'vector')""",
+        "min_should_match": _BASE
+        + f"""SELECT doc_id, count(*)::BIGINT AS nmatch, round(sum(score), 4) AS score4
+              FROM scored WHERE term IN ('{_OR3[0]}', '{_OR3[1]}', '{_OR3[2]}')
+              GROUP BY doc_id HAVING count(*) >= 2""",
+        "phrase_freq": _BASE
+        + """SELECT a.doc_id AS doc_id, count(*)::BIGINT AS phrase_freq
+             FROM (SELECT doc_id, pos FROM tok WHERE term = 'fast') a
+             JOIN (SELECT doc_id, pos FROM tok WHERE term = 'key') b
+               ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             GROUP BY a.doc_id""",
+        "topk_term": _BASE
+        + f"""SELECT * FROM (
+                SELECT row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC)::BIGINT AS rank,
+                       doc_id, round(score, 4) AS score4
+                FROM scored WHERE term = '{_HOT}'
+              ) WHERE rank <= 10""",
+        "facet_lang": _BASE
+        + f"""SELECT d.lang, count(*)::BIGINT AS n
+              FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m
+              JOIN documents d USING (doc_id) GROUP BY d.lang""",
+        "group_top1": _BASE
+        + f"""SELECT lang, doc_id, score4 FROM (
+                SELECT d.lang, s.doc_id, round(s.score, 4) AS score4,
+                       row_number() OVER (PARTITION BY d.lang
+                                          ORDER BY round(s.score, 4) DESC, s.doc_id ASC) AS rn
+                FROM scored s JOIN documents d USING (doc_id)
+                WHERE s.term = '{_HOT}'
+              ) WHERE rn = 1""",
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS fp,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+                   count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_n
+            FROM documents""",
+        "minhash_signature": _BASE
+        + """SELECT doc_id,
+                    min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1,
+                    min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3
+             FROM tf GROUP BY doc_id""",
+        "lsh_buckets": _BASE
+        + """, sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1,
+                     min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3
+              FROM tf GROUP BY doc_id),
+            bands AS (
+              SELECT 0 AS band, mh0 AS sig FROM sig UNION ALL
+              SELECT 1, mh1 FROM sig UNION ALL
+              SELECT 2, mh2 FROM sig UNION ALL
+              SELECT 3, mh3 FROM sig)
+            SELECT band, sig, count(*)::BIGINT AS n_docs
+            FROM bands GROUP BY band, sig HAVING count(*) > 1""",
+        "jaccard_pairs": _BASE
+        + """, t AS (SELECT doc_id, term FROM tf WHERE doc_id < 100),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM t GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+              FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT da, db, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jac
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.7""",
+        "quality_stats": _BASE
+        + f"""SELECT doc_id, count(*)::BIGINT AS n_raw,
+                     sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+                     round(sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1.0
+                           / count(*), 4) AS stop_ratio,
+                     round(avg(length(term)), 4) AS avg_token_len,
+                     count(DISTINCT term)::BIGINT AS n_distinct
+              FROM tok GROUP BY doc_id""",
+        "langid_heuristic": _BASE
+        + f"""SELECT doc_id,
+                     CASE WHEN sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END) * 1.0
+                               / count(*) >= 0.05
+                          THEN 'en' ELSE 'other' END AS pred_lang
+              FROM tok GROUP BY doc_id""",
+        "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+            z AS (
+              SELECT e.vec_id,
+                     unnest(e.embedding::DOUBLE[]) AS x,
+                     unnest(q.qe) AS y
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+            s AS (
+              SELECT vec_id,
+                     round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos4
+              FROM z GROUP BY vec_id)
+            SELECT * FROM (
+              SELECT row_number() OVER (ORDER BY cos4 DESC, vec_id ASC)::BIGINT AS rank,
+                     vec_id, cos4
+              FROM s
+            ) WHERE rank <= 10""",
+    }

@@ -1,0 +1,138 @@
+"""Benchmark: index-build throughput + per-class query latency.
+
+Mirrors the reference's measurement protocol (BASELINE.md §c: AddDoc rounds +
+SearchTravRet task classes from lucene/benchmark/conf/standard.alg) on the
+deterministic corpus: the sf dir's documents table mapped to the input_hint
+corpus shape, augmented with the seeded synthetic source-code corpus
+(FIXTURES.md §1) scaled 4x the table size.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-class p50 sec...}, "sf": ..., "build": {...}, ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), VOYAGR_BENCH_RUNS (default 9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERY_CLASSES = {
+    "term_hot": "batch",
+    "term_rare": "dup",
+    "bool_and": "batch AND dup",
+    "bool_or": "fast OR key OR vector",
+    "phrase": '"fast key"',
+}
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("voyagr-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_corpus(spark: SparkSession, sf_dir: str, cpus: int):
+    from voyagr_spark.corpus import corpus_spark
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.md5("text").alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+    )
+    n_table = docs.count()
+    synth = corpus_spark(spark, num_docs=4 * n_table, seed=42, partitions=cpus)
+    return docs.unionByName(synth), n_table + 4 * n_table
+
+
+def run(sf_dir: str, cpus: int, runs: int, out_dir: str | None = None) -> dict:
+    from voyagr_spark.indexer import build_index
+    from voyagr_spark.search import search
+
+    spark = build_session(cpus)
+    try:
+        corpus, n_files = bench_corpus(spark, sf_dir, cpus)
+        corpus = corpus.persist()
+        corpus.count()  # materialize input before timing the build
+
+        idx_dir = out_dir or tempfile.mkdtemp(prefix="voyagr_bench_idx_")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        idx = build_index(
+            spark, corpus, idx_dir, num_segments=max(cpus, 8)
+        )
+        build_s = time.time() - t0
+        corpus.unpersist()
+
+        latencies: dict[str, list[float]] = {}
+        # warmup (JIT + file-footer caches), then timed runs
+        for name, q in QUERY_CLASSES.items():
+            search(idx, q, k=10).collect()
+        for name, q in QUERY_CLASSES.items():
+            ls = []
+            for _ in range(runs):
+                t = time.time()
+                search(idx, q, k=10).collect()
+                ls.append(time.time() - t)
+            latencies[name] = ls
+
+        qstats = {}
+        for name, ls in latencies.items():
+            ls = sorted(ls)
+            qstats[name] = round(statistics.median(ls), 4)
+            qstats[name + "_p95"] = round(ls[min(len(ls) - 1, int(0.95 * len(ls)))], 4)
+
+        total = build_s + sum(sum(ls) for ls in latencies.values())
+        result = {
+            "metric": "index-build + BM25 top-10 latency (voyagr_spark)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": qstats,
+            "sf": sf_dir,
+            "build": {
+                "files": n_files,
+                "seconds": round(build_s, 3),
+                "files_per_sec": round(n_files / build_s, 1),
+                "cpus": cpus,
+            },
+        }
+        if not out_dir:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+        return result
+    finally:
+        spark.stop()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("VOYAGR_BENCH_RUNS", "9"))
+    result = run(sf_dir, cpus, runs)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

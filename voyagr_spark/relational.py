@@ -1,0 +1,342 @@
+"""SQL-checkable relational surface of the engine's operators.
+
+Each function here is a DataFrame re-expression of a SURVEY.md §2 operator
+(or a training-data pipeline op) over the driver's test tables
+(`documents`, `embeddings`), paired 1:1 with an ANSI-SQL oracle in
+`__spark_entry__.oracle_sql`.  Scores on this surface are computed in
+*double* precision with exact document lengths so DuckDB can reproduce them
+bit-comparably; the float32 + SmallFloat-quantized-norm contract of the real
+engine is validated separately against the Python oracle in tests/ (that
+contract is not expressible in portable SQL).
+
+Everything is built-in Spark SQL expressions except tokenization, which is a
+single vectorized pandas_udf shared with the engine (analysis.tokenize_series)
+— no per-row Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .analysis import ENGLISH_STOP_WORDS, tokenize_series
+
+K1, B = 1.2, 0.75
+STOPWORDS = sorted(ENGLISH_STOP_WORDS)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Raw ordered tokens (pre-stop, pre-lowercase) — positions = array index."""
+    return tokenize_series(texts)
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def raw_tokens(spark, sf_dir) -> DataFrame:
+    """(doc_id, pos, term) with pre-stop positions (A1/A7 semantics)."""
+    d = documents(spark, sf_dir)
+    return d.select(
+        "doc_id", F.posexplode(tokenize_udf(F.col("text"))).alias("pos", "term")
+    ).withColumn("term", F.lower("term"))
+
+
+def terms_tf(spark, sf_dir) -> DataFrame:
+    """q: per-(doc, term) frequency after the stop filter (A1/B1)."""
+    return (
+        raw_tokens(spark, sf_dir)
+        .filter(~F.col("term").isin(STOPWORDS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doclen(spark, sf_dir) -> DataFrame:
+    """q: field length for norms = surviving token count (B4)."""
+    return (
+        raw_tokens(spark, sf_dir)
+        .filter(~F.col("term").isin(STOPWORDS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("doclen"))
+    )
+
+
+def term_stats(spark, sf_dir) -> DataFrame:
+    """q: global df/ttf per term (B9 / TermContext)."""
+    return (
+        terms_tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("ttf"))
+    )
+
+
+def collection_stats(spark, sf_dir) -> DataFrame:
+    """q: maxDoc + sumTotalTermFreq (collectionStatistics, K5 count path)."""
+    d = documents(spark, sf_dir).select("doc_id")
+    dl = doclen(spark, sf_dir)
+    return d.join(dl, "doc_id", "left").agg(
+        F.count("*").alias("max_doc"),
+        F.sum(F.coalesce("doclen", F.lit(0))).alias("sum_ttf"),
+    )
+
+
+def _scored(spark, sf_dir) -> DataFrame:
+    """(doc_id, term, tf, doclen, df, score) — BM25 in double, exact lengths."""
+    tf = terms_tf(spark, sf_dir)
+    dl = doclen(spark, sf_dir)
+    st = term_stats(spark, sf_dir).select("term", "df")
+    cs = collection_stats(spark, sf_dir).collect()[0]
+    n, avgdl = int(cs["max_doc"]), float(cs["sum_ttf"]) / int(cs["max_doc"])
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(st), "term")
+        .withColumn(
+            "score",
+            F.lit(float(1.0))
+            * F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.lit(2.2)
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("doclen") / F.lit(avgdl))
+            ),
+        )
+    )
+
+
+def bm25_term(spark, sf_dir, term: str) -> DataFrame:
+    """q: all matches of one term with BM25 (E1/K1, relational form)."""
+    return (
+        _scored(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .select("doc_id", F.round("score", 4).alias("score4"))
+    )
+
+
+def bool_and(spark, sf_dir, terms: list[str]) -> DataFrame:
+    """q: conjunction with summed scores (E2)."""
+    s = _scored(spark, sf_dir).filter(F.col("term").isin(terms))
+    return (
+        s.groupBy("doc_id")
+        .agg(F.count("*").alias("nt"), F.sum("score").alias("score"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id", F.round("score", 4).alias("score4"))
+    )
+
+
+def bool_or(spark, sf_dir, terms: list[str]) -> DataFrame:
+    """q: disjunction with summed scores (E3)."""
+    s = _scored(spark, sf_dir).filter(F.col("term").isin(terms))
+    return (
+        s.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .select("doc_id", F.round("score", 4).alias("score4"))
+    )
+
+
+def bool_not(spark, sf_dir, term: str, excluded: str) -> DataFrame:
+    """q: term AND NOT excluded (E6, anti-join form)."""
+    s = _scored(spark, sf_dir)
+    pos = s.filter(F.col("term") == term)
+    neg = s.filter(F.col("term") == excluded).select("doc_id")
+    return pos.join(neg, "doc_id", "left_anti").select(
+        "doc_id", F.round("score", 4).alias("score4")
+    )
+
+
+def min_should_match(spark, sf_dir, terms: list[str], m: int) -> DataFrame:
+    """q: at least m of the terms (E5)."""
+    s = _scored(spark, sf_dir).filter(F.col("term").isin(terms))
+    return (
+        s.groupBy("doc_id")
+        .agg(F.count("*").alias("nmatch"), F.sum("score").alias("score"))
+        .filter(F.col("nmatch") >= m)
+        .select("doc_id", "nmatch", F.round("score", 4).alias("score4"))
+    )
+
+
+def phrase_freq(spark, sf_dir, w1: str, w2: str) -> DataFrame:
+    """q: exact-phrase frequency via position self-join (E9).
+
+    Positions are pre-stop ordinals, so this matches the engine's
+    stopword-hole semantics for adjacent non-stop words.
+    """
+    t = raw_tokens(spark, sf_dir)
+    a = t.filter(F.col("term") == w1).select("doc_id", F.col("pos").alias("p1"))
+    b = t.filter(F.col("term") == w2).select("doc_id", F.col("pos").alias("p2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("phrase_freq"))
+    )
+
+
+def topk_term(spark, sf_dir, term: str, k: int = 10) -> DataFrame:
+    """q: deterministic top-k (K2/K3): rank by (round(score,4) desc, doc_id)."""
+    s = bm25_term(spark, sf_dir, term)
+    w = Window.orderBy(F.desc("score4"), F.asc("doc_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score4")
+    )
+
+
+def facet_lang(spark, sf_dir, term: str) -> DataFrame:
+    """q: facet counts over matches (§2.8 faceting)."""
+    m = terms_tf(spark, sf_dir).filter(F.col("term") == term).select("doc_id")
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    return m.join(d, "doc_id").groupBy("lang").agg(F.count("*").alias("n"))
+
+
+def group_top1(spark, sf_dir, term: str) -> DataFrame:
+    """q: best doc per lang for a term (§2.8 grouping/collapse)."""
+    s = bm25_term(spark, sf_dir, term)
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score4"), F.asc("doc_id"))
+    return (
+        s.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", "score4")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    """q: exact dedup by content hash — keeper + group size per doc."""
+    d = documents(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    return d.select(
+        "doc_id",
+        "fp",
+        F.min("doc_id").over(w).alias("keeper"),
+        F.count("*").over(w).alias("group_n"),
+    )
+
+
+def minhash_signature(spark, sf_dir, bands: int = 4) -> DataFrame:
+    """q: MinHash signature: per band, min md5('<band>:'||term) over doc terms."""
+    t = terms_tf(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("term")))).alias(f"mh{j}")
+        for j in range(bands)
+    ]
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_buckets(spark, sf_dir, bands: int = 4) -> DataFrame:
+    """q: LSH bucket sizes: docs sharing a band hash are candidates."""
+    sig = minhash_signature(spark, sf_dir, bands)
+    parts = [
+        sig.select(F.lit(j).alias("band"), F.col(f"mh{j}").alias("sig"))
+        for j in range(bands)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return (
+        u.groupBy("band", "sig")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_pairs(spark, sf_dir, threshold: float = 0.7, max_doc: int = 300) -> DataFrame:
+    """q: token-set n-gram(1) Jaccard near-dup pairs (bounded doc range)."""
+    t = (
+        terms_tf(spark, sf_dir)
+        .filter(F.col("doc_id") < max_doc)
+        .select("doc_id", "term")
+    )
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        t.alias("a")
+        .join(t.alias("b"), "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+        .withColumn("jac", F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 4))
+        .filter(F.col("jac") >= threshold)
+        .select("da", "db", "jac")
+    )
+
+
+def quality_stats(spark, sf_dir) -> DataFrame:
+    """q: text-quality features: counts, stopword ratio, mean token length."""
+    t = raw_tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+        F.round(
+            F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)) / F.count("*"), 4
+        ).alias("stop_ratio"),
+        F.round(F.avg(F.length("term")), 4).alias("avg_token_len"),
+        F.count_distinct("term").alias("n_distinct"),
+    )
+
+
+def langid_heuristic(spark, sf_dir) -> DataFrame:
+    """q: n-gram/stopword language-ID heuristic: English iff stopword-ratio
+    above threshold (the corpus embeds English stopwords in every doc)."""
+    q = quality_stats(spark, sf_dir)
+    return q.select(
+        "doc_id",
+        F.when(F.col("stop_ratio") >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def fingerprint(spark, sf_dir) -> DataFrame:
+    """q: document fingerprint (content hash + sha256 row invariant)."""
+    return documents(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("fp"), F.sha2("text", 256).alias("sha256")
+    )
+
+
+def ann_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """q: brute-force cosine top-k over the embedding column (ANN baseline).
+
+    Dot/norms via F.aggregate+F.zip_with — JVM-side, no Python.  Rank by
+    (round(cos,4) desc, vec_id asc) for cross-engine determinism.
+    """
+    e = embeddings(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    j = e.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(F.transform("embedding", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.transform("qe", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    scored = j.select(
+        "vec_id", F.round(dot / (n1 * n2), 4).alias("cos4")
+    )
+    w = Window.orderBy(F.desc("cos4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "cos4")
+    )
