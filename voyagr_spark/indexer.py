@@ -1,38 +1,56 @@
-"""Distributed index build: doc_id assignment + per-partition inverted segments.
+"""Distributed index build: doc_id assignment + inverted segments in ONE pass.
 
 Spark-first re-expression of the Lucene write path (SURVEY.md §3.1):
 
-* a Spark partition task == a DocumentsWriterPerThread: it inverts its rows
-  in one vectorized pass and emits one immutable *segment*
-  (DocumentsWriterPerThread.java; segments at SegmentReader.java)
-* doc ids are deterministic: dense rank over (repo, path, commit), realized as
-  range-repartition + per-partition row_number + broadcast partition offsets —
-  the scalable zipWithIndex (no driver collect of data, no global sort on one
-  reducer).  Reproducible across cluster sizes, so top-k tie-breaks (HitQueue
-  .java:76-81) are stable (SURVEY §7.4.2)
-* each stage ends in an atomically-visible parquet directory with _SUCCESS +
-  a manifest row — the sandbox stand-in for an Iceberg snapshot commit
-  (IndexWriter.java:954-967 two-phase commit); `build_index(resume=True)`
-  skips completed stages
-* skew: range partitioning on (repo, path, commit) splits a giant repo across
-  consecutive segments by construction; term skew is handled at merge time
-  with (term, bucket) sub-keys (see merge.py)
+* **doc ids** are deterministic: dense rank over (repo, path, commit).
+  Realized scalably as: (pass 1) a keys-only range shuffle to count rows per
+  range partition (shuffles ~1% of the bytes), (pass 2) the full-row range
+  shuffle + in-partition sort, with ids = broadcast partition offset +
+  running index.  RangePartitioner's reservoir sampling is seeded per input
+  partition, so both passes see identical boundaries for identical input.
+  No global sort on one reducer, no driver data collect.  Reproducible across
+  cluster sizes => stable top-k tie-breaks (HitQueue.java:76-81, SURVEY §7.4.2).
 
-Everything flows through applyInPandas / built-in SQL functions — no per-row
+* **segment = flush group**: inside the single mapInArrow pass, Arrow batches
+  accumulate until `docs_per_segment` rows, then flush as one immutable
+  segment — the DocumentsWriterPerThread RAM-buffer flush
+  (FlushByRamOrCountsPolicy; IndexWriterConfig.java:87) with the Arrow batch
+  size as the memory knob.  Task memory is bounded by the flush size, never
+  by partition size — a 100 TB partition streams through.
+
+* **one write**: posting rows and per-doc rows leave the same pass as a
+  union schema written once, partitioned by `kind` (partition pruning gives
+  each reader only its kind).  content never flows back out of Python; the
+  source table itself is the stored-fields file (SURVEY §2.1 S6), and the
+  sha256 row invariant is computed JVM-side (F.sha2) before the pass.
+
+* **stages end in atomically-visible parquet dirs** (_SUCCESS + manifest
+  rows) — the sandbox stand-in for Iceberg snapshot commits
+  (IndexWriter.java:954-967); `build_index(resume=True)` skips completed
+  stages.
+
+* **skew**: range partitioning on (repo, path, commit) splits a giant repo
+  across consecutive partitions by construction; term skew is handled at
+  merge time with (term, bucket) sub-keys (merge.py) and at query time by
+  block-directory skipping.
+
+Everything flows through mapInArrow / built-in SQL functions — no per-row
 Python, no RDD API.
 """
 
 from __future__ import annotations
 
 import json
-import shutil
 import time
+from collections.abc import Iterator
 from itertools import chain
 from pathlib import Path
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,7 +63,7 @@ DOC_KEY = ["repo", "path", "commit"]
 
 SEGMENT_SCHEMA = T.StructType(
     [
-        T.StructField("seg", T.IntegerType()),
+        T.StructField("seg", T.LongType()),
         T.StructField("kind", T.StringType()),
         # posting rows
         T.StructField("term", T.StringType()),
@@ -63,35 +81,91 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("block_min_len", T.ArrayType(T.FloatType())),
         T.StructField("block_doc_boff", T.ArrayType(T.LongType())),
         T.StructField("block_tf_boff", T.ArrayType(T.LongType())),
-        # docstat rows
+        # per-doc rows (kind='doc'): the docmap / norms / lineage record
         T.StructField("doc_id", T.LongType()),
         T.StructField("doclen", T.LongType()),
         T.StructField("norm_byte", T.IntegerType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("seg", pa.int64()),
+        pa.field("kind", pa.string()),
+        pa.field("term", pa.string()),
+        pa.field("first_doc", pa.int64()),
+        pa.field("df", pa.int64()),
+        pa.field("ttf", pa.int64()),
+        pa.field("max_tf", pa.int64()),
+        pa.field("min_len", pa.float32()),
+        pa.field("docs_blob", pa.binary()),
+        pa.field("tfs_blob", pa.binary()),
+        pa.field("pos_blob", pa.binary()),
+        pa.field("norms_blob", pa.binary()),
+        pa.field("block_max_doc", pa.list_(pa.int64())),
+        pa.field("block_max_tf", pa.list_(pa.int64())),
+        pa.field("block_min_len", pa.list_(pa.float32())),
+        pa.field("block_doc_boff", pa.list_(pa.int64())),
+        pa.field("block_tf_boff", pa.list_(pa.int64())),
+        pa.field("doc_id", pa.int64()),
+        pa.field("doclen", pa.int64()),
+        pa.field("norm_byte", pa.int32()),
+        pa.field("repo", pa.string()),
+        pa.field("path", pa.string()),
+        pa.field("commit", pa.string()),
+        pa.field("lang", pa.string()),
+        pa.field("content_sha256", pa.string()),
     ]
 )
 
 
-def invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Invert one segment (group of rows sharing `seg`): the DWPT flush.
+def invert_flush(
+    seg: int, doc_ids: np.ndarray, contents: pd.Series, meta: pd.DataFrame
+) -> pa.RecordBatch:
+    """Invert one flush group into posting + per-doc rows (one Arrow batch).
 
-    One vectorized pass: analyze -> flatten -> lexsort by (term, doc, pos) ->
-    run-length boundaries -> per-term delta+varint encoding with the 128-doc
-    block directory.  Mirrors DefaultIndexingChain.processDocument/invert
-    (DefaultIndexingChain.java:277,567-682) + Lucene50PostingsWriter encode.
+    The DefaultIndexingChain invert loop (DefaultIndexingChain.java:277,
+    567-682) as one vectorized pass: analyze -> flatten -> lexsort by
+    (term, doc, pos) -> run-length boundaries -> per-term delta+varint
+    encoding with the 128-doc block directory (Lucene50PostingsWriter).
     """
-    seg = int(pdf["seg"].iloc[0])
-    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-
-    terms, positions = analyze_series(pdf["content"])
+    terms, positions = analyze_series(contents)
     doclens = terms.map(len).to_numpy(dtype=np.int64)
     norm_bytes = encode_norm(doclens)
-    dec_len = NORM_TABLE[norm_bytes]  # quantized length for block-max pruning
+    dec_len = NORM_TABLE[norm_bytes]
 
-    rows: list[dict] = []
+    cols: dict[str, list] = {name: [] for name in _ARROW_SCHEMA.names}
+
+    def emit_posting(term, first_doc, df, ttf, max_tf, min_len, blobs, blocks):
+        cols["seg"].append(seg)
+        cols["kind"].append("posting")
+        cols["term"].append(term)
+        cols["first_doc"].append(first_doc)
+        cols["df"].append(df)
+        cols["ttf"].append(ttf)
+        cols["max_tf"].append(max_tf)
+        cols["min_len"].append(min_len)
+        for k, v in zip(("docs_blob", "tfs_blob", "pos_blob", "norms_blob"), blobs):
+            cols[k].append(v)
+        for k, v in zip(
+            ("block_max_doc", "block_max_tf", "block_min_len",
+             "block_doc_boff", "block_tf_boff"), blocks,
+        ):
+            cols[k].append(v)
+        for k in ("doc_id", "doclen", "norm_byte", "repo", "path",
+                  "commit", "lang", "content_sha256"):
+            cols[k].append(None)
+
     total_tokens = int(doclens.sum())
     if total_tokens > 0:
-        flat_terms = np.fromiter(chain.from_iterable(terms), dtype=object, count=total_tokens)
+        flat_terms = np.fromiter(
+            chain.from_iterable(terms), dtype=object, count=total_tokens
+        )
         flat_pos = np.fromiter(
             chain.from_iterable(positions), dtype=np.int64, count=total_tokens
         )
@@ -99,11 +173,8 @@ def invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
 
         codes, uniques = pd.factorize(flat_terms, sort=True)
         order = np.lexsort((flat_pos, flat_docidx, codes))
-        c = codes[order]
-        d = flat_docidx[order]
-        p = flat_pos[order]
+        c, d, p = codes[order], flat_docidx[order], flat_pos[order]
 
-        # (term, doc) run boundaries -> tf
         new_pair = np.empty(c.size, dtype=bool)
         new_pair[0] = True
         np.not_equal(c[1:], c[:-1], out=new_pair[1:])
@@ -113,24 +184,20 @@ def invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         pair_term = c[pair_starts]
         pair_doc = d[pair_starts]
 
-        # per-doc-restarting position deltas over the sorted token stream
         pos_delta = np.empty(p.size, dtype=np.int64)
         pos_delta[0] = p[0]
         np.subtract(p[1:], p[:-1], out=pos_delta[1:])
-        pos_delta[pair_starts] = p[pair_starts]  # absolute at each doc start
+        pos_delta[pair_starts] = p[pair_starts]
 
-        # term run boundaries over the pair arrays
         new_term = np.empty(pair_term.size, dtype=bool)
         new_term[0] = True
         np.not_equal(pair_term[1:], pair_term[:-1], out=new_term[1:])
         term_starts = np.flatnonzero(new_term)
         term_ends = np.concatenate((term_starts[1:], [pair_term.size]))
-        # token-stream offsets per pair for slicing the position deltas
         pair_tok_start = pair_starts
         pair_tok_end = np.concatenate((pair_starts[1:], [c.size]))
 
-        for ti, (s, e) in enumerate(zip(term_starts, term_ends)):
-            term = uniques[pair_term[s]]
+        for s, e in zip(term_starts, term_ends):
             docs_local = pair_doc[s:e]
             tfs = tfs_all[s:e]
             gdocs = doc_ids[docs_local]
@@ -151,49 +218,73 @@ def invert_segment(pdf: pd.DataFrame) -> pd.DataFrame:
                 .min(axis=1)
                 .astype(np.float32)
             )
-            rows.append(
-                {
-                    "seg": seg,
-                    "kind": "posting",
-                    "term": term,
-                    "first_doc": int(gdocs[0]),
-                    "df": int(npost),
-                    "ttf": int(tfs.sum()),
-                    "max_tf": int(tfs.max()),
-                    "min_len": float(lens.min()),
-                    "docs_blob": docs_blob,
-                    "tfs_blob": tfs_blob,
-                    "pos_blob": pos_blob,
-                    "norms_blob": nb.tobytes(),
-                    "block_max_doc": bmax_doc.tolist(),
-                    "block_max_tf": bmax_tf.tolist(),
-                    "block_min_len": bmin_len.tolist(),
-                    "block_doc_boff": dboff.tolist(),
-                    "block_tf_boff": tboff.tolist(),
-                    "doc_id": None,
-                    "doclen": None,
-                    "norm_byte": None,
-                }
+            emit_posting(
+                uniques[pair_term[s]],
+                int(gdocs[0]),
+                int(npost),
+                int(tfs.sum()),
+                int(tfs.max()),
+                float(lens.min()),
+                (docs_blob, tfs_blob, pos_blob, nb.tobytes()),
+                (bmax_doc.tolist(), bmax_tf.tolist(), bmin_len.tolist(),
+                 dboff.tolist(), tboff.tolist()),
             )
 
-    stat = pd.DataFrame(
-        {
-            "seg": seg,
-            "kind": "docstat",
-            "doc_id": doc_ids,
-            "doclen": doclens,
-            "norm_byte": norm_bytes.astype(np.int32),
-        }
-    )
-    cols = [f.name for f in SEGMENT_SCHEMA.fields]
-    post = pd.DataFrame(rows, columns=cols)
-    out = pd.concat([post, stat], ignore_index=True).reindex(columns=cols)
-    # pandas fills missing cells with NaN; Arrow needs None for non-numeric types
-    for f in SEGMENT_SCHEMA.fields:
-        if isinstance(f.dataType, (T.ArrayType, T.BinaryType, T.StringType)):
-            col = out[f.name].astype(object)
-            out[f.name] = col.where(pd.notna(col), None)
-    return out
+    n = doc_ids.size
+    cols["seg"].extend([seg] * n)
+    cols["kind"].extend(["doc"] * n)
+    cols["doc_id"].extend(doc_ids.tolist())
+    cols["doclen"].extend(doclens.tolist())
+    cols["norm_byte"].extend(norm_bytes.astype(np.int32).tolist())
+    for k in ("repo", "path", "commit", "lang", "content_sha256"):
+        cols[k].extend(meta[k].tolist())
+    for k in ("term", "first_doc", "df", "ttf", "max_tf", "min_len",
+              "docs_blob", "tfs_blob", "pos_blob", "norms_blob",
+              "block_max_doc", "block_max_tf", "block_min_len",
+              "block_doc_boff", "block_tf_boff"):
+        cols[k].extend([None] * n)
+
+    return pa.RecordBatch.from_pydict(cols, schema=_ARROW_SCHEMA)
+
+
+def make_invert_fn(offsets: dict[int, int], docs_per_segment: int):
+    """mapInArrow kernel: stream batches, flush a segment every
+    `docs_per_segment` rows.  seg id = (partition << 20) | flush ordinal."""
+
+    def invert_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pid = TaskContext.get().partitionId()
+        next_id = offsets.get(pid, 0)
+        flush_no = 0
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+
+        def flush():
+            nonlocal next_id, flush_no, buf, buffered
+            if not buf:
+                return None
+            tbl = pa.Table.from_batches(buf)
+            pdf = tbl.to_pandas()
+            n = len(pdf)
+            doc_ids = np.arange(next_id, next_id + n, dtype=np.int64)
+            seg = (pid << 20) | flush_no
+            out = invert_flush(seg, doc_ids, pdf["content"], pdf)
+            next_id += n
+            flush_no += 1
+            buf, buffered = [], 0
+            return out
+
+        for b in batches:
+            buf.append(b)
+            buffered += b.num_rows
+            if buffered >= docs_per_segment:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return invert_partition
 
 
 def _done(path: Path) -> bool:
@@ -208,66 +299,60 @@ def build_index(
     docs_per_segment: int = 100_000,
     resume: bool = False,
 ) -> "Index":
-    """Build the full index at index_dir; checkpoint-resumable per stage."""
+    """Build the full index at index_dir; checkpoint-resumable per stage.
+
+    num_segments here sizes the *range partitioning* (parallelism); actual
+    segments are flush groups of <= docs_per_segment docs inside partitions.
+    """
     root = Path(index_dir)
     root.mkdir(parents=True, exist_ok=True)
-    docmap_p = root / "docmap"
     seg_p = root / "segments"
     stats_p = root / "term_stats"
     manifest_p = root / "manifest"
     meta_p = root / "meta.json"
+    offsets_p = root / "offsets.json"
 
     t0 = time.time()
-    # ---- stage 1: deterministic doc ids (docmap = Lucene stored fields) ----
-    if not (resume and _done(docmap_p)):
+    # ---- pass 1: partition offsets from a keys-only range shuffle ----------
+    if resume and offsets_p.exists():
+        offsets = {int(k): v for k, v in json.loads(offsets_p.read_text()).items()}
+        num_segments = len(offsets)
+    else:
         if num_segments is None:
             n = docs.count()
             num_segments = max(1, -(-n // docs_per_segment))
-        ranged = (
-            docs.repartitionByRange(num_segments, *DOC_KEY)
-            .withColumn("seg", F.spark_partition_id())
+        counts = (
+            docs.select(*DOC_KEY)
+            .repartitionByRange(num_segments, *DOC_KEY)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
         )
-        raw_p = root / "_docmap_raw"
-        ranged.write.mode("overwrite").parquet(str(raw_p))
-        raw = spark.read.parquet(str(raw_p))
-        counts = raw.groupBy("seg").count().collect()
-        by_seg = sorted((r["seg"], r["count"]) for r in counts)
+        by_pid = sorted((r["pid"], r["count"]) for r in counts)
         offsets, acc = {}, 0
-        for s, cnt in by_seg:
-            offsets[s] = acc
+        for pid, cnt in by_pid:
+            offsets[pid] = acc
             acc += cnt
-        off_df = spark.createDataFrame(
-            [(s, o) for s, o in offsets.items()], "seg int, doc_base long"
-        )
-        w = Window.partitionBy("seg").orderBy(*DOC_KEY)
-        (
-            raw.join(F.broadcast(off_df), "seg")
-            .withColumn("doc_id", F.col("doc_base") + F.row_number().over(w) - 1)
-            .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            .drop("doc_base")
-            .write.mode("overwrite")
-            .parquet(str(docmap_p))
-        )
-        shutil.rmtree(raw_p, ignore_errors=True)
-        _append_manifest(
-            spark, manifest_p, "docmap",
-            [(s, offsets[s], c) for s, c in by_seg], time.time() - t0,
-        )
+        offsets_p.write_text(json.dumps(offsets))
 
-    docmap = spark.read.parquet(str(docmap_p))
-
-    # ---- stage 2: invert each segment (flush) ----
+    # ---- pass 2: fused id-assign + invert + single write -------------------
     if not (resume and _done(seg_p)):
+        ranged = (
+            docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            .repartitionByRange(num_segments, *DOC_KEY)
+            .sortWithinPartitions(*DOC_KEY)
+        )
         (
-            docmap.select("seg", "doc_id", "content")
-            .groupBy("seg")
-            .applyInPandas(invert_segment, SEGMENT_SCHEMA)
+            ranged.mapInArrow(
+                make_invert_fn(offsets, docs_per_segment), SEGMENT_SCHEMA
+            )
             .write.mode("overwrite")
             .partitionBy("kind")
             .parquet(str(seg_p))
         )
 
-    # ---- stage 3: global stats (TermContext/collectionStatistics analog) ----
+    # ---- pass 3: global stats + manifest (TermContext analog) --------------
     if not (resume and _done(stats_p) and meta_p.exists()):
         postings = spark.read.parquet(str(seg_p / "kind=posting"))
         (
@@ -278,18 +363,33 @@ def build_index(
                 F.max("max_tf").alias("max_tf"),
                 F.min("min_len").alias("min_len"),
             )
-            .repartitionByRange(max(1, postings.rdd.getNumPartitions() // 4), "term")
+            .repartitionByRange(max(1, num_segments // 8), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(str(stats_p))
         )
-        stats = spark.read.parquet(str(seg_p / "kind=docstat")).agg(
-            F.count("doc_id").alias("max_doc"), F.sum("doclen").alias("sum_ttf")
-        ).collect()[0]
+        docstats = spark.read.parquet(str(seg_p / "kind=doc"))
+        seg_rows = (
+            docstats.groupBy("seg")
+            .agg(
+                F.min("doc_id").alias("doc_base"),
+                F.count("*").alias("num_docs"),
+                F.sum("doclen").alias("sum_len"),
+            )
+            .collect()
+        )
+        _append_manifest(
+            spark, manifest_p, "build",
+            [(r["seg"], r["doc_base"], r["num_docs"]) for r in seg_rows],
+            time.time() - t0,
+        )
+        max_doc = int(sum(r["num_docs"] for r in seg_rows))
+        sum_ttf = int(sum(r["sum_len"] or 0 for r in seg_rows))
         meta = {
-            "max_doc": int(stats["max_doc"]),
-            "sum_total_term_freq": int(stats["sum_ttf"] or 0),
-            "num_segments": int(num_segments or docmap.select("seg").distinct().count()),
+            "max_doc": max_doc,
+            "sum_total_term_freq": sum_ttf,
+            "num_partitions": int(num_segments),
+            "num_segments": len(seg_rows),
             "built_unix": int(time.time()),
         }
         meta_p.write_text(json.dumps(meta))
@@ -300,9 +400,9 @@ def build_index(
 def _append_manifest(spark, manifest_p: Path, stage: str, rows, wall_s: float):
     df = spark.createDataFrame(
         [(stage, int(s), int(b), int(c), float(wall_s)) for s, b, c in rows],
-        "stage string, seg int, doc_base long, num_docs long, wall_s double",
+        "stage string, seg long, doc_base long, num_docs long, wall_s double",
     )
-    df.write.mode("append").parquet(str(manifest_p))
+    df.coalesce(1).write.mode("append").parquet(str(manifest_p))
 
 
 class Index:
@@ -337,13 +437,23 @@ class Index:
         return df
 
     def docstats(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.dir / "segments" / "kind=docstat"))
+        return self.spark.read.parquet(str(self.dir / "segments" / "kind=doc"))
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.dir / "docmap"))
+        return self.docstats().select(
+            "doc_id", "seg", "repo", "path", "commit", "lang", "content_sha256",
+            "doclen", "norm_byte",
+        )
 
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(str(self.dir / "term_stats"))
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(str(self.dir / "manifest"))
+
+    def hydrate(self, results: DataFrame, source: DataFrame) -> DataFrame:
+        """Stored-field read (S6): join top-k back to the source table."""
+        dm = self.docmap().select("doc_id", "repo", "path", "commit")
+        return results.join(dm, "doc_id").join(
+            source, ["repo", "path", "commit"], "left"
+        )

@@ -122,12 +122,10 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
         "block_min_len": bmin_len.tolist(),
         "block_doc_boff": dboff.tolist(),
         "block_tf_boff": tboff.tolist(),
-        "doc_id": None,
-        "doclen": None,
-        "norm_byte": None,
     }
     cols = [f.name for f in SEGMENT_SCHEMA.fields]
-    return pd.DataFrame([row], columns=cols)
+    full = {c: [row.get(c)] for c in cols}
+    return pd.DataFrame(full, columns=cols)
 
 
 def merge_segments(
