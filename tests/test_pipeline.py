@@ -1,0 +1,98 @@
+"""Pipeline ops: SimHash, embedding LSH, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from voyagr_spark.pipeline import (
+    MEDIA_SCHEMA,
+    embedding_lsh_signatures,
+    embedding_near_dup_pairs,
+    extract_features,
+    simhash,
+    simhash_frame,
+    simhash_near_dup_pairs,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_simhash_deterministic_and_locality():
+    a = "open file handle parse query tree"
+    b = "open file handle parse query tree extra"   # near-dup
+    c = "totally different words entirely unrelated content here"
+    df = simhash_frame(np.array([0, 1, 2]), pd.Series([a, b, c]))
+    s = df["simhash"].to_numpy(dtype=np.uint64)
+    # deterministic
+    df2 = simhash_frame(np.array([0]), pd.Series([a]))
+    assert df2["simhash"][0] == df["simhash"][0]
+    ham_ab = bin(int(s[0]) ^ int(s[1])).count("1")
+    ham_ac = bin(int(s[0]) ^ int(s[2])).count("1")
+    assert ham_ab < ham_ac  # near-dup closer than unrelated
+
+
+def test_simhash_spark_and_near_dup_pairs(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "open file handle parse query tree scan filter merge",
+                    "open file handle parse query tree scan filter merge",  # exact
+                    "open file handle parse query tree scan filter batch",  # near
+                    "alpha beta gamma delta epsilon zeta eta theta iota",
+                ],
+            }
+        )
+    )
+    sigs = simhash(docs)
+    rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert rows[0] == rows[1]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert all(d != 3 for a, b in pairs for d in (a, b) if True) or (0, 3) not in pairs
+
+
+def test_embedding_lsh_and_near_dup(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64).astype(np.float32)
+    near = base + rng.standard_normal(64).astype(np.float32) * 0.01
+    far = rng.standard_normal(64).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [base.tolist(), near.tolist(), far.tolist()]}
+    )
+    emb = spark.createDataFrame(pdf)
+    sigs = {r["vec_id"]: r["bucket"] for r in embedding_lsh_signatures(emb, 64).collect()}
+    assert sigs[0] == sigs[1]  # near-identical vectors share every hyperplane sign
+    pairs = embedding_near_dup_pairs(emb, 64, threshold=0.95).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_embedding_lsh_on_testdata(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sigs = embedding_lsh_signatures(emb, 64, nbits=12)
+    assert sigs.count() == emb.count()
+    assert sigs.schema.simpleString() == "struct<vec_id:bigint,bucket:bigint>"
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (0, "image", bytearray(b"\x89PNG fake"), (8, 8, "png")),
+        (1, "audio", bytearray(b"RIFF fake"), (0, 0, "wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=16, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[0]["feature"]) == 16
+    assert by_id[0]["n_bytes"] == 9
+    # deterministic fake decode
+    feats2 = extract_features(media, dim=16, fake=True).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        extract_features(media, fake=False).collect()

@@ -247,13 +247,15 @@ def invert_flush(
     return pa.RecordBatch.from_pydict(cols, schema=_ARROW_SCHEMA)
 
 
-def make_invert_fn(offsets: dict[int, int], docs_per_segment: int):
+def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
+                   pid_offset: int = 0):
     """mapInArrow kernel: stream batches, flush a segment every
-    `docs_per_segment` rows.  seg id = (partition << 20) | flush ordinal."""
+    `docs_per_segment` rows.  seg id = (pid_offset+partition) << 20 | flush
+    ordinal (pid_offset keeps streamed appends disjoint from build ids)."""
 
     def invert_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
-        next_id = offsets.get(pid, 0)
+        pid = TaskContext.get().partitionId() + pid_offset
+        next_id = offsets.get(TaskContext.get().partitionId(), 0)
         flush_no = 0
         buf: list[pa.RecordBatch] = []
         buffered = 0

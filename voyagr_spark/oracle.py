@@ -30,9 +30,14 @@ from .smallfloat import encode_norm
 
 
 class OracleIndex:
-    def __init__(self, docs: pd.DataFrame):
-        """docs: (repo, path, commit, content); doc ids = dense rank over key."""
-        docs = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    def __init__(self, docs: pd.DataFrame, sort: bool = True):
+        """docs: (repo, path, commit, content); doc ids = dense rank over key
+        (sort=True, the batch-build contract) or arrival order (sort=False,
+        the streaming-append contract)."""
+        if sort:
+            docs = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        else:
+            docs = docs.reset_index(drop=True)
         self.doc_ids = np.arange(len(docs), dtype=np.int64)
         self.postings: dict[str, dict[int, list[int]]] = {}
         doclens = np.zeros(len(docs), dtype=np.int64)

@@ -1,0 +1,265 @@
+"""Training-data pipeline operators beyond the search core.
+
+Large-scale corpus-curation ops a 100 TB training-data pipeline needs,
+built Spark-first (vectorized Arrow UDFs + built-in ops, no per-row Python):
+
+* SimHash fingerprints + banded near-dup candidate pairs (hamming <= k)
+* random-hyperplane LSH for embedding-cosine near-dup / ANN bucketing
+* exact brute-force cosine verification of candidate pairs
+* multimodal binary-column plumbing: schema, batched decode/feature UDFs
+  (actual image/audio decoding is stubbed — the libs are not in this
+  container — but the Spark-side schema, partitioning, and batch shapes are
+  real and tested with a deterministic fake decoder)
+
+Exact dedup, MinHash/LSH over token sets, Jaccard pairs, quality scoring,
+language-ID, and fingerprints live in relational.py (they are SQL-checkable
+and oracle-paired there).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analysis import analyze_series
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands for candidate generation
+
+
+def _hash_terms(uniques: np.ndarray) -> np.ndarray:
+    """64-bit hash per unique term (md5 prefix; hashed once per vocab entry)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in uniques
+        ],
+        dtype=np.uint64,
+    )
+
+
+def simhash_frame(doc_ids: np.ndarray, texts: pd.Series) -> pd.DataFrame:
+    """Vectorized SimHash over one batch: tf-weighted bit votes -> sign."""
+    terms, _ = analyze_series(texts)
+    doclens = terms.map(len).to_numpy(dtype=np.int64)
+    total = int(doclens.sum())
+    out = np.zeros(doc_ids.size, dtype=np.uint64)
+    if total:
+        flat = np.fromiter(chain.from_iterable(terms), dtype=object, count=total)
+        codes, uniques = pd.factorize(flat)
+        hashes = _hash_terms(uniques)
+        # bits matrix for the vocab only (nuniq x 64) in {-1, +1}
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        pm = bits * 2 - 1
+        docidx = np.repeat(np.arange(doc_ids.size, dtype=np.int64), doclens)
+        votes = np.zeros((doc_ids.size, SIMHASH_BITS), dtype=np.int64)
+        np.add.at(votes, docidx, pm[codes])
+        sig_bits = (votes > 0).astype(np.uint64)
+        out = (sig_bits << shifts).sum(axis=1, dtype=np.uint64)
+    return pd.DataFrame({"doc_id": doc_ids, "simhash": out.astype(np.int64)})
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash int64) via mapInArrow — one numpy pass per batch."""
+    sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            out = simhash_frame(
+                pdf["doc_id"].to_numpy(dtype=np.int64), pdf["text"]
+            )
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return sel.mapInArrow(kernel, schema)
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Banded candidate join + exact hamming filter (doc_a < doc_b).
+
+    Pigeonhole: hamming <= 3 over 4 bands => at least one band equal, so the
+    band join loses no true pair.  Scales as a shuffle on 16-bit band values
+    (salt-friendly), never a cross join.
+    """
+    bands = []
+    for j in range(SIMHASH_BANDS):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                "simhash",
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned("simhash", j * 16).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+            )
+        )
+    u = bands[0]
+    for b in bands[1:]:
+        u = u.unionAll(b)
+    a, b = u.alias("a"), u.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding LSH (random hyperplanes) + exact cosine verify
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits)).astype(np.float32)
+
+
+def embedding_lsh_signatures(
+    emb: DataFrame, dim: int, nbits: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection LSH signature per vector (one matmul per batch)."""
+    planes = _hyperplanes(dim, nbits, seed)
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("bucket", T.LongType())]
+    )
+    sel = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+            proj = mat @ planes  # (n, nbits)
+            bits = (proj > 0).astype(np.uint64)
+            bucket = (bits << np.arange(nbits, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out = pd.DataFrame(
+                {"vec_id": pdf["vec_id"].astype(np.int64),
+                 "bucket": bucket.astype(np.int64)}
+            )
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return sel.mapInArrow(kernel, schema)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, dim: int, threshold: float = 0.9, nbits: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed candidate pairs verified by exact cosine >= threshold.
+
+    The bucket join replaces the O(n^2) cross join; recall depends on nbits
+    (smaller buckets = higher precision, lower recall) — the standard
+    hyperplane-LSH trade-off; brute-force ann_topk in relational.py is the
+    exact baseline.
+    """
+    sigs = embedding_lsh_signatures(emb, dim, nbits, seed, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).join(sigs, "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+    cand = a.join(b, F.col("a.bucket") == F.col("b.bucket")).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("a.vec", "b.vec", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n1 = F.sqrt(F.aggregate(F.transform("a.vec", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    n2 = F.sqrt(F.aggregate(F.transform("b.vec", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        cand.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot / (n1 * n2)).alias("cos"),
+        )
+        .distinct()
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary-column plumbing (decode stubbed; plumbing real)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("codec", T.StringType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+    """Batched decode -> feature-extract over opaque binary payloads.
+
+    Real image/audio decoding libs are absent in this container; with
+    fake=True a deterministic hash-derived feature stands in so the Spark
+    plumbing (Arrow batch shape, schema, partitioning) is fully exercised.
+    With fake=False this raises NotImplementedError at the decode step.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires image/audio libs not in this container"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                h = hashlib.sha256(bytes(payload)).digest()
+                v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+                feats.append((v.astype(np.float32) / np.float32(2**32)).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)

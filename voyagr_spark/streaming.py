@@ -1,0 +1,129 @@
+"""Incremental index appends — the NRT/streaming story (SURVEY §2.1 S7).
+
+The reference has no event-time/watermark semantics: its streaming story is
+near-real-time segment publishing (DirectoryReader.openIfChanged,
+DirectoryReader.java:122; ControlledRealTimeReopenThread.java:43,157) plus a
+transaction log.  The Spark analog:
+
+* `append_batch(index, docs)` — index a new micro-batch as fresh segments:
+  doc ids continue from the current max (arrival order, exactly Lucene's
+  docID assignment), segments append to the same parquet dataset, global
+  stats recompute, and the meta swap publishes atomically (the
+  `openIfChanged` reopen point).
+* `attach_stream(index, stream_df)` — Structured Streaming `foreachBatch`
+  wrapper over append_batch; late/duplicate rows are the caller's MERGE
+  concern (the corpus key is (repo, path, commit)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indexer import DOC_KEY, Index, SEGMENT_SCHEMA, _append_manifest, make_invert_fn
+
+STREAM_PARTITION_BASE = 1 << 30  # keep streamed seg ids clear of build ids
+
+
+def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
+                 docs_per_segment: int = 100_000) -> list[int]:
+    """Index a micro-batch into new segments; returns the new segment ids."""
+    spark = index.spark
+    base = index.max_doc
+    epoch = int(index.meta.get("stream_epoch", 0))
+
+    counts = (
+        docs.select(*DOC_KEY)
+        .repartitionByRange(num_partitions, *DOC_KEY)
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets, acc = {}, base
+    for pid, cnt in sorted((r["pid"], r["count"]) for r in counts):
+        offsets[pid] = acc
+        acc += cnt
+
+    # segment ids: (epoch-salted partition) << 20 | flush — disjoint per batch
+    pid_base = STREAM_PARTITION_BASE + epoch * max(num_partitions, 1) * 2
+    shifted = {pid: off for pid, off in offsets.items()}
+    ranged = (
+        docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .repartitionByRange(num_partitions, *DOC_KEY)
+        .sortWithinPartitions(*DOC_KEY)
+    )
+    fn = make_invert_fn(shifted, docs_per_segment, pid_offset=pid_base)
+    seg_dir = index.dir / "segments"
+    ranged.mapInArrow(fn, SEGMENT_SCHEMA).write.mode("append").partitionBy(
+        "kind"
+    ).parquet(str(seg_dir))
+
+    # recompute global stats (an agg over posting rows; cheap vs the corpus)
+    lo = pid_base << 20
+    hi = (pid_base + 2 * max(num_partitions, 1)) << 20
+    postings = index.spark.read.parquet(str(seg_dir / "kind=posting"))
+    live = index.live_segments
+    new_segs = sorted(
+        r["seg"]
+        for r in index.spark.read.parquet(str(seg_dir / "kind=doc"))
+        .select("seg").distinct().collect()
+        if lo <= r["seg"] < hi
+    )
+    if live is not None:
+        keep = sorted(set(live) | set(new_segs))
+        postings = postings.filter(F.col("seg").isin(keep))
+    else:
+        keep = None
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ttf").alias("ttf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_len").alias("min_len"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(index.dir / "term_stats"))
+    )
+    added = acc - base
+    added_len = (
+        index.spark.read.parquet(str(seg_dir / "kind=doc"))
+        .filter(F.col("seg").isin(new_segs))
+        .agg(F.sum("doclen"))
+        .collect()[0][0]
+        or 0
+    )
+
+    index.meta["max_doc"] = base + added
+    index.meta["sum_total_term_freq"] = index.sum_total_term_freq + int(added_len)
+    index.meta["stream_epoch"] = epoch + 1
+    if keep is not None:
+        index.meta["live_segments"] = keep
+    tmp = index.dir / "meta.json.tmp"
+    tmp.write_text(json.dumps(index.meta))
+    os.replace(tmp, index.dir / "meta.json")  # atomic publish (reopen point)
+    _append_manifest(
+        index.spark, index.dir / "manifest", f"append_epoch_{epoch}",
+        [(s, -1, 0) for s in new_segs], 0.0,
+    )
+    return new_segs
+
+
+def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
+                  num_partitions: int = 4):
+    """foreachBatch writer: each micro-batch becomes new published segments."""
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        append_batch(index, batch_df, num_partitions=num_partitions)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
