@@ -315,18 +315,26 @@ def build_index(
     offsets_p = root / "offsets.json"
 
     t0 = time.time()
-    # ---- pass 1: partition offsets from a keys-only range shuffle ----------
-    if resume and offsets_p.exists():
-        offsets = {int(k): v for k, v in json.loads(offsets_p.read_text()).items()}
-        num_segments = len(offsets)
-    else:
+    # ---- pass 1+2: offsets and invert from ONE planned shuffle --------------
+    # The range boundaries are sampled when the shuffle is planned; two
+    # separate queries can sample differently (AQE, projection) and silently
+    # shift ids, so the ranged data is persisted once and both the count
+    # action and the invert action read the same InMemoryRelation — one
+    # partitioner instance, deterministic ids.  (At petabyte scale the same
+    # one-planning guarantee comes from checkpointing the ranged table to
+    # storage — the stored-fields write — and reading it back.)
+    if not (resume and _done(seg_p) and offsets_p.exists()):
         if num_segments is None:
             n = docs.count()
             num_segments = max(1, -(-n // docs_per_segment))
-        counts = (
-            docs.select(*DOC_KEY)
+        ranged = (
+            docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
             .repartitionByRange(num_segments, *DOC_KEY)
-            .select(F.spark_partition_id().alias("pid"))
+            .sortWithinPartitions(*DOC_KEY)
+            .persist()
+        )
+        counts = (
+            ranged.select(F.spark_partition_id().alias("pid"))
             .groupBy("pid")
             .count()
             .collect()
@@ -337,14 +345,6 @@ def build_index(
             offsets[pid] = acc
             acc += cnt
         offsets_p.write_text(json.dumps(offsets))
-
-    # ---- pass 2: fused id-assign + invert + single write -------------------
-    if not (resume and _done(seg_p)):
-        ranged = (
-            docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            .repartitionByRange(num_segments, *DOC_KEY)
-            .sortWithinPartitions(*DOC_KEY)
-        )
         (
             ranged.mapInArrow(
                 make_invert_fn(offsets, docs_per_segment), SEGMENT_SCHEMA
@@ -353,6 +353,7 @@ def build_index(
             .partitionBy("kind")
             .parquet(str(seg_p))
         )
+        ranged.unpersist()
 
     # ---- pass 3: global stats + manifest (TermContext analog) --------------
     if not (resume and _done(stats_p) and meta_p.exists()):
@@ -452,6 +453,45 @@ class Index:
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(str(self.dir / "manifest"))
+
+    # -- deletes (S2/S3/E14): tombstones until merge reclaims ---------------
+
+    def deleted_doc_ids(self) -> np.ndarray | None:
+        """Sorted tombstoned doc ids, or None.  The live-docs bitset analog
+        (Lucene50LiveDocsFormat.java:49): deletes are buffered markers; term
+        stats stay stale until merge, exactly like the reference."""
+        p = self.dir / "deletes"
+        if not self.meta.get("has_deletes") or not p.exists():
+            return None
+        rows = self.spark.read.parquet(str(p)).select("doc_id").collect()
+        if not rows:
+            return None
+        return np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+
+    def delete_docs(self, doc_ids: list[int]) -> None:
+        """deleteDocuments by id (IndexWriter.java:1300 analog)."""
+        if not doc_ids:
+            return
+        df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+        df.coalesce(1).write.mode("append").parquet(str(self.dir / "deletes"))
+        self.meta["has_deletes"] = True
+        tmp = self.dir / "meta.json.tmp"
+        tmp.write_text(json.dumps(self.meta))
+        import os as _os
+
+        _os.replace(tmp, self.dir / "meta.json")
+
+    def delete_by_keys(self, keys: DataFrame) -> int:
+        """Delete by (repo, path, commit) — the update key (S2)."""
+        ids = [
+            r["doc_id"]
+            for r in self.docmap()
+            .join(keys.select("repo", "path", "commit"), ["repo", "path", "commit"])
+            .select("doc_id")
+            .collect()
+        ]
+        self.delete_docs(ids)
+        return len(ids)
 
     def hydrate(self, results: DataFrame, source: DataFrame) -> DataFrame:
         """Stored-field read (S6): join top-k back to the source table."""

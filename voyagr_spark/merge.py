@@ -73,28 +73,59 @@ def plan_merges(seg_bytes: dict[int, int]) -> list[list[int]]:
     return merges
 
 
-def _merge_term(pdf: pd.DataFrame, new_seg: int) -> pd.DataFrame:
-    """Merge one (term, bucket) group: decode, concat doc-ordered, re-encode."""
+def _merge_term(pdf: pd.DataFrame, new_seg: int,
+                deleted: np.ndarray | None = None) -> pd.DataFrame:
+    """Merge one (term, bucket) group: decode, concat doc-ordered, re-encode.
+
+    Tombstoned docs are dropped here — merge is where deletes are reclaimed
+    (SegmentMerger.java:74-116 skips non-live docs)."""
     pdf = pdf.sort_values("first_doc", kind="mergesort")
     term = pdf["term"].iloc[0]
     docs = []
     tfs = []
     norms = []
-    pos_parts = []
+    pos_chunks = []
     for _, r in pdf.iterrows():
         d, t = decode_postings(r["docs_blob"], r["tfs_blob"])
+        from .codec import decode_positions_flat
+
+        flat, doc_idx = decode_positions_flat(r["pos_blob"], t)
+        nb = np.frombuffer(r["norms_blob"], dtype=np.uint8)
+        if deleted is not None and deleted.size:
+            idx = np.searchsorted(deleted, d)
+            idx_c = np.minimum(idx, deleted.size - 1)
+            live = deleted[idx_c] != d
+            if not live.all():
+                keep_pos = live[doc_idx]
+                flat, doc_idx_old = flat[keep_pos], doc_idx[keep_pos]
+                # re-map doc_idx to surviving ordinals
+                remap = np.cumsum(live) - 1
+                doc_idx = remap[doc_idx_old]
+                d, t, nb = d[live], t[live], nb[live]
+        if d.size == 0:
+            continue
         docs.append(d)
         tfs.append(t)
-        norms.append(np.frombuffer(r["norms_blob"], dtype=np.uint8))
-        pos_parts.append((r["pos_blob"], t))
+        norms.append(nb)
+        pos_chunks.append((flat, t))
+    if not docs:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in [f.name for f in SEGMENT_SCHEMA.fields]}
+        )
     docs = np.concatenate(docs)
     tfs = np.concatenate(tfs)
     norms = np.concatenate(norms)
     # source ranges are disjoint and rows sorted by first_doc => already sorted
     assert np.all(docs[1:] > docs[:-1]), "segment doc ranges overlap"
     docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(docs, tfs)
-    # positions: per-doc delta streams concatenate verbatim (per-doc restart)
-    pos_blob = b"".join(p for p, _ in pos_parts)
+    # positions: re-encode per-doc delta streams (deletes may have dropped docs)
+    from .codec import encode_positions
+
+    plists = []
+    for flat, t in pos_chunks:
+        off = np.concatenate(([0], np.cumsum(t)))
+        plists.extend(flat[off[i]: off[i + 1]] for i in range(t.size))
+    pos_blob = encode_positions(plists)
     lens = NORM_TABLE[norms]
     nblocks = (docs.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     pad = nblocks * BLOCK_SIZE - docs.size
@@ -149,12 +180,15 @@ def merge_segments(
     rank_df = spark.createDataFrame(
         [(s, r) for s, r in rank.items()], "seg int, seg_rank int"
     )
+    deleted = index.deleted_doc_ids()
     merged = (
         src.join(F.broadcast(rank_df), "seg")
         .withColumn("bucket", bucket_expr)
         .groupBy("term", "bucket")
         .applyInPandas(
-            lambda pdf: _merge_term(pdf.drop(columns=["bucket", "seg_rank"]), new_seg),
+            lambda pdf: _merge_term(
+                pdf.drop(columns=["bucket", "seg_rank"]), new_seg, deleted
+            ),
             SEGMENT_SCHEMA,
         )
     )

@@ -21,8 +21,11 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstScoreTerms,
+    DisjunctionMaxQuery,
     MatchNoDocsQuery,
     PhraseQuery,
+    PrefixQuery,
     TermQuery,
     parse,
 )
@@ -50,6 +53,11 @@ class OracleIndex:
         self.norm_bytes = encode_norm(doclens)
         self.max_doc = len(docs)
         self.sum_ttf = int(doclens.sum())
+        self.deleted: set[int] = set()
+
+    def delete(self, doc_ids) -> None:
+        """Live-docs semantics: docs vanish from matches, stats stay stale."""
+        self.deleted.update(int(d) for d in doc_ids)
 
     # -- scoring ------------------------------------------------------------
 
@@ -80,6 +88,27 @@ class OracleIndex:
             return self._phrase(q, cache)
         if isinstance(q, BooleanQuery):
             return self._bool(q, cache)
+        if isinstance(q, PrefixQuery):
+            terms = tuple(sorted(t for t in self.postings if t.startswith(q.prefix)))
+            return self._clause(ConstScoreTerms(terms), cache) if terms else {}
+        if isinstance(q, ConstScoreTerms):
+            out: dict[int, np.float32] = {}
+            for t in q.terms:
+                for d in self.postings.get(t, {}):
+                    out[d] = np.float32(q.boost)
+            return out
+        if isinstance(q, DisjunctionMaxQuery):
+            smax: dict[int, np.float32] = {}
+            ssum: dict[int, np.float32] = {}
+            for sub in q.disjuncts:
+                for d, s in self._clause(sub, cache).items():
+                    smax[d] = max(smax.get(d, np.float32(-np.inf)), s)
+                    ssum[d] = np.float32(ssum.get(d, np.float32(0.0)) + s)
+            tie = np.float32(q.tie)
+            return {
+                d: np.float32(smax[d] + tie * np.float32(ssum[d] - smax[d]))
+                for d in smax
+            }
         if isinstance(q, MatchNoDocsQuery):
             return {}
         raise TypeError(type(q))
@@ -142,14 +171,26 @@ class OracleIndex:
 
     # -- top level ------------------------------------------------------------
 
-    def search(self, query_or_text, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query_or_text, k: int = 10, after: tuple[float, int] | None = None
+    ) -> list[tuple[int, float]]:
         q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
         cache = self._cache()
         res = self._clause(q, cache)
-        # TopScoreDocCollector order: score desc, then doc id asc
+        if self.deleted:
+            res = {d: s for d, s in res.items() if d not in self.deleted}
         ranked = sorted(res.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        if after is not None:
+            sa, da = np.float32(after[0]), int(after[1])
+            ranked = [
+                (d, s) for d, s in ranked if s < sa or (s == sa and d > da)
+            ]
+        # TopScoreDocCollector order: score desc, then doc id asc
         return [(d, np.float32(s)) for d, s in ranked[:k]]
 
     def count(self, query_or_text) -> int:
         q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
-        return len(self._clause(q, self._cache()))
+        res = self._clause(q, self._cache())
+        if self.deleted:
+            res = {d: s for d, s in res.items() if d not in self.deleted}
+        return len(res)

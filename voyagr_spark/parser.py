@@ -44,6 +44,33 @@ class BooleanQuery:
     min_should_match: int = 0
 
 
+@dataclass(frozen=True)
+class PrefixQuery:
+    """`foo*` — expands against the term dictionary at plan time and rewrites
+    to a constant-score set like Lucene's CONSTANT_SCORE_REWRITE
+    (MultiTermQuery.java:65, PrefixQuery.java:32)."""
+
+    prefix: str
+
+
+@dataclass(frozen=True)
+class ConstScoreTerms:
+    """Rewritten multi-term query: any of `terms` matches, score = boost
+    (ConstantScoreQuery.java:37)."""
+
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery:
+    """Per-doc max over disjuncts + tie * (sum of the others)
+    (DisjunctionMaxQuery.java:46-60)."""
+
+    disjuncts: tuple[object, ...]
+    tie: float = 0.0
+
+
 _TOKEN_SPLIT = re.compile(r'"[^"]*"|\S+')
 
 
@@ -94,7 +121,12 @@ def parse(qtext: str, min_should_match: int = 0):
             continue
         if p.startswith("-"):
             negate_next, p = True, p[1:]
-        q = _phrase(p[1:-1]) if p.startswith('"') else _analyze_term(p)
+        if p.startswith('"'):
+            q = _phrase(p[1:-1])
+        elif p.endswith("*") and len(p) > 1 and '"' not in p:
+            q = PrefixQuery(p[:-1].lower())
+        else:
+            q = _analyze_term(p)
         occur = MUST_NOT if negate_next else (MUST if saw_and and op == MUST else op)
         clauses.append((occur, q))
         negate_next = False

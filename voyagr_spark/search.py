@@ -45,8 +45,11 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstScoreTerms,
+    DisjunctionMaxQuery,
     MatchNoDocsQuery,
     PhraseQuery,
+    PrefixQuery,
     TermQuery,
     parse,
 )
@@ -69,19 +72,53 @@ class QueryPlan:
     cache: np.ndarray  # 256 float32 norm cache
     avgdl: np.float32
     prune: bool = True
+    after: tuple[float, int] | None = None  # searchAfter cursor (K4)
+    deleted: np.ndarray | None = None  # sorted tombstoned doc ids (E14)
 
 
 def query_terms(q) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, ConstScoreTerms)):
         return set(q.terms)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for _, sub in q.clauses:
             out |= query_terms(sub)
         return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = set()
+        for sub in q.disjuncts:
+            out |= query_terms(sub)
+        return out
     return set()
+
+
+def rewrite(q, index):
+    """Plan-time rewrite: expand multi-term queries against the term dict
+    (MultiTermQuery CONSTANT_SCORE_REWRITE; SURVEY §2.5 P5)."""
+    if isinstance(q, PrefixQuery):
+        terms = tuple(
+            sorted(
+                r["term"]
+                for r in index.term_stats()
+                .filter(F.col("term").startswith(q.prefix))
+                .select("term")
+                .collect()
+            )
+        )
+        if not terms:
+            return MatchNoDocsQuery(f"no terms match prefix {q.prefix!r}")
+        return ConstScoreTerms(terms)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            tuple((o, rewrite(s, index)) for o, s in q.clauses), q.min_should_match
+        )
+    if isinstance(q, DisjunctionMaxQuery):
+        return DisjunctionMaxQuery(
+            tuple(rewrite(s, index) for s in q.disjuncts), q.tie
+        )
+    return q
 
 
 # ---------------------------------------------------------------------------
@@ -253,9 +290,37 @@ def _clause_scorer(
         return _phrase_scorer(q, rows, plan)
     if isinstance(q, BooleanQuery):
         return _bool_scorer(q, rows, plan)
+    if isinstance(q, ConstScoreTerms):
+        parts = [rows[t].docs() for t in q.terms if t in rows]
+        if not parts:
+            return _EMPTY
+        docs = np.unique(np.concatenate(parts))
+        return docs, np.full(docs.size, np.float32(q.boost), dtype=np.float32)
+    if isinstance(q, DisjunctionMaxQuery):
+        return _dismax_scorer(q, rows, plan)
     if isinstance(q, MatchNoDocsQuery):
         return _EMPTY
     raise TypeError(f"unsupported query {type(q)}")
+
+
+def _dismax_scorer(q: DisjunctionMaxQuery, rows, plan):
+    """score = max + tie*(sum - max), all float32 (DisjunctionMaxScorer)."""
+    parts = []
+    for sub in q.disjuncts:
+        d, s = _clause_scorer(sub, rows, plan)
+        if d.size:
+            parts.append((d, s))
+    if not parts:
+        return _EMPTY
+    docs = np.unique(np.concatenate([d for d, _ in parts]))
+    smax = np.zeros(docs.size, dtype=np.float32)
+    ssum = np.zeros(docs.size, dtype=np.float32)
+    for d, s in parts:
+        pos = np.searchsorted(docs, d)
+        np.maximum.at(smax, pos, s)
+        ssum[pos] = (ssum[pos] + s).astype(np.float32)
+    tie = np.float32(q.tie)
+    return docs, (smax + tie * (ssum - smax)).astype(np.float32)
 
 
 _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
@@ -417,6 +482,66 @@ def _sum_idfs(plan: QueryPlan, terms) -> np.float32:
 
 
 # ---------------------------------------------------------------------------
+# block-max pruning for single-term top-k (rank-neutral)
+# ---------------------------------------------------------------------------
+
+
+def _term_blockmax_topk(tp: TermPostings, wv: np.float32, plan: QueryPlan):
+    """Block-max WAND for one term (K9): score blocks in descending
+    upper-bound order, stop once the next block's bound is below the running
+    kth score.  Exact: stops only on strict <, so boundary ties survive.
+
+    Per-block upper bound from the block directory (block_max_tf +
+    block_min_len): score <= wv*bmtf/(bmtf + k1*((1-b)+b*bminlen/avgdl)) —
+    every op is monotone under float32 rounding, so the bound is sound.
+    """
+    from .codec import BLOCK_SIZE
+
+    blocks = []  # (ub, part_idx, block_idx)
+    for pi, p in enumerate(tp.parts):
+        bmtf = np.asarray(p.row["block_max_tf"], dtype=np.float32)
+        bminl = np.asarray(p.row["block_min_len"], dtype=np.float32)
+        c = bm25.K1 * ((np.float32(1) - bm25.B) + bm25.B * bminl / plan.avgdl)
+        ubs = (wv * bmtf / (bmtf + c)).astype(np.float32)
+        for bi in range(ubs.size):
+            blocks.append((float(ubs[bi]), pi, bi))
+    blocks.sort(key=lambda x: -x[0])
+
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    nseen = 0
+    tau = -np.inf
+    for ub, pi, bi in blocks:
+        if nseen >= plan.k and ub < tau:
+            break  # no remaining block can beat the kth score
+        p = tp.parts[pi]
+        bmax = np.asarray(p.row["block_max_doc"], dtype=np.int64)
+        dboff = np.asarray(p.row["block_doc_boff"], dtype=np.int64)
+        tboff = np.asarray(p.row["block_tf_boff"], dtype=np.int64)
+        base = 0 if bi == 0 else int(bmax[bi - 1])
+        deltas = varint_decode(bytes(p.row["docs_blob"][dboff[bi]: dboff[bi + 1]]))
+        docs_b = base + np.cumsum(deltas.astype(np.int64))
+        tfs_b = varint_decode(
+            bytes(p.row["tfs_blob"][tboff[bi]: tboff[bi + 1]])
+        ).astype(np.int64)
+        lo = bi * BLOCK_SIZE
+        norms_b = np.frombuffer(
+            p.row["norms_blob"], dtype=np.uint8, count=docs_b.size, offset=lo
+        )
+        scores_b = bm25.score(tfs_b, norms_b, plan.cache, wv)
+        cand_docs.append(docs_b)
+        cand_scores.append(scores_b)
+        nseen += docs_b.size
+        if nseen >= plan.k:
+            allsc = np.concatenate(cand_scores)
+            if allsc.size >= plan.k:
+                tau = np.partition(allsc, allsc.size - plan.k)[allsc.size - plan.k]
+    if not cand_docs:
+        return _EMPTY
+    return np.concatenate(cand_docs), np.concatenate(cand_scores)
+
+
+# ---------------------------------------------------------------------------
 # MaxScore pruning for pure disjunctions (rank-neutral)
 # ---------------------------------------------------------------------------
 
@@ -486,8 +611,12 @@ def _or_maxscore(q: BooleanQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def make_plan(index, query, k: int = 10, prune: bool = True) -> QueryPlan:
+def make_plan(
+    index, query, k: int = 10, prune: bool = True,
+    after: tuple[float, int] | None = None,
+) -> QueryPlan:
     """Bind global stats on the driver (createNormalizedWeight analog)."""
+    query = rewrite(query, index)
     terms = sorted(query_terms(query))
     stats = {}
     if terms:
@@ -501,9 +630,10 @@ def make_plan(index, query, k: int = 10, prune: bool = True) -> QueryPlan:
     max_doc = index.max_doc
     idf = {t: bm25.idf(stats[t], max_doc) for t in stats}
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
+    deleted = index.deleted_doc_ids() if hasattr(index, "deleted_doc_ids") else None
     return QueryPlan(
         query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl), avgdl=avgdl,
-        prune=prune,
+        prune=prune, after=after, deleted=deleted,
     )
 
 
@@ -514,11 +644,32 @@ def _group_rows(pdf: pd.DataFrame) -> dict[str, TermPostings]:
     return {t: TermPostings(rs) for t, rs in by_term.items()}
 
 
+def _apply_live_docs(docs: np.ndarray, scores: np.ndarray, plan: QueryPlan):
+    """E14: push tombstones into every scorer (acceptDocs analog)."""
+    if plan.deleted is None or docs.size == 0:
+        return docs, scores
+    idx = np.searchsorted(plan.deleted, docs)
+    idx_c = np.minimum(idx, plan.deleted.size - 1)
+    dead = plan.deleted[idx_c] == docs
+    return docs[~dead], scores[~dead]
+
+
 def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
     rows = _group_rows(pdf)
     q = plan.query
     if (
         plan.prune
+        and plan.deleted is None
+        and plan.after is None
+        and isinstance(q, TermQuery)
+        and q.term in rows
+    ):
+        docs, scores = _term_blockmax_topk(
+            rows[q.term], _term_weight(plan, q.term), plan
+        )
+    elif (
+        plan.prune
+        and plan.deleted is None
         and isinstance(q, BooleanQuery)
         and all(o == SHOULD and isinstance(s, TermQuery) for o, s in q.clauses)
         and q.min_should_match <= 1
@@ -527,6 +678,13 @@ def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
         docs, scores = _or_maxscore(q, rows, plan)
     else:
         docs, scores = _clause_scorer(q, rows, plan)
+        docs, scores = _apply_live_docs(docs, scores, plan)
+    if plan.after is not None and docs.size:
+        # K4 searchAfter: strictly after the cursor in (score desc, doc asc)
+        s_after = np.float32(plan.after[0])
+        d_after = int(plan.after[1])
+        keep = (scores < s_after) | ((scores == s_after) & (docs > d_after))
+        docs, scores = docs[keep], scores[keep]
     if docs.size == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float32")})
@@ -537,10 +695,17 @@ def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
 
 
-def search(index, query_or_text, k: int = 10, prune: bool = True) -> DataFrame:
-    """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical."""
+def search(
+    index, query_or_text, k: int = 10, prune: bool = True,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical.
+
+    `after=(score, doc_id)` pages past a previous hit (searchAfter, K4:
+    IndexSearcher.java:315-325)."""
     q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
-    plan = make_plan(index, q, k, prune)
+    plan = make_plan(index, q, k, prune, after)
+    q = plan.query  # post-rewrite (prefix expansion)
     terms = sorted(query_terms(q))
     if not terms or isinstance(q, MatchNoDocsQuery):
         return index.spark.createDataFrame([], RESULT_SCHEMA)
@@ -567,7 +732,7 @@ def count(index, query_or_text) -> int:
     """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
     q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
     plan = make_plan(index, q, k=1, prune=False)
-    terms = sorted(query_terms(q))
+    terms = sorted(query_terms(plan.query))
     if not terms:
         return 0
     rows = index.postings().filter(F.col("term").isin(terms))
@@ -575,7 +740,8 @@ def count(index, query_or_text) -> int:
 
     def _cnt(pdf: pd.DataFrame) -> pd.DataFrame:
         prs = _group_rows(pdf)
-        docs, _ = _clause_scorer(plan.query, prs, plan)
+        docs, scores = _clause_scorer(plan.query, prs, plan)
+        docs, _ = _apply_live_docs(docs, scores, plan)
         return pd.DataFrame({"n": [int(docs.size)]})
 
     out = rows.groupBy("seg").applyInPandas(_cnt, schema).agg(F.sum("n")).collect()

@@ -35,10 +35,15 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     base = index.max_doc
     epoch = int(index.meta.get("stream_epoch", 0))
 
-    counts = (
-        docs.select(*DOC_KEY)
+    # one planned shuffle for both counting and inverting (see indexer.py)
+    ranged = (
+        docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
         .repartitionByRange(num_partitions, *DOC_KEY)
-        .select(F.spark_partition_id().alias("pid"))
+        .sortWithinPartitions(*DOC_KEY)
+        .persist()
+    )
+    counts = (
+        ranged.select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")
         .count()
         .collect()
@@ -50,17 +55,12 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
 
     # segment ids: (epoch-salted partition) << 20 | flush — disjoint per batch
     pid_base = STREAM_PARTITION_BASE + epoch * max(num_partitions, 1) * 2
-    shifted = {pid: off for pid, off in offsets.items()}
-    ranged = (
-        docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        .repartitionByRange(num_partitions, *DOC_KEY)
-        .sortWithinPartitions(*DOC_KEY)
-    )
-    fn = make_invert_fn(shifted, docs_per_segment, pid_offset=pid_base)
+    fn = make_invert_fn(offsets, docs_per_segment, pid_offset=pid_base)
     seg_dir = index.dir / "segments"
     ranged.mapInArrow(fn, SEGMENT_SCHEMA).write.mode("append").partitionBy(
         "kind"
     ).parquet(str(seg_dir))
+    ranged.unpersist()
 
     # recompute global stats (an agg over posting rows; cheap vs the corpus)
     lo = pid_base << 20
@@ -111,6 +111,14 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
         [(s, -1, 0) for s in new_segs], 0.0,
     )
     return new_segs
+
+
+def upsert_batch(index: Index, docs: DataFrame, num_partitions: int = 4) -> list[int]:
+    """updateDocument analog (S2, IndexWriter.java:1353): atomic
+    delete-by-key + add — existing (repo, path, commit) rows are tombstoned,
+    then the batch is appended as new segments."""
+    index.delete_by_keys(docs)
+    return append_batch(index, docs, num_partitions=num_partitions)
 
 
 def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
