@@ -1,0 +1,41 @@
+"""CLI smoke: build + search + count through the spark-submit entry point."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_cli(*args):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "voyagr_spark" / "cli.py"), *args],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+             "PYSPARK_PYTHON": sys.executable,
+             "PYSPARK_DRIVER_PYTHON": sys.executable,
+             "PYTHONPATH": str(REPO)},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+
+
+def test_cli_build_search_count(tmp_path, corpus_pdf):
+    src = tmp_path / "docs.parquet"
+    corpus_pdf.to_parquet(src)
+    idx = tmp_path / "idx"
+    built = run_cli("build", "--input", str(src), "--index", str(idx),
+                    "--partitions", "2")
+    assert built[0]["max_doc"] == len(corpus_pdf)
+    hits = run_cli("search", "--index", str(idx), "--query", "file AND handle",
+                   "--k", "5")
+    assert 0 < len(hits) <= 5
+    assert all("doc_id" in h and "score" in h for h in hits)
+    cnt = run_cli("count", "--index", str(idx), "--query", "file")
+    assert cnt[0]["count"] > 0
+    # resume is a no-op on a completed index
+    again = run_cli("build", "--input", str(src), "--index", str(idx),
+                    "--partitions", "2", "--resume")
+    assert again[0]["max_doc"] == len(corpus_pdf)

@@ -92,14 +92,20 @@ def _chunk_overlong(tokens: list[str]) -> list[str]:
     return out
 
 
+# any token > 255 chars must sit inside a >255-char run of token-ish chars;
+# this superset pre-check on the raw text is one C regex pass per doc and
+# routes only matching (rare) docs through the per-token chunk fixup
+_OVERLONG_HINT = re.compile(r"[0-9A-Za-z_.:'’]{256}")
+
+
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """StandardTokenizer over a batch: Series[str] -> Series[list[str]].
 
     Raw tokens in document order, original case, overlong runs chunked.
     """
-    toks = texts.fillna("").str.findall(_TOKEN_RE)
-    # Slow-path fixup only for rows containing an overlong token (rare).
-    needs_fix = toks.map(lambda ts: any(len(t) > MAX_TOKEN_LENGTH for t in ts))
+    texts = texts.fillna("")
+    toks = texts.str.findall(_TOKEN_RE)
+    needs_fix = texts.str.contains(_OVERLONG_HINT, regex=True)
     if needs_fix.any():
         toks = toks.copy()
         toks[needs_fix] = toks[needs_fix].map(_chunk_overlong)
@@ -137,6 +143,47 @@ def analyze_series(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
 def analyze_text(text: str) -> tuple[list[str], list[int]]:
     """Single-string convenience wrapper (tests, oracle, query parsing)."""
     return analyze_tokens(_chunk_overlong(_TOKEN_RE.findall(text or "")))
+
+
+def analyze_flat(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch analysis chain producing flat arrays (the invert hot path).
+
+    Returns (flat_terms object[], flat_pos int64[], flat_docidx int64[],
+    doclens int64[]) where positions are pre-stop ordinals and doclens count
+    surviving tokens — identical semantics to analyze_series, but lowercase
+    and stop filtering run vectorized over the flattened token stream instead
+    of per document.
+    """
+    from itertools import chain
+
+    # lowercase the whole text first (C-speed on long strings); UAX#29 word
+    # boundaries are case-invariant for the ASCII/Latin corpus envelope, so
+    # tokenize(lower(text)) == [lower(tok) for tok in tokenize(text)]
+    toks = tokenize_series(texts.fillna("").str.lower())
+    raw_lens = toks.map(len).to_numpy(dtype=np.int64)
+    total = int(raw_lens.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=object), z, z, np.zeros(len(texts), dtype=np.int64)
+    low = pd.Series(
+        np.fromiter(chain.from_iterable(toks), dtype=object, count=total),
+        dtype=object,
+    )
+    keep = ~low.isin(ENGLISH_STOP_WORDS)
+    doc_starts = np.concatenate(([0], np.cumsum(raw_lens)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, raw_lens)
+    docidx = np.repeat(np.arange(len(texts), dtype=np.int64), raw_lens)
+    keep_np = keep.to_numpy()
+    doclens = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(doclens, docidx[keep_np], 1)
+    return (
+        low.to_numpy()[keep_np],
+        pos[keep_np],
+        docidx[keep_np],
+        doclens,
+    )
 
 
 def doc_lengths(terms: pd.Series) -> np.ndarray:

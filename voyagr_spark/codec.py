@@ -43,19 +43,16 @@ def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
-    # bytes needed per value: ceil(bit_length/7), min 1
-    nbits = np.zeros(vals.shape, dtype=np.int64)
-    nz = vals > 0
-    # bit length via log2 on float64 is unsafe near 2^53; use frexp on uint64
-    # split: for values < 2^32 use fast path, else per-chunk shift loop (7 iters max)
-    tmp = vals.copy()
-    while True:
-        live = tmp > 0
-        if not live.any():
-            break
-        nbits[live] += 1
-        tmp = tmp >> np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    # fast path: every value fits one varint byte (typical for tf and
+    # position-delta streams) — the blob IS the value array
+    if vals.max() < 128:
+        return vals.astype(np.uint8).tobytes(), np.arange(
+            vals.size + 1, dtype=np.int64
+        )
+    # bytes per value = ceil(bit_length/7): one searchsorted pass over the
+    # 7-bit group boundaries (pure uint64 compare, no float round-trip)
+    bounds = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+    nbytes = np.searchsorted(bounds, vals, side="right") + 1
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     total = int(offsets[-1])
     out = np.zeros(total, dtype=np.uint8)

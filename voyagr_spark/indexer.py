@@ -54,9 +54,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .analysis import analyze_series
+from .analysis import analyze_flat
 from .bm25 import NORM_TABLE
-from .codec import BLOCK_SIZE, encode_postings, varint_encode
+from .codec import BLOCK_SIZE, varint_encode_with_offsets
 from .smallfloat import encode_norm
 
 DOC_KEY = ["repo", "path", "commit"]
@@ -134,8 +134,7 @@ def invert_flush(
     (term, doc, pos) -> run-length boundaries -> per-term delta+varint
     encoding with the 128-doc block directory (Lucene50PostingsWriter).
     """
-    terms, positions = analyze_series(contents)
-    doclens = terms.map(len).to_numpy(dtype=np.int64)
+    flat_terms, flat_pos, flat_docidx, doclens = analyze_flat(contents)
     norm_bytes = encode_norm(doclens)
     dec_len = NORM_TABLE[norm_bytes]
 
@@ -163,14 +162,6 @@ def invert_flush(
 
     total_tokens = int(doclens.sum())
     if total_tokens > 0:
-        flat_terms = np.fromiter(
-            chain.from_iterable(terms), dtype=object, count=total_tokens
-        )
-        flat_pos = np.fromiter(
-            chain.from_iterable(positions), dtype=np.int64, count=total_tokens
-        )
-        flat_docidx = np.repeat(np.arange(doc_ids.size, dtype=np.int64), doclens)
-
         codes, uniques = pd.factorize(flat_terms, sort=True)
         order = np.lexsort((flat_pos, flat_docidx, codes))
         c, d, p = codes[order], flat_docidx[order], flat_pos[order]
@@ -193,41 +184,68 @@ def invert_flush(
         new_term[0] = True
         np.not_equal(pair_term[1:], pair_term[:-1], out=new_term[1:])
         term_starts = np.flatnonzero(new_term)
-        term_ends = np.concatenate((term_starts[1:], [pair_term.size]))
+        npairs = pair_term.size
+        term_ends = np.concatenate((term_starts[1:], [npairs]))
+        dfs = term_ends - term_starts
         pair_tok_start = pair_starts
         pair_tok_end = np.concatenate((pair_starts[1:], [c.size]))
 
-        for s, e in zip(term_starts, term_ends):
-            docs_local = pair_doc[s:e]
-            tfs = tfs_all[s:e]
-            gdocs = doc_ids[docs_local]
-            docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(
-                gdocs, tfs
-            )
-            pos_blob = varint_encode(
-                pos_delta[pair_tok_start[s]: pair_tok_end[e - 1]].astype(np.uint64)
-            )
-            nb = norm_bytes[docs_local]
-            lens = dec_len[docs_local]
-            npost = docs_local.size
-            nblocks = (npost + BLOCK_SIZE - 1) // BLOCK_SIZE
-            pad = nblocks * BLOCK_SIZE - npost
-            bmin_len = (
-                np.pad(lens, (0, pad), constant_values=np.float32(np.inf))
-                .reshape(nblocks, BLOCK_SIZE)
-                .min(axis=1)
-                .astype(np.float32)
-            )
+        # ---- batch-wide encoding: one varint pass per stream, then slice ----
+        gdocs = doc_ids[pair_doc]
+        deltas = np.empty(npairs, dtype=np.int64)
+        deltas[0] = gdocs[0]
+        np.subtract(gdocs[1:], gdocs[:-1], out=deltas[1:])
+        deltas[term_starts] = gdocs[term_starts]  # absolute restart per term
+        docs_bytes, doc_off = varint_encode_with_offsets(deltas.astype(np.uint64))
+        tfs_bytes, tf_off = varint_encode_with_offsets(tfs_all.astype(np.uint64))
+        pos_bytes, pos_off = varint_encode_with_offsets(pos_delta.astype(np.uint64))
+        nb_all = norm_bytes[pair_doc]
+        nb_bytes = nb_all.tobytes()
+        lens_all = dec_len[pair_doc]
+
+        ttf = np.add.reduceat(tfs_all, term_starts)
+        max_tf = np.maximum.reduceat(tfs_all, term_starts)
+        min_len = np.minimum.reduceat(lens_all, term_starts)
+        first_doc = gdocs[term_starts]
+
+        # block grid: per-term 128-posting blocks laid out batch-wide
+        nterms = term_starts.size
+        nblocks_t = -(-dfs // BLOCK_SIZE)
+        total_blocks = int(nblocks_t.sum())
+        bterm = np.repeat(np.arange(nterms), nblocks_t)
+        bexcl = np.concatenate(([0], np.cumsum(nblocks_t)[:-1]))
+        within = np.arange(total_blocks) - bexcl[bterm]
+        block_start = term_starts[bterm] + within * BLOCK_SIZE
+        block_max_doc = np.maximum.reduceat(gdocs, block_start)
+        block_max_tf = np.maximum.reduceat(tfs_all, block_start)
+        block_min_len = np.minimum.reduceat(lens_all, block_start).astype(np.float32)
+        # byte offsets of blocks, rebased to each term's blob start below
+        blk_doc_boff = doc_off[block_start]
+        blk_tf_boff = tf_off[block_start]
+
+        mv_docs, mv_tfs, mv_pos = (
+            memoryview(docs_bytes), memoryview(tfs_bytes), memoryview(pos_bytes),
+        )
+        term_strs = uniques[pair_term[term_starts]]
+        for ti in range(nterms):
+            s, e = term_starts[ti], term_ends[ti]
+            b0, b1 = bexcl[ti], bexcl[ti] + nblocks_t[ti]
+            dlo, dhi = int(doc_off[s]), int(doc_off[e])
+            tlo, thi = int(tf_off[s]), int(tf_off[e])
+            plo, phi = int(pos_off[pair_tok_start[s]]), int(pos_off[pair_tok_end[e - 1]])
             emit_posting(
-                uniques[pair_term[s]],
-                int(gdocs[0]),
-                int(npost),
-                int(tfs.sum()),
-                int(tfs.max()),
-                float(lens.min()),
-                (docs_blob, tfs_blob, pos_blob, nb.tobytes()),
-                (bmax_doc.tolist(), bmax_tf.tolist(), bmin_len.tolist(),
-                 dboff.tolist(), tboff.tolist()),
+                term_strs[ti],
+                int(first_doc[ti]),
+                int(dfs[ti]),
+                int(ttf[ti]),
+                int(max_tf[ti]),
+                float(min_len[ti]),
+                (bytes(mv_docs[dlo:dhi]), bytes(mv_tfs[tlo:thi]),
+                 bytes(mv_pos[plo:phi]), nb_bytes[s:e]),
+                (block_max_doc[b0:b1].tolist(), block_max_tf[b0:b1].tolist(),
+                 block_min_len[b0:b1].tolist(),
+                 np.append(blk_doc_boff[b0:b1] - dlo, dhi - dlo).tolist(),
+                 np.append(blk_tf_boff[b0:b1] - tlo, thi - tlo).tolist()),
             )
 
     n = doc_ids.size
@@ -426,6 +444,8 @@ class Index:
 
     def reload_meta(self) -> None:
         self.meta = json.loads((self.dir / "meta.json").read_text())
+        self._postings_df = None  # new segment files may exist — re-list
+        self._stats_df = None
 
     @property
     def live_segments(self) -> list[int] | None:
@@ -433,7 +453,13 @@ class Index:
         return self.meta.get("live_segments")
 
     def postings(self) -> DataFrame:
-        df = self.spark.read.parquet(str(self.dir / "segments" / "kind=posting"))
+        # cache the DataFrame handle: reuses the resolved FileIndex across
+        # queries (no re-listing per search)
+        if getattr(self, "_postings_df", None) is None:
+            self._postings_df = self.spark.read.parquet(
+                str(self.dir / "segments" / "kind=posting")
+            )
+        df = self._postings_df
         live = self.live_segments
         if live is not None:
             df = df.filter(F.col("seg").isin(live))  # tombstone filter (pushdown)
@@ -449,7 +475,9 @@ class Index:
         )
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.dir / "term_stats"))
+        if getattr(self, "_stats_df", None) is None:
+            self._stats_df = self.spark.read.parquet(str(self.dir / "term_stats"))
+        return self._stats_df
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(str(self.dir / "manifest"))

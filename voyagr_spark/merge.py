@@ -206,6 +206,7 @@ def merge_segments(
     tmp = index.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")
+    index._postings_df = None  # new files under segments/ — drop cached listing
     _append_manifest(
         index.spark,
         index.dir / "manifest",

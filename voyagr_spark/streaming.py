@@ -61,6 +61,8 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
         "kind"
     ).parquet(str(seg_dir))
     ranged.unpersist()
+    index._postings_df = None  # new files under segments/ — drop cached listing
+    index._stats_df = None
 
     # recompute global stats (an agg over posting rows; cheap vs the corpus)
     lo = pid_base << 20
