@@ -148,8 +148,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_topk_and": _engine_search(f"{_HOT} AND {_RARE}", 10),
         "engine_topk_or": _engine_search(" OR ".join(_OR3), 10),
         "engine_topk_phrase": _engine_search('"fast key"', 10),
+        "engine_batch_topk": _engine_batch,
     }
     return q
+
+
+def _engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched execution (search_many): one job, many queries — rank-identical
+    to the per-query engine_topk_* entries above (rows-only check)."""
+    from voyagr_spark.search import search_many
+
+    idx = _engine_index(spark, sf_dir)
+    return search_many(
+        idx,
+        {"hot": _HOT, "and": f"{_HOT} AND {_RARE}", "or": " OR ".join(_OR3),
+         "phrase": '"fast key"'},
+        k=10,
+    )
 
 
 def oracle_sql() -> dict[str, str]:

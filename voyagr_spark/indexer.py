@@ -163,7 +163,11 @@ def invert_flush(
     total_tokens = int(doclens.sum())
     if total_tokens > 0:
         codes, uniques = pd.factorize(flat_terms, sort=True)
-        order = np.lexsort((flat_pos, flat_docidx, codes))
+        # analyze_flat emits tokens in (doc asc, pos asc) order, so ONE
+        # stable sort on the term code yields full (term, doc, pos) order —
+        # a third of the memory traffic of lexsort's three keyed passes
+        # (this loop is bandwidth-bound at high core counts)
+        order = np.argsort(codes.astype(np.int32), kind="stable")
         c, d, p = codes[order], flat_docidx[order], flat_pos[order]
 
         new_pair = np.empty(c.size, dtype=bool)
@@ -369,6 +373,13 @@ def build_index(
             )
             .write.mode("overwrite")
             .partitionBy("kind")
+            # small row groups: posting rows leave each flush term-sorted, so
+            # 4 MB row groups give the parquet min/max stats tight term ranges
+            # and `term IN (...)` pushdown prunes most of a big file's row
+            # groups (the FST/skip-list analog at the storage layer).  With
+            # the 128 MB default a whole file is one row group whose min/max
+            # spans the alphabet and nothing prunes.
+            .option("parquet.block.size", str(4 * 1024 * 1024))
             .parquet(str(seg_p))
         )
         ranged.unpersist()

@@ -195,7 +195,7 @@ def merge_segments(
     seg_dir = index.dir / "segments"
     merged.withColumn("kind", F.lit("posting")).write.mode("append").partitionBy(
         "kind"
-    ).parquet(str(seg_dir))
+    ).option("parquet.block.size", str(4 * 1024 * 1024)).parquet(str(seg_dir))
 
     # atomic visibility swap (the Iceberg snapshot-commit analog)
     live = index.live_segments

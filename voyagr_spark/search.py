@@ -654,8 +654,13 @@ def _apply_live_docs(docs: np.ndarray, scores: np.ndarray, plan: QueryPlan):
     return docs[~dead], scores[~dead]
 
 
-def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
-    rows = _group_rows(pdf)
+def _score_in_segment(
+    rows: dict[str, TermPostings], plan: QueryPlan
+) -> tuple[np.ndarray, np.ndarray]:
+    """One query against one segment's decoded posting rows -> (docs, scores).
+
+    Shared by the single-query and batched paths; picks the rank-neutral
+    pruned path (block-max WAND / MaxScore) when applicable."""
     q = plan.query
     if (
         plan.prune
@@ -685,6 +690,12 @@ def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
         d_after = int(plan.after[1])
         keep = (scores < s_after) | ((scores == s_after) & (docs > d_after))
         docs, scores = docs[keep], scores[keep]
+    return docs, scores
+
+
+def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
+    rows = _group_rows(pdf)
+    docs, scores = _score_in_segment(rows, plan)
     if docs.size == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float32")})
@@ -726,6 +737,118 @@ def search(
     )
     # K3 global merge: identical tie-break (score desc, doc_id asc)
     return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+MANY_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.FloatType()),
+    ]
+)
+
+
+def search_many(
+    index, queries: dict[str, object], k: int = 10, prune: bool = True
+) -> DataFrame:
+    """Batched top-k: many queries in ONE distributed job.
+
+    -> DataFrame(query_id, doc_id, score), rank-identical per query to
+    `search(index, q, k)`.
+
+    The offline-evaluation shape (the reference's benchmark module replays a
+    query log the same way — lucene/benchmark SearchTask over a fixed query
+    set): one posting scan covers the union of all query terms, each segment
+    decodes every posting list ONCE and scores all queries against it
+    (PostingRow caches decoded arrays), and scheduling overhead amortizes
+    across the whole batch — per-query cost approaches pure scoring work, so
+    batch throughput scales with cores unlike single-query latency, which is
+    floored by per-job overhead.  Global per-query top-k is a window
+    row_number over (score desc, doc_id asc) — the same HitQueue tie-break
+    as the single-query path (HitQueue.java:76-81).
+    """
+    parsed = {
+        qid: parse(q) if isinstance(q, str) else q for qid, q in queries.items()
+    }
+    parsed = {qid: rewrite(q, index) for qid, q in parsed.items()}
+    all_terms: set[str] = set()
+    for q in parsed.values():
+        all_terms |= query_terms(q)
+    all_terms_l = sorted(all_terms)
+    if not all_terms_l:
+        return index.spark.createDataFrame([], MANY_SCHEMA)
+
+    # one stats fetch for the whole batch
+    stats = {
+        r["term"]: r["df"]
+        for r in index.term_stats()
+        .filter(F.col("term").isin(all_terms_l))
+        .select("term", "df")
+        .collect()
+    }
+    max_doc = index.max_doc
+    avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
+    cache = bm25.norm_cache(avgdl)
+    deleted = index.deleted_doc_ids() if hasattr(index, "deleted_doc_ids") else None
+    plans = {
+        qid: QueryPlan(
+            query=q, k=k,
+            idf={t: bm25.idf(stats[t], max_doc) for t in query_terms(q) & stats.keys()},
+            cache=cache, avgdl=avgdl, prune=prune, deleted=deleted,
+        )
+        for qid, q in parsed.items()
+        if not isinstance(q, MatchNoDocsQuery)
+    }
+    if not plans:
+        return index.spark.createDataFrame([], MANY_SCHEMA)
+
+    posting_cols = [
+        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
+        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
+        "block_min_len", "block_doc_boff", "block_tf_boff",
+    ]
+    if any(_has_phrase(q) for q in parsed.values()):
+        posting_cols.append("pos_blob")
+
+    def _seg_many(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = _group_rows(pdf)
+        qids: list[str] = []
+        docs_l: list[np.ndarray] = []
+        scores_l: list[np.ndarray] = []
+        for qid, plan in plans.items():
+            docs, scores = _score_in_segment(rows, plan)
+            if docs.size == 0:
+                continue
+            order = np.lexsort((docs, -scores.astype(np.float64)))[: plan.k]
+            qids.extend([qid] * order.size)
+            docs_l.append(docs[order])
+            scores_l.append(scores[order])
+        if not docs_l:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="object"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float32")}
+            )
+        return pd.DataFrame(
+            {"query_id": qids,
+             "doc_id": np.concatenate(docs_l),
+             "score": np.concatenate(scores_l)}
+        )
+
+    rows_df = (
+        index.postings()
+        .filter(F.col("term").isin(all_terms_l))
+        .select(*posting_cols)
+    )
+    per_seg = rows_df.groupBy("seg").applyInPandas(_seg_many, MANY_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_seg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def count(index, query_or_text) -> int:

@@ -59,7 +59,7 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     seg_dir = index.dir / "segments"
     ranged.mapInArrow(fn, SEGMENT_SCHEMA).write.mode("append").partitionBy(
         "kind"
-    ).parquet(str(seg_dir))
+    ).option("parquet.block.size", str(4 * 1024 * 1024)).parquet(str(seg_dir))
     ranged.unpersist()
     index._postings_df = None  # new files under segments/ — drop cached listing
     index._stats_df = None
