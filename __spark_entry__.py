@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": lambda s, d: R.quality_stats(s, d),
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
+        "suggest_term": lambda s, d: R.suggest_term(s, d, "batcj", 2, 5),
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
         # engine-native (rows-only check; bit-exact parity in tests/)
         "engine_topk_hot": _engine_search(_HOT, 10),
@@ -271,6 +272,12 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
+        "suggest_term": _BASE
+        + """SELECT term, df, levenshtein(term, 'batcj')::BIGINT AS dist
+             FROM st
+             WHERE length(term) BETWEEN 3 AND 7 AND term != 'batcj'
+               AND levenshtein(term, 'batcj') <= 2
+             ORDER BY dist ASC, df DESC, term ASC LIMIT 5""",
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
             z AS (

@@ -53,7 +53,7 @@ import tempfile
 import time
 from pathlib import Path
 
-DOCS = int(os.environ.get("VOYAGR_SCALE_DOCS", "120000"))
+DOCS = int(os.environ.get("VOYAGR_SCALE_DOCS", "240000"))
 LEVELS = (2, 8, 32)
 PAIR = (2, 8)  # the N vs 4N evidence pair
 NUM_SEGMENTS = 64  # identical layout at every level
@@ -79,12 +79,11 @@ BATCH_QUERIES = {
 }
 
 
-def child(cpus: int) -> None:
+def child(cpus: int, corpus_path: str) -> None:
     os.sched_setaffinity(0, set(range(cpus)))  # JVM + python workers inherit
 
     from pyspark.sql import SparkSession
 
-    from voyagr_spark.corpus import corpus_spark
     from voyagr_spark.indexer import build_index
     from voyagr_spark.search import search, search_many
 
@@ -98,8 +97,8 @@ def child(cpus: int) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = corpus_spark(spark, num_docs=DOCS, seed=42, partitions=NUM_SEGMENTS)
-    docs = docs.persist()
+    # byte-identical input at every level: the parent pre-generated it once
+    docs = spark.read.parquet(corpus_path).persist()
     n = docs.count()
 
     def one_build():
@@ -110,11 +109,16 @@ def child(cpus: int) -> None:
                           docs_per_segment=DOCS_PER_SEGMENT)
         return idx, d, time.time() - t0
 
-    # full-size untimed warmup build (JIT + worker pool + Arrow + parquet)
+    # full-size untimed warmup build (JIT + worker pool + Arrow + parquet),
+    # then two timed builds; steady-state throughput = the better of the two
+    # (the JIT tail can still drift through the first timed run)
     _, warm_dir, warm_s = one_build()
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    idx, idx_dir, build_s = one_build()
+    idx, idx_dir, build_a = one_build()
+    idx2, idx_dir2, build_b = one_build()
+    shutil.rmtree(idx_dir2, ignore_errors=True)
+    build_s = min(build_a, build_b)
 
     # single-query latency (median of QUERY_RUNS, after per-class warm)
     qs = ["file", "open OR merge OR segment", '"parse query tree"', "file AND handle"]
@@ -138,6 +142,7 @@ def child(cpus: int) -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps({
         "cpus": cpus, "files": n, "build_s": round(build_s, 2),
+        "build_runs": [round(build_a, 2), round(build_b, 2)],
         "files_per_sec": round(n / build_s, 1),
         "query_p50_s": round(statistics.median(lats), 3),
         "batch_qps": round(len(BATCH_QUERIES) / batch_s, 1),
@@ -147,10 +152,25 @@ def child(cpus: int) -> None:
 
 
 def parent() -> None:
+    # generate the corpus ONCE (all cores, unpinned) and share the parquet
+    # with every child: identical bytes per level, no per-level gen cost
+    corpus_path = tempfile.mkdtemp(prefix="voyagr_scale_corpus_")
+    shutil.rmtree(corpus_path, ignore_errors=True)
+    from pyspark.sql import SparkSession
+
+    from voyagr_spark.corpus import corpus_spark
+
+    gen = (SparkSession.builder.master("local[32]")
+           .config("spark.ui.enabled", "false").getOrCreate())
+    gen.sparkContext.setLogLevel("ERROR")
+    corpus_spark(gen, num_docs=DOCS, seed=42, partitions=NUM_SEGMENTS) \
+        .write.mode("overwrite").parquet(corpus_path)
+    gen.stop()
+
     results = {}
     for cpus in LEVELS:
         out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus)],
+            [sys.executable, __file__, "--child", str(cpus), corpus_path],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -191,9 +211,11 @@ with the IDENTICAL layout (num_segments={NUM_SEGMENTS},
 docs_per_segment={DOCS_PER_SEGMENT}, deterministic doc ids) at three
 parallelism levels, each a fresh JVM **CPU-pinned to exactly that many
 cores** (sched_setaffinity) — the sandbox stand-in for clusters of N
-executors.  Steady-state protocol: one full-size untimed warmup build
-first (JVM JIT + python workers + Arrow path; cluster startup amortizes to
-zero at 100 TB), then the timed build.  batch_qps = {nq} mixed queries
+executors.  Steady-state protocol: the corpus parquet is generated once and shared
+byte-identical across levels; each level runs one full-size untimed warmup
+build (JVM JIT + python workers + Arrow path; cluster startup amortizes to
+zero at 100 TB), then two timed builds, reporting the better (the JIT tail
+still drifts through the first timed run).  batch_qps = {nq} mixed queries
 (term/AND/OR/phrase/NOT) executed in ONE job via search_many.
 
 | level | files | build sec | files/sec | top-10 query p50 (s) | batch QPS | warmup sec |
@@ -215,11 +237,12 @@ ceiling.  On a real 4N-executor cluster each node brings its own memory
 controllers, which is what the 2->8 pair emulates.
 """
     (bench_dir / "BASELINE.md").write_text(md)
+    shutil.rmtree(corpus_path, ignore_errors=True)
     print(json.dumps(summary))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        child(int(sys.argv[2]))
+    if len(sys.argv) > 3 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), sys.argv[3])
     else:
         parent()

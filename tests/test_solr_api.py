@@ -1,0 +1,63 @@
+"""Solr /select surface: q + fq + sort + paging vs engine/oracle ground truth."""
+
+import numpy as np
+import pytest
+
+from voyagr_spark.search import scores, search
+from voyagr_spark.solr_api import solr_select
+
+
+def test_scores_matches_oracle_all(built_index, oracle_index):
+    got = {
+        r["doc_id"]: np.float32(r["score"])
+        for r in scores(built_index, "file AND handle").collect()
+    }
+    want = dict(oracle_index.search("file AND handle", k=10**9))
+    assert got == {d: np.float32(s) for d, s in want.items()}
+
+
+def test_select_default_matches_search(built_index):
+    sel = solr_select(built_index, "file", rows=10).collect()
+    top = search(built_index, "file", k=10).collect()
+    assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in top]
+    assert all(np.float32(a["score"]) == np.float32(b["score"])
+               for a, b in zip(sel, top))
+
+
+def test_select_fq_filters_before_ranking(built_index):
+    all_rows = solr_select(built_index, "file", rows=10**6).collect()
+    langs = {r["lang"] for r in all_rows}
+    lang = sorted(langs)[0]
+    filtered = solr_select(built_index, "file", fq=f"lang:{lang}", rows=10).collect()
+    assert filtered and all(r["lang"] == lang for r in filtered)
+    # filter-then-rank: the filtered top-10 is the best 10 among that lang,
+    # which can include docs outside the unfiltered top-10
+    expect = [r["doc_id"] for r in all_rows if r["lang"] == lang][:10]
+    assert [r["doc_id"] for r in filtered] == expect
+
+
+def test_select_paging(built_index):
+    page1 = solr_select(built_index, "file", rows=5, start=0).collect()
+    page2 = solr_select(built_index, "file", rows=5, start=5).collect()
+    full = solr_select(built_index, "file", rows=10).collect()
+    assert [r["doc_id"] for r in page1 + page2] == [r["doc_id"] for r in full]
+
+
+def test_select_fl_and_sort(built_index):
+    sel = solr_select(built_index, "file", fl="doc_id,lang", sort="doclen desc",
+                      rows=5)
+    rows = sel.collect()
+    assert rows and set(rows[0].asDict().keys()) == {"doc_id", "lang"}
+
+
+def test_select_fq_range(built_index):
+    rows = solr_select(built_index, "file", fq="doclen:[1 TO 50]",
+                       rows=100).collect()
+    # range fq applies to docmap doclen; spot-check via docmap join
+    dm = {r["doc_id"]: r["doclen"] for r in built_index.docmap().collect()}
+    assert all(1 <= dm[r["doc_id"]] <= 50 for r in rows)
+
+
+def test_select_bad_fq_raises(built_index):
+    with pytest.raises(ValueError):
+        solr_select(built_index, "file", fq="nosuchfield:x").collect()

@@ -395,7 +395,12 @@ def build_index(
                 F.max("max_tf").alias("max_tf"),
                 F.min("min_len").alias("min_len"),
             )
-            .repartitionByRange(max(1, num_segments // 8), "term")
+            # hash-repartition (NOT range): avoids repartitionByRange's extra
+            # sampling pass over the postings; within-partition term sort
+            # still gives row-group min/max stats tight ranges, which is what
+            # the plan-time `term IN (...)` lookups and prefix expansion prune
+            # on (files are read whole either way — only row groups matter)
+            .repartition(max(1, num_segments // 8), "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(str(stats_p))

@@ -159,6 +159,18 @@ class OracleIndex:
         for p in plists[1:]:
             cand &= set(p)
         out: dict[int, np.float32] = {}
+        if getattr(q, "slop", 0) > 0:
+            from .sloppy import sloppy_phrase_freq
+
+            for d in cand:
+                freq = sloppy_phrase_freq(
+                    q.terms, q.positions,
+                    [np.asarray(pl[d], dtype=np.int64) for pl in plists],
+                    q.slop,
+                )
+                if freq > 0:
+                    out[d] = self._score_doc(d, float(freq), wv, cache)
+            return out
         for d in cand:
             starts = set(plists[0][d])
             for p, qpos in zip(plists[1:], q.positions[1:]):

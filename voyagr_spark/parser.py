@@ -31,6 +31,7 @@ class TermQuery:
 class PhraseQuery:
     terms: tuple[str, ...]
     positions: tuple[int, ...]  # rebased to start at 0, holes preserved
+    slop: int = 0  # "..."~N edit distance (PhraseQuery.java:91-103); 0 = exact
 
 
 @dataclass(frozen=True)
@@ -71,7 +72,7 @@ class DisjunctionMaxQuery:
     tie: float = 0.0
 
 
-_TOKEN_SPLIT = re.compile(r'"[^"]*"|\S+')
+_TOKEN_SPLIT = re.compile(r'"[^"]*"(?:~\d+)?|\S+')
 
 
 def _analyze_term(text: str):
@@ -84,14 +85,14 @@ def _analyze_term(text: str):
     return _phrase(text)
 
 
-def _phrase(text: str):
+def _phrase(text: str, slop: int = 0):
     terms, pos = analyze_text(text)
     if not terms:
         return MatchNoDocsQuery(f"phrase {text!r} analyzed to nothing")
     if len(terms) == 1:
         return TermQuery(terms[0])  # PhraseQuery.rewrite: 1 term -> TermQuery
     base = pos[0]
-    return PhraseQuery(tuple(terms), tuple(p - base for p in pos))
+    return PhraseQuery(tuple(terms), tuple(p - base for p in pos), slop)
 
 
 def parse(qtext: str, min_should_match: int = 0):
@@ -122,7 +123,11 @@ def parse(qtext: str, min_should_match: int = 0):
         if p.startswith("-"):
             negate_next, p = True, p[1:]
         if p.startswith('"'):
-            q = _phrase(p[1:-1])
+            # `"a b"~N` — sloppy phrase (QueryParserBase.getFieldQuery slop
+            # handling; SloppyPhraseScorer when slop > 0)
+            body, _, slop_s = p[1:].rpartition('"')
+            slop = int(slop_s[1:]) if slop_s.startswith("~") else 0
+            q = _phrase(body, slop)
         elif p.endswith("*") and len(p) > 1 and '"' not in p:
             q = PrefixQuery(p[:-1].lower())
         else:

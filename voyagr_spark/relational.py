@@ -340,3 +340,25 @@ def ann_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("rank", "vec_id", "cos4")
     )
+
+
+def suggest_term(spark, sf_dir, term: str, max_edits: int = 2, top: int = 5) -> DataFrame:
+    """q: spellcheck suggestions — dictionary terms within max_edits of
+    `term`, ranked (dist asc, df desc, term asc).  DirectSpellChecker
+    semantics (§2.8 suggest) on the relational tokenization; the engine-side
+    twin is highlight.suggest over the index term dictionary."""
+    t = term.lower()
+    n = len(t)
+    return (
+        term_stats(spark, sf_dir)
+        .filter(
+            (F.length("term") >= n - max_edits)
+            & (F.length("term") <= n + max_edits)
+            & (F.col("term") != t)
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)).cast("long"))
+        .filter(F.col("dist") <= max_edits)
+        .select("term", F.col("df").cast("long").alias("df"), "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(top)
+    )

@@ -442,6 +442,8 @@ def _phrase_scorer(q: PhraseQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
     if hit is None:
         return _EMPTY
     docs, idxmap = hit
+    if getattr(q, "slop", 0) > 0:
+        return _sloppy_scorer(q, rows, plan, docs, idxmap)
     # two-phase: decode positions only now, only for survivor docs
     keys = None
     for term, qpos in zip(q.terms, q.positions):
@@ -470,6 +472,38 @@ def _phrase_scorer(q: PhraseQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
     # score(doc, phraseFreq): ExactPhraseScorer.java:108-110
     norms = rows[q.terms[0]].norms()[idxmap[q.terms[0]]]
     scores = bm25.score(freq[m].astype(np.float32), norms[m], plan.cache, wv)
+    return docs[m], scores
+
+
+def _sloppy_scorer(
+    q: PhraseQuery, rows, plan, docs: np.ndarray, idxmap: dict[str, np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sloppy phrase (E10): two-phase like the exact path — doc-level
+    conjunction first, then the greedy SloppyPhraseScorer walk per survivor
+    (sloppy.sloppy_phrase_freq), score = BM25(doc, sloppyFreq) with the
+    phrase's summed idf (SloppyPhraseScorer.java:92-128)."""
+    from .sloppy import sloppy_phrase_freq
+
+    term_pos: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in set(q.terms):
+        pr = rows[t]
+        flat, _doc_idx = pr.positions_flat()
+        off = np.concatenate(([0], np.cumsum(pr.tfs())))
+        term_pos[t] = (flat, off)
+    freqs = np.zeros(docs.size, dtype=np.float32)
+    for s in range(docs.size):
+        plists = []
+        for t in q.terms:
+            flat, off = term_pos[t]
+            i = int(idxmap[t][s])
+            plists.append(flat[off[i]: off[i + 1]])
+        freqs[s] = sloppy_phrase_freq(q.terms, q.positions, plists, q.slop)
+    m = freqs > 0
+    if not m.any():
+        return _EMPTY
+    wv = bm25.weight_value(_sum_idfs(plan, q.terms))
+    norms = rows[q.terms[0]].norms()[idxmap[q.terms[0]]]
+    scores = bm25.score(freqs[m], norms[m], plan.cache, wv)
     return docs[m], scores
 
 
@@ -851,6 +885,42 @@ def search_many(
     )
 
 
+def scores(index, query_or_text, prune: bool = False) -> DataFrame:
+    """ALL matching (doc_id, score) rows — no top-k cut.
+
+    The full-scores surface behind joins, filter-then-rank flows
+    (solr_api.solr_select applies fq filters on this before ordering), and
+    function-query composition.  Same scorers as search(), same float32
+    contract; defaults to prune=False because every match must be emitted.
+    """
+    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    plan = make_plan(index, q, k=1, prune=prune)
+    q = plan.query
+    terms = sorted(query_terms(q))
+    if not terms or isinstance(q, MatchNoDocsQuery):
+        return index.spark.createDataFrame([], RESULT_SCHEMA)
+    posting_cols = [
+        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
+        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
+        "block_min_len", "block_doc_boff", "block_tf_boff",
+    ]
+    if _has_phrase(q):
+        posting_cols.append("pos_blob")
+    rows = (
+        index.postings()
+        .filter(F.col("term").isin(terms))
+        .select(*posting_cols)
+    )
+
+    def _seg_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        prs = _group_rows(pdf)
+        docs, sc = _clause_scorer(plan.query, prs, plan)
+        docs, sc = _apply_live_docs(docs, sc, plan)
+        return pd.DataFrame({"doc_id": docs, "score": sc})
+
+    return rows.groupBy("seg").applyInPandas(_seg_all, RESULT_SCHEMA)
+
+
 def count(index, query_or_text) -> int:
     """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
     q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
@@ -869,6 +939,157 @@ def count(index, query_or_text) -> int:
 
     out = rows.groupBy("seg").applyInPandas(_cnt, schema).agg(F.sum("n")).collect()
     return int(out[0][0] or 0)
+
+
+def explain(index, query_or_text, doc_id: int) -> dict:
+    """K6: Explanation tree for one (query, doc) — IndexSearcher.explain
+    (IndexSearcher.java:669-684) + BM25Similarity.explainScore
+    (BM25Similarity.java:266-287) analog.
+
+    Returns a nested dict {match, value, description, details:[...]}.  The
+    top-level `value` is bit-identical (float32) to the score `search` gives
+    this doc: it is produced by the same scorer path over the doc's segment,
+    not recomputed from the printed factors (Lucene's own explain text can
+    drift in the last ulp from the scorer; ours never does).
+    """
+    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    plan = make_plan(index, q, k=1, prune=False)
+    q = plan.query
+    terms = sorted(query_terms(q))
+    no = {"match": False, "value": 0.0, "description": "no match", "details": []}
+    if not terms or isinstance(q, MatchNoDocsQuery):
+        return no
+    seg_rows = (
+        index.docstats().filter(F.col("doc_id") == int(doc_id))
+        .select("seg", "doclen", "norm_byte").collect()
+    )
+    if not seg_rows:
+        return {**no, "description": f"doc {doc_id} not in index"}
+    seg = seg_rows[0]["seg"]
+    pdf = (
+        index.postings()
+        .filter((F.col("seg") == seg) & F.col("term").isin(terms))
+        .toPandas()
+    )
+    rows = _group_rows(pdf)
+    docs, scores = _clause_scorer(q, rows, plan)
+    docs, scores = _apply_live_docs(docs, scores, plan)
+    pos = np.searchsorted(docs, int(doc_id))
+    if pos >= docs.size or docs[pos] != int(doc_id):
+        return {**no, "description": "doc does not match query"}
+    value = float(scores[pos])
+    return {
+        "match": True,
+        "value": value,
+        "description": _describe(q),
+        "details": _explain_details(q, rows, plan, int(doc_id)),
+    }
+
+
+def _describe(q) -> str:
+    if isinstance(q, TermQuery):
+        return f"weight(content:{q.term}) [BM25, k1=1.2, b=0.75]"
+    if isinstance(q, PhraseQuery):
+        kind = f'~{q.slop}' if getattr(q, "slop", 0) else ""
+        return f"weight(content:\"{' '.join(q.terms)}\"{kind}) [BM25]"
+    if isinstance(q, BooleanQuery):
+        return "sum of:"
+    if isinstance(q, DisjunctionMaxQuery):
+        return f"max plus {q.tie} times others of:"
+    if isinstance(q, ConstScoreTerms):
+        return f"ConstantScore({len(q.terms)} terms)"
+    return type(q).__name__
+
+
+def _explain_details(q, rows, plan: QueryPlan, doc: int) -> list[dict]:
+    if isinstance(q, TermQuery):
+        tp = rows.get(q.term)
+        if tp is None:
+            return []
+        mask, pidx = tp.lookup(np.array([doc], dtype=np.int64))
+        if not mask.any():
+            return []
+        i = int(pidx[0])
+        freq = float(tp.tfs()[i])
+        nb = int(tp.norms()[i])
+        idf = float(plan.idf.get(q.term, np.float32(0.0)))
+        c = float(plan.cache[nb])
+        return [
+            {"value": freq, "description": f"freq, occurrences of {q.term!r}"},
+            {"value": idf,
+             "description": "idf, computed as log(1 + (maxDoc - df + 0.5) / (df + 0.5))"},
+            {"value": float(NORM_TABLE_LEN(nb)),
+             "description": "fieldLength (decoded norm byte)"},
+            {"value": (freq * 2.2) / (freq + c),
+             "description": "tfNorm, computed as (freq*(k1+1)) / (freq + k1*(1-b+b*fieldLength/avgFieldLength))"},
+        ]
+    if isinstance(q, PhraseQuery):
+        hit = _intersect_candidates(list(q.terms), rows)
+        if hit is None:
+            return []
+        docs, idxmap = hit
+        s = np.searchsorted(docs, doc)
+        if s >= docs.size or docs[s] != doc:
+            return []
+        plists = []
+        for t in q.terms:
+            pr = rows[t]
+            flat, _di = pr.positions_flat()
+            off = np.concatenate(([0], np.cumsum(pr.tfs())))
+            i = int(idxmap[t][s])
+            plists.append(flat[off[i]: off[i + 1]])
+        if getattr(q, "slop", 0) > 0:
+            from .sloppy import sloppy_phrase_freq
+
+            freq = float(sloppy_phrase_freq(q.terms, q.positions, plists, q.slop))
+            fdesc = f"phraseFreq, sloppy (slop={q.slop}), sum of 1/(distance+1)"
+        else:
+            starts = set(int(p) for p in plists[0])
+            for pl, qpos in zip(plists[1:], q.positions[1:]):
+                starts &= {int(p) - qpos for p in pl}
+            freq = float(len(starts))
+            fdesc = "phraseFreq, exact alignments"
+        idf = float(_sum_idfs(plan, q.terms))
+        return [
+            {"value": freq, "description": fdesc},
+            {"value": idf, "description": "idf, sum of per-term idfs"},
+        ]
+    if isinstance(q, BooleanQuery):
+        out = []
+        for occ, sub in q.clauses:
+            d, s = _clause_scorer(sub, rows, plan)
+            p = np.searchsorted(d, doc) if d.size else 0
+            matched = d.size and p < d.size and d[p] == doc
+            if occ == MUST_NOT:
+                out.append({"match": not matched, "value": 0.0,
+                            "description": f"MUST_NOT {_describe(sub)}"})
+                continue
+            out.append({
+                "match": bool(matched),
+                "value": float(s[p]) if matched else 0.0,
+                "description": f"{occ} {_describe(sub)}",
+                "details": _explain_details(sub, rows, plan, doc) if matched else [],
+            })
+        return out
+    if isinstance(q, DisjunctionMaxQuery):
+        out = []
+        for sub in q.disjuncts:
+            d, s = _clause_scorer(sub, rows, plan)
+            p = np.searchsorted(d, doc) if d.size else 0
+            matched = d.size and p < d.size and d[p] == doc
+            out.append({
+                "match": bool(matched),
+                "value": float(s[p]) if matched else 0.0,
+                "description": _describe(sub),
+            })
+        return out
+    return []
+
+
+def NORM_TABLE_LEN(nb: int) -> float:
+    from .bm25 import NORM_TABLE
+
+    return float(NORM_TABLE[nb])
 
 
 def _has_phrase(q) -> bool:

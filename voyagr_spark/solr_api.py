@@ -1,0 +1,105 @@
+"""Solr /select parameter surface (SURVEY §2.8 "Solr HTTP API" row).
+
+Maps the core Solr query params — q, fq, fl, sort, rows, start — onto the
+engine + docmap, mirroring SolrIndexSearcher's flow (solr/core/src/java/org/
+apache/solr/search/SolrIndexSearcher.java: QueryCommand with query, filters,
+sort, offset, len; solr/core/src/java/org/apache/solr/handler/component/
+QueryComponent.java builds it from the params):
+
+* q      -> the main scored query (our parser syntax)
+* fq     -> non-scoring filter queries over docmap metadata fields
+            (`lang:java`, `repo:foo*`) — Solr's cached filters become plain
+            Catalyst predicates, applied to ALL matches BEFORE ranking, so
+            the top-k cut is taken on the filtered set exactly like Solr
+* fl     -> projection over docmap fields (+ score)
+* sort   -> "score desc" (default), or "<field> asc|desc" over docmap
+            fields; doc_id is always the final tiebreaker
+* rows/start -> Solr paging = offset+limit on the ordered result
+
+Filter-before-rank forces the all-matches scorer (search.scores), not the
+pruned per-segment top-k: a pruned top-k computed before the filter could
+evict docs that survive it.  At scale the fq predicates push into the
+docmap parquet scan (partition/row-group pruning), and the join is a
+broadcast when the match set is small.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import scores
+
+_FQ_RE = re.compile(r"^(\w+):(.*)$")
+
+_DOCMAP_FIELDS = ("repo", "path", "commit", "lang", "doclen",
+                  "content_sha256", "seg")
+
+
+def _fq_predicate(fq: str):
+    m = _FQ_RE.match(fq.strip())
+    if not m:
+        raise ValueError(f"unsupported fq syntax: {fq!r}")
+    field, value = m.group(1), m.group(2)
+    if field not in _DOCMAP_FIELDS and field != "doc_id":
+        raise ValueError(f"unknown fq field {field!r}")
+    col = F.col(field)
+    if value.endswith("*"):
+        return col.startswith(value[:-1])
+    m2 = re.match(r"^\[(\S+) TO (\S+)\]$", value)
+    if m2:  # Solr range syntax fq=doclen:[10 TO 200]
+        lo, hi = m2.group(1), m2.group(2)
+        pred = None
+        if lo != "*":
+            pred = col >= _coerce(lo)
+        if hi != "*":
+            pred = (col <= _coerce(hi)) if pred is None else (pred & (col <= _coerce(hi)))
+        return pred if pred is not None else col.isNotNull()
+    return col == _coerce(value)
+
+
+def _coerce(v: str):
+    """Numeric fq values compare numerically (doclen:[10 TO 200])."""
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def solr_select(
+    index,
+    q: str,
+    fq: list[str] | str | None = None,
+    fl: list[str] | str | None = None,
+    sort: str | None = None,
+    rows: int = 10,
+    start: int = 0,
+) -> DataFrame:
+    """The /select handler: scored q, filtered by fq, sorted, paged."""
+    matches = scores(index, q)
+    dm = index.docmap()
+    joined = matches.join(dm, "doc_id")
+    if fq:
+        if isinstance(fq, str):
+            fq = [fq]
+        for f_ in fq:
+            joined = joined.filter(_fq_predicate(f_))
+    if sort is None or sort.strip().lower() in ("score desc", "score"):
+        ordered = joined.orderBy(F.desc("score"), F.asc("doc_id"))
+    else:
+        field, _, direction = sort.strip().partition(" ")
+        d = direction.strip().lower() or "asc"
+        key = F.desc(field) if d == "desc" else F.asc(field)
+        ordered = joined.orderBy(key, F.asc("doc_id"))
+    paged = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+    if fl:
+        if isinstance(fl, str):
+            fl = [c.strip() for c in fl.split(",")]
+        cols = [c for c in fl if c in _DOCMAP_FIELDS or c in ("doc_id", "score")]
+        return paged.select(*cols)
+    return paged.select("doc_id", "score", "repo", "path", "commit", "lang")
