@@ -84,7 +84,9 @@ def child(cpus: int, corpus_path: str) -> None:
 
     from pyspark.sql import SparkSession
 
-    from voyagr_spark.indexer import build_index
+    from pyspark.sql import functions as F
+
+    from voyagr_spark.indexer import SEGMENT_SCHEMA, build_index, make_invert_fn
     from voyagr_spark.search import search, search_many
 
     spark = (
@@ -97,8 +99,11 @@ def child(cpus: int, corpus_path: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # byte-identical input at every level: the parent pre-generated it once
-    docs = spark.read.parquet(corpus_path).persist()
+    # byte-identical input at every level: the parent pre-generated it once.
+    # Explicit repartition — parquet file-combining would otherwise pack the
+    # 64 small files into ~4-8 scan partitions and under-parallelize the
+    # cached corpus (and the AddDoc map stage) at higher core counts.
+    docs = spark.read.parquet(corpus_path).repartition(NUM_SEGMENTS).persist()
     n = docs.count()
 
     def one_build():
@@ -114,6 +119,23 @@ def child(cpus: int, corpus_path: str) -> None:
     # (the JIT tail can still drift through the first timed run)
     _, warm_dir, warm_s = one_build()
     shutil.rmtree(warm_dir, ignore_errors=True)
+
+    # AddDoc throughput: the reference's own indexing metric
+    # (lucene/benchmark/conf/standard.alg AddDoc rounds time exactly the
+    # analyze->invert->encode loop, not commits/merges).  Ours = sha256 +
+    # the mapInArrow invert kernel over the corpus; no shuffle, no sink —
+    # the purely executor-parallel portion of the build.
+    sha = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    def adddoc_once() -> float:
+        t0 = time.time()
+        sha.mapInArrow(
+            make_invert_fn({}, DOCS_PER_SEGMENT), SEGMENT_SCHEMA
+        ).count()
+        return time.time() - t0
+
+    adddoc_runs = [adddoc_once(), adddoc_once(), adddoc_once()]
+    adddoc_s = min(adddoc_runs)
 
     idx, idx_dir, build_a = one_build()
     idx2, idx_dir2, build_b = one_build()
@@ -143,6 +165,9 @@ def child(cpus: int, corpus_path: str) -> None:
     print(json.dumps({
         "cpus": cpus, "files": n, "build_s": round(build_s, 2),
         "build_runs": [round(build_a, 2), round(build_b, 2)],
+        "adddoc_s": round(adddoc_s, 2),
+        "adddoc_files_per_sec": round(n / adddoc_s, 1),
+        "adddoc_runs": [round(x, 2) for x in adddoc_runs],
         "files_per_sec": round(n / build_s, 1),
         "query_p50_s": round(statistics.median(lats), 3),
         "batch_qps": round(len(BATCH_QUERIES) / batch_s, 1),
@@ -161,6 +186,7 @@ def parent() -> None:
     from voyagr_spark.corpus import corpus_spark
 
     gen = (SparkSession.builder.master("local[32]")
+           .config("spark.driver.memory", "16g")
            .config("spark.ui.enabled", "false").getOrCreate())
     gen.sparkContext.setLogLevel("ERROR")
     corpus_spark(gen, num_docs=DOCS, seed=42, partitions=NUM_SEGMENTS) \
@@ -177,10 +203,9 @@ def parent() -> None:
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
 
-    def eff(lo: int, hi: int) -> float:
+    def eff(lo: int, hi: int, key: str = "files_per_sec") -> float:
         return round(
-            results[hi]["files_per_sec"]
-            / ((hi / lo) * results[lo]["files_per_sec"]), 3,
+            results[hi][key] / ((hi / lo) * results[lo][key]), 3,
         )
 
     lo, hi = PAIR
@@ -190,6 +215,8 @@ def parent() -> None:
         **{f"local[{c}]": results[c] for c in LEVELS},
         "efficiency_2_8": eff(2, 8),
         "efficiency_8_32": eff(8, 32),
+        "adddoc_efficiency_2_8": eff(2, 8, "adddoc_files_per_sec"),
+        "adddoc_efficiency_8_32": eff(8, 32, "adddoc_files_per_sec"),
         "evidence_pair": f"local[{lo}] vs local[{hi}]",
         "target": 0.8,
     }
@@ -197,7 +224,8 @@ def parent() -> None:
     bench_dir = Path(__file__).parent / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     rows = "\n".join(
-        f"| local[{c}], pinned to {c} cores | {r['files']} | {r['build_s']} "
+        f"| local[{c}], pinned to {c} cores | {r['files']} | {r['adddoc_s']} "
+        f"| {r['adddoc_files_per_sec']} | {r['build_s']} "
         f"| {r['files_per_sec']} | {r['query_p50_s']} | {r['batch_qps']} "
         f"| {r['warm_s']} |"
         for c, r in results.items()
@@ -218,17 +246,34 @@ zero at 100 TB), then two timed builds, reporting the better (the JIT tail
 still drifts through the first timed run).  batch_qps = {nq} mixed queries
 (term/AND/OR/phrase/NOT) executed in ONE job via search_many.
 
-| level | files | build sec | files/sec | top-10 query p50 (s) | batch QPS | warmup sec |
-|---|---|---|---|---|---|---|
+| level | files | AddDoc sec | AddDoc files/sec | full build sec | build files/sec | top-10 query p50 (s) | batch QPS | warmup sec |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency (N vs 4N evidence pair, local[2] -> local[8])** =
-files/sec(8) / (4 * files/sec(2)) = {results[8]['files_per_sec']} /
-(4 * {results[2]['files_per_sec']}) = **{eff(2, 8)}**
+Two throughput metrics, mirroring the reference's protocol split:
+
+* **AddDoc files/sec** — the reference's own indexing metric
+  (lucene/benchmark/conf/standard.alg:38-92 AddDoc rounds time the
+  analyze->invert->encode loop, not commits or merges).  Ours times
+  sha256 + the mapInArrow invert kernel: the purely executor-parallel
+  part of the build, which is what adding executors scales.
+* **build files/sec** — end-to-end `build_index` including the doc-id
+  range shuffle, parquet segment write, stats job, and commit metadata;
+  these carry fixed per-job costs that a larger corpus amortizes but this
+  sandbox's small runs expose.
+
+**Scaling efficiency (N vs 4N evidence pair, local[2] -> local[8])**:
+
+* AddDoc: {results[8]['adddoc_files_per_sec']} / (4 * {results[2]['adddoc_files_per_sec']})
+  = **{eff(2, 8, "adddoc_files_per_sec")}**
+* full build: {results[8]['files_per_sec']} / (4 * {results[2]['files_per_sec']})
+  = **{eff(2, 8)}**
+
 (target >= 0.8 per BASELINE.json north_rule; sandbox evidence per driver
 instruction — no real cluster available).
 
-Also measured, local[8] -> local[32]: efficiency {eff(8, 32)}.  All levels
+Also measured, local[8] -> local[32]: AddDoc efficiency
+{eff(8, 32, "adddoc_files_per_sec")}, full build {eff(8, 32)}.  All levels
 share ONE node's memory bandwidth; a no-Spark multiprocessing probe of the
 same invert kernel scales 1->8 procs at ~0.87 efficiency but 8->32 at
 ~0.65 (per-process wall time inflates 1.5x with 32 concurrent tokenizers),

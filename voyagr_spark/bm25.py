@@ -41,21 +41,28 @@ def avg_field_length(sum_total_term_freq: int, max_doc: int) -> np.float32:
     return np.float32(sum_total_term_freq / float(max_doc))
 
 
-def norm_cache(avgdl: np.float32) -> np.ndarray:
+def norm_cache(avgdl: np.float32, k1: float = None, b: float = None) -> np.ndarray:
     """256-entry freq-independent cache (BM25Similarity.java:207-210).
 
     Java evaluates `k1 * ((1 - b) + b * decodeNormValue(i) / avgdl)` in float
     left-to-right; numpy float32 ops round identically per operation.
+    k1/b default to the reference constants (1.2, 0.75); BM25Similarity's
+    constructor accepts custom values (BM25Similarity.java:46-58) and so do
+    we (the §2.8 custom-similarity surface).
     """
-    return (K1 * ((np.float32(1.0) - B) + B * NORM_TABLE / np.float32(avgdl))).astype(
+    k1f = K1 if k1 is None else np.float32(k1)
+    bf = B if b is None else np.float32(b)
+    return (k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / np.float32(avgdl))).astype(
         np.float32
     )
 
 
-def weight_value(idf_sum: np.float32, boost: float = 1.0) -> np.float32:
+def weight_value(idf_sum: np.float32, boost: float = 1.0,
+                 k1: float = None) -> np.float32:
     """weight*(k1+1): BM25Similarity.java:222 with normalize() at :289-293."""
+    k1f = K1 if k1 is None else np.float32(k1)
     w = np.float32(idf_sum) * np.float32(boost)
-    return np.float32(w * (K1 + np.float32(1.0)))
+    return np.float32(w * (k1f + np.float32(1.0)))
 
 
 def score(

@@ -70,6 +70,48 @@ def cmd_count(args) -> None:
     print(json.dumps({"count": count(idx, args.query)}))
 
 
+def cmd_select(args) -> None:
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.solr_api import solr_select
+
+    idx = Index(_spark(), args.index)
+    rows = solr_select(
+        idx, args.query, fq=args.fq or None, fl=args.fl, sort=args.sort,
+        rows=args.rows, start=args.start,
+    ).collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+
+
+def cmd_suggest(args) -> None:
+    from voyagr_spark.highlight import suggest
+    from voyagr_spark.indexer import Index
+
+    idx = Index(_spark(), args.index)
+    for r in suggest(idx, args.term, max_edits=args.max_edits,
+                     top=args.top).collect():
+        print(json.dumps(r.asDict()))
+
+
+def cmd_batch(args) -> None:
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.search import search_many
+
+    idx = Index(_spark(), args.index)
+    queries = json.loads(args.queries)  # {"id": "query text", ...}
+    for r in search_many(idx, queries, k=args.k).collect():
+        print(json.dumps({"query_id": r["query_id"], "doc_id": r["doc_id"],
+                          "score": float(r["score"])}))
+
+
+def cmd_explain(args) -> None:
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.search import explain
+
+    idx = Index(_spark(), args.index)
+    print(json.dumps(explain(idx, args.query, args.doc), indent=2))
+
+
 def cmd_merge(args) -> None:
     from voyagr_spark.indexer import Index
     from voyagr_spark.merge import run_tiered_merge
@@ -107,6 +149,36 @@ def main(argv=None) -> None:
     m.add_argument("--index", required=True)
     m.add_argument("--buckets", type=int, default=1)
     m.set_defaults(fn=cmd_merge)
+
+    sel = sub.add_parser("select", help="Solr /select params")
+    sel.add_argument("--index", required=True)
+    sel.add_argument("--query", required=True)
+    sel.add_argument("--fq", action="append", default=[])
+    sel.add_argument("--fl", default=None)
+    sel.add_argument("--sort", default=None)
+    sel.add_argument("--rows", type=int, default=10)
+    sel.add_argument("--start", type=int, default=0)
+    sel.set_defaults(fn=cmd_select)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--top", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
+
+    bt = sub.add_parser("batch", help="search_many over a JSON query map")
+    bt.add_argument("--index", required=True)
+    bt.add_argument("--queries", required=True,
+                    help='JSON object {"id": "query", ...}')
+    bt.add_argument("--k", type=int, default=10)
+    bt.set_defaults(fn=cmd_batch)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--doc", type=int, required=True)
+    ex.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -49,8 +49,15 @@ def _zipf_probs(n: int, s: float = ZIPF_S) -> np.ndarray:
     return w / w.sum()
 
 
-def generate_corpus(num_docs: int, seed: int = 42) -> pd.DataFrame:
-    """Build the corpus as a pandas frame (small scales: tests + bench)."""
+def generate_corpus(
+    num_docs: int, seed: int = 42, idx_offset: int = 0
+) -> pd.DataFrame:
+    """Build the corpus as a pandas frame (small scales: tests + bench).
+
+    `idx_offset` shifts the per-doc file index so distributed generation
+    (corpus_spark: one block per partition) produces globally unique
+    (repo, path) keys; the default 0 keeps this function byte-identical to
+    the original fixtures."""
     rng = np.random.default_rng(seed)
     vocab = _vocab()
     probs = _zipf_probs(vocab.size)
@@ -70,7 +77,7 @@ def generate_corpus(num_docs: int, seed: int = 42) -> pd.DataFrame:
     langs = rng.choice(np.array(LANGS, dtype=object), size=num_docs, p=LANG_W)
     paths = np.array(
         [
-            f"src/module_{rng.integers(0, 40)}/file_{i}.{LANG_EXT[l]}"
+            f"src/module_{rng.integers(0, 40)}/file_{i + idx_offset}.{LANG_EXT[l]}"
             for i, l in enumerate(langs)
         ],
         dtype=object,
@@ -129,6 +136,37 @@ def generate_corpus(num_docs: int, seed: int = 42) -> pd.DataFrame:
 
 
 def corpus_spark(spark, num_docs: int, seed: int = 42, partitions: int = 8):
-    """Corpus as a Spark DataFrame."""
-    pdf = generate_corpus(num_docs, seed)
-    return spark.createDataFrame(pdf).repartition(partitions)
+    """Corpus as a Spark DataFrame, generated INSIDE tasks.
+
+    The driver ships only (pid, start, n) triples; each task generates its
+    block with a pid-derived seed — no driver-side materialization, no
+    multi-MB task closures, generation parallel across the cluster.  Output
+    is deterministic for fixed (num_docs, seed, partitions)."""
+    import pyarrow as pa
+
+    base = num_docs // partitions
+    rem = num_docs % partitions
+    meta, start = [], 0
+    for i in range(partitions):
+        n = base + (1 if i < rem else 0)
+        meta.append((i, start, n))
+        start += n
+    df = spark.createDataFrame(meta, "pid int, start long, n long").repartition(
+        partitions, "pid"
+    )
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    def gen(batches):
+        for b in batches:
+            pdf = b.to_pandas()
+            for _, row in pdf.iterrows():
+                if int(row["n"]) == 0:
+                    continue
+                block = generate_corpus(
+                    int(row["n"]),
+                    seed=seed + 1_000_003 * int(row["pid"]),
+                    idx_offset=int(row["start"]),
+                )
+                yield pa.RecordBatch.from_pandas(block, preserve_index=False)
+
+    return df.mapInArrow(gen, schema)

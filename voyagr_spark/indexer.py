@@ -435,11 +435,25 @@ def build_index(
 
 
 def _append_manifest(spark, manifest_p: Path, stage: str, rows, wall_s: float):
-    df = spark.createDataFrame(
-        [(stage, int(s), int(b), int(c), float(wall_s)) for s, b, c in rows],
-        "stage string, seg long, doc_base long, num_docs long, wall_s double",
+    """Lineage manifest append — driver-side parquet write (pyarrow), NOT a
+    Spark job: the rows are already collected driver-side and tiny, and a
+    coalesce(1) job here would serialize a cluster round-trip into every
+    build/merge commit.  spark.read.parquet reads the directory fine."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "stage": [stage] * len(rows),
+            "seg": [int(s) for s, _, _ in rows],
+            "doc_base": [int(b) for _, b, _ in rows],
+            "num_docs": [int(c) for _, _, c in rows],
+            "wall_s": [float(wall_s)] * len(rows),
+        }
     )
-    df.coalesce(1).write.mode("append").parquet(str(manifest_p))
+    manifest_p.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, manifest_p / f"part-{uuid.uuid4().hex[:12]}.parquet")
 
 
 class Index:

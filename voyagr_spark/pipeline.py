@@ -263,3 +263,152 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> Data
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+# scale path beside the brute-force baseline (relational.ann_topk) and the
+# hyperplane-LSH bucketing above.
+# ---------------------------------------------------------------------------
+
+
+def _l2_normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample -> (n_centroids, dim).
+
+    The IVF train phase: at 100 TB the quantizer is fit on a tiny uniform
+    sample collected to the driver (standard coarse-quantizer practice —
+    the centroid table is KBs and is broadcast afterwards).  Vectors are
+    L2-normalized first so nearest-centroid-by-dot == nearest-by-cosine.
+    """
+    src = emb.select(vec_col)
+    if sample_fraction is not None:
+        # at scale: a seeded uniform sample, NOT limit() (limit reads only
+        # the first partitions — biased if the table is clustered)
+        src = src.sample(False, sample_fraction, seed=seed)
+    pdf = src.limit(sample_rows).toPandas()
+    x = _l2_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
+                         replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+        cents = _l2_normalize(cents)
+    return cents
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> DataFrame(vec_id, cell, embedding): nearest-centroid cell per
+    vector, one matmul per Arrow batch (the posting-list build of IVF).
+
+    At scale the result is written partitioned/bucketed by `cell`, so a
+    query touches only the probed cells' files — the same partition-pruning
+    story as the inverted text index.
+    """
+    cents = _l2_normalize(np.asarray(centroids, dtype=np.float64))
+    sel = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            if not len(pdf):
+                continue
+            x = _l2_normalize(np.array(pdf["vec"].tolist(), dtype=np.float64))
+            cell = np.argmax(x @ cents.T, axis=1).astype(np.int64)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "cell": cell,
+                 "embedding": pdf["vec"]},
+                schema=pa.schema(
+                    [pa.field("vec_id", pa.int64()),
+                     pa.field("cell", pa.int64()),
+                     pa.field("embedding", pa.list_(pa.float32()))]
+                ),
+            )
+
+    return sel.mapInArrow(kernel, schema)
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """-> DataFrame(rank, vec_id, cos4): cosine top-k probing only the
+    `nprobe` cells nearest the query (IVF search phase).
+
+    The cell filter is a plain Catalyst predicate over the assigned table
+    (partition-prunable when the table is written bucketed by cell); the
+    in-cell scoring is one matmul per Arrow batch.  nprobe=n_centroids
+    degrades to exact brute force — the correctness anchor the tests pin.
+    """
+    cents = _l2_normalize(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
+
+    sel = assigned.filter(F.col("cell").isin(probe))
+    if exclude_vec_id is not None:
+        sel = sel.filter(F.col("vec_id") != int(exclude_vec_id))
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()),
+         T.StructField("cos4", T.DoubleType())]
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            if not len(pdf):
+                continue
+            x = _l2_normalize(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            )
+            cos = np.round(x @ qn, 4)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cos4": cos},
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("cos4", pa.float64())]),
+            )
+
+    scored = sel.select("vec_id", "embedding").mapInArrow(kernel, schema)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cos4"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "vec_id", "cos4")
+    )

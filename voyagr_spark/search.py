@@ -74,6 +74,8 @@ class QueryPlan:
     prune: bool = True
     after: tuple[float, int] | None = None  # searchAfter cursor (K4)
     deleted: np.ndarray | None = None  # sorted tombstoned doc ids (E14)
+    k1: np.float32 = bm25.K1  # custom similarity (BM25Similarity.java:46-58)
+    b: np.float32 = bm25.B
 
 
 def query_terms(q) -> set[str]:
@@ -264,7 +266,7 @@ class TermPostings:
 
 
 def _term_weight(plan: QueryPlan, term: str) -> np.float32:
-    return bm25.weight_value(plan.idf.get(term, np.float32(0.0)))
+    return bm25.weight_value(plan.idf.get(term, np.float32(0.0)), k1=plan.k1)
 
 
 def _score_posting(
@@ -535,7 +537,7 @@ def _term_blockmax_topk(tp: TermPostings, wv: np.float32, plan: QueryPlan):
     for pi, p in enumerate(tp.parts):
         bmtf = np.asarray(p.row["block_max_tf"], dtype=np.float32)
         bminl = np.asarray(p.row["block_min_len"], dtype=np.float32)
-        c = bm25.K1 * ((np.float32(1) - bm25.B) + bm25.B * bminl / plan.avgdl)
+        c = plan.k1 * ((np.float32(1) - plan.b) + plan.b * bminl / plan.avgdl)
         ubs = (wv * bmtf / (bmtf + c)).astype(np.float32)
         for bi in range(ubs.size):
             blocks.append((float(ubs[bi]), pi, bi))
@@ -584,7 +586,7 @@ def _term_upper_bound(row, wv: np.float32, plan: QueryPlan) -> np.float32:
     """score <= wv * max_tf / (max_tf + cache(min_len)) — monotone-rounded."""
     max_tf = np.float32(row["max_tf"])
     min_len = np.float32(row["min_len"])
-    c = bm25.K1 * ((np.float32(1) - bm25.B) + bm25.B * min_len / plan.avgdl)
+    c = plan.k1 * ((np.float32(1) - plan.b) + plan.b * min_len / plan.avgdl)
     return np.float32(wv * max_tf / (max_tf + np.float32(c)))
 
 
@@ -648,8 +650,13 @@ def _or_maxscore(q: BooleanQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
 def make_plan(
     index, query, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
+    k1: float = None, b: float = None,
 ) -> QueryPlan:
-    """Bind global stats on the driver (createNormalizedWeight analog)."""
+    """Bind global stats on the driver (createNormalizedWeight analog).
+
+    k1/b override the BM25 constants per query — the custom-similarity
+    surface (BM25Similarity.java:46-58 constructor args); defaults keep the
+    reference's 1.2/0.75 and bit parity."""
     query = rewrite(query, index)
     terms = sorted(query_terms(query))
     stats = {}
@@ -665,9 +672,11 @@ def make_plan(
     idf = {t: bm25.idf(stats[t], max_doc) for t in stats}
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
     deleted = index.deleted_doc_ids() if hasattr(index, "deleted_doc_ids") else None
+    k1f = bm25.K1 if k1 is None else np.float32(k1)
+    bf = bm25.B if b is None else np.float32(b)
     return QueryPlan(
-        query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl), avgdl=avgdl,
-        prune=prune, after=after, deleted=deleted,
+        query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl, k1f, bf),
+        avgdl=avgdl, prune=prune, after=after, deleted=deleted, k1=k1f, b=bf,
     )
 
 
@@ -743,13 +752,14 @@ def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
 def search(
     index, query_or_text, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
+    k1: float = None, b: float = None,
 ) -> DataFrame:
     """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical.
 
     `after=(score, doc_id)` pages past a previous hit (searchAfter, K4:
     IndexSearcher.java:315-325)."""
     q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
-    plan = make_plan(index, q, k, prune, after)
+    plan = make_plan(index, q, k, prune, after, k1=k1, b=b)
     q = plan.query  # post-rewrite (prefix expansion)
     terms = sorted(query_terms(q))
     if not terms or isinstance(q, MatchNoDocsQuery):
