@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": lambda s, d: R.fingerprint(s, d),
         "suggest_term": lambda s, d: R.suggest_term(s, d, "batcj", 2, 5),
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
+        "events_window": lambda s, d: R.events_window(s, d, 6),
         # engine-native (rows-only check; bit-exact parity in tests/)
         "engine_topk_hot": _engine_search(_HOT, 10),
         "engine_topk_and": _engine_search(f"{_HOT} AND {_RARE}", 10),
@@ -272,6 +273,12 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
+        "events_window": """
+            SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
         "suggest_term": _BASE
         + """SELECT term, df, levenshtein(term, 'batcj')::BIGINT AS dist
              FROM st

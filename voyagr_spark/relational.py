@@ -362,3 +362,14 @@ def suggest_term(spark, sf_dir, term: str, max_edits: int = 2, top: int = 5) -> 
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(top)
     )
+
+
+def events_window(spark, sf_dir, hours: int = 6) -> DataFrame:
+    """q: tumbling-window event aggregation — the batch form of the
+    Structured Streaming windowed-agg path (one shared transformation in
+    streaming.windowed_event_counts), so the oracle check here gates the
+    streaming logic too."""
+    from .streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev, hours)

@@ -137,3 +137,32 @@ def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def windowed_event_counts(events: DataFrame, hours: int = 6,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Tumbling-window event aggregation, batch OR streaming.
+
+    On a streaming DataFrame this is the watermarked windowed-agg shape
+    (readStream -> withWatermark -> window groupBy -> writeStream): late
+    rows beyond `watermark` are dropped and append-mode emits each window
+    once it closes.  On a batch DataFrame the same transformation runs as a
+    plain agg — relational.events_window exposes that form to the DuckDB
+    oracle, so the streaming logic itself is correctness-gated.
+    """
+    src = events
+    if events.isStreaming:
+        # watermarks require TIMESTAMP (tz-aware); parquet NTZ event time is
+        # interpreted session-local, matching the batch NTZ grouping
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    w = F.window("ts", f"{hours} hours")
+    return (
+        src.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
