@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_term": lambda s, d: R.suggest_term(s, d, "batcj", 2, 5),
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
         "events_window": lambda s, d: R.events_window(s, d, 6),
+        "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
         # engine-native (rows-only check; bit-exact parity in tests/)
         "engine_topk_hot": _engine_search(_HOT, 10),
         "engine_topk_and": _engine_search(f"{_HOT} AND {_RARE}", 10),
@@ -273,6 +274,37 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
+        "dedup_pipeline": _BASE
+        + """, sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1,
+                     min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3
+              FROM tf GROUP BY doc_id),
+            bands AS (
+              SELECT 0 AS band, mh0 AS sig, doc_id FROM sig UNION ALL
+              SELECT 1, mh1, doc_id FROM sig UNION ALL
+              SELECT 2, mh2, doc_id FROM sig UNION ALL
+              SELECT 3, mh3, doc_id FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            t AS (SELECT DISTINCT doc_id, term FROM tf),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM t GROUP BY doc_id),
+            inter AS (
+              SELECT c.da, c.db, count(*)::BIGINT AS i
+              FROM cand c
+              JOIN t ta ON ta.doc_id = c.da
+              JOIN t tb ON tb.doc_id = c.db AND tb.term = ta.term
+              GROUP BY c.da, c.db),
+            dropped AS (
+              SELECT DISTINCT i.db AS doc_id
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.da
+              JOIN sz sb ON sb.doc_id = i.db
+              WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.7)
+            SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
+            FROM documents d LEFT JOIN dropped dr USING (doc_id)""",
         "events_window": """
             SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
                             '%Y-%m-%d %H:%M:%S') AS win_start,

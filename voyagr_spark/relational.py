@@ -373,3 +373,61 @@ def events_window(spark, sf_dir, hours: int = 6) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return windowed_event_counts(ev, hours)
+
+
+def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7) -> DataFrame:
+    """q: end-to-end near-dup removal decision — the composite the three
+    building blocks above exist for: MinHash signatures -> banded LSH
+    candidate pairs -> exact token-set Jaccard verification -> greedy
+    min-id retention (a doc is dropped iff some verified near-dup with a
+    smaller doc_id exists).  -> (doc_id, keep).
+
+    Scale shape: candidate generation is the banded self-join (bounded by
+    bucket sizes — the whole point of LSH), verification touches candidate
+    pairs only, and the retention rule is a semi-join; no all-pairs stage
+    anywhere.
+    """
+    sig = minhash_signature(spark, sf_dir, bands)
+    parts = [
+        sig.select(F.lit(j).alias("band"), F.col(f"mh{j}").alias("sig"), "doc_id")
+        for j in range(bands)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    cand = (
+        u.alias("a")
+        .join(u.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    t = terms_tf(spark, sf_dir).select("doc_id", "term")
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(t.alias("ta"), F.col("da") == F.col("ta.doc_id"))
+        .join(
+            t.alias("tb"),
+            (F.col("db") == F.col("tb.doc_id"))
+            & (F.col("ta.term") == F.col("tb.term")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("da"),
+                                F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("sb")), "db")
+        .filter(
+            F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+            >= threshold
+        )
+        .select("db")
+        .distinct()
+    )
+    d = documents(spark, sf_dir).select("doc_id")
+    return d.join(
+        verified.withColumnRenamed("db", "doc_id").withColumn("drop", F.lit(True)),
+        "doc_id", "left",
+    ).select("doc_id", F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
