@@ -39,3 +39,24 @@ def test_cli_build_search_count(tmp_path, corpus_pdf):
     again = run_cli("build", "--input", str(src), "--index", str(idx),
                     "--partitions", "2", "--resume")
     assert again[0]["max_doc"] == len(corpus_pdf)
+
+
+def test_cli_select_suggest_batch_explain(tmp_path, corpus_pdf):
+    src = tmp_path / "docs.parquet"
+    corpus_pdf.to_parquet(src)
+    idx = tmp_path / "idx2"
+    run_cli("build", "--input", str(src), "--index", str(idx),
+            "--partitions", "2")
+    sel = run_cli("select", "--index", str(idx), "--query", "file",
+                  "--fq", "doclen:[1 TO 10000]", "--rows", "5")
+    assert 0 < len(sel) <= 5 and all("repo" in r for r in sel)
+    sug = run_cli("suggest", "--index", str(idx), "--term", "fil",
+                  "--max-edits", "1")
+    assert any(r["term"] == "file" for r in sug)
+    bat = run_cli("batch", "--index", str(idx), "--queries",
+                  '{"a": "file", "b": "file AND handle"}', "--k", "3")
+    assert {r["query_id"] for r in bat} == {"a", "b"}
+    doc = sel[0]["doc_id"]
+    ex = run_cli("explain", "--index", str(idx), "--query", "file",
+                 "--doc", str(doc))
+    assert ex[0]["match"] is True and ex[0]["value"] > 0

@@ -109,7 +109,7 @@ def cmd_explain(args) -> None:
     from voyagr_spark.search import explain
 
     idx = Index(_spark(), args.index)
-    print(json.dumps(explain(idx, args.query, args.doc), indent=2))
+    print(json.dumps(explain(idx, args.query, args.doc)))
 
 
 def cmd_merge(args) -> None:

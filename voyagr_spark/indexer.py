@@ -476,6 +476,7 @@ class Index:
         self.meta = json.loads((self.dir / "meta.json").read_text())
         self._postings_df = None  # new segment files may exist — re-list
         self._stats_df = None
+        self._df_cache = None  # global stats may have changed
 
     @property
     def live_segments(self) -> list[int] | None:
@@ -511,6 +512,34 @@ class Index:
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(str(self.dir / "manifest"))
+
+    def term_dfs(self, terms) -> dict[str, int]:
+        """Driver-cached term -> docFreq lookups for query planning.
+
+        The per-reader TermContext cache analog (Lucene binds TermStates
+        once per reader; IndexSearcher.java:624-635): repeated query terms
+        skip the stats scan entirely, so a hot query's plan cost is zero
+        Spark jobs.  Absent terms cache as 0.  Invalidated by reload_meta
+        (merges/appends change global stats); deletes leave stats stale by
+        design (S3), matching the reference.
+        """
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            rows = (
+                self.term_stats()
+                .filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                cache[t] = found.get(t, 0)
+            if len(cache) > 1_000_000:  # bound driver memory at huge dicts
+                self._df_cache = dict(list(cache.items())[-500_000:])
+        return {t: cache[t] for t in terms if cache[t] > 0}
 
     # -- deletes (S2/S3/E14): tombstones until merge reclaims ---------------
 

@@ -207,6 +207,7 @@ def merge_segments(
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")
     index._postings_df = None  # new files under segments/ — drop cached listing
+    index._df_cache = None  # live-segment swap can change visible stats
     _append_manifest(
         index.spark,
         index.dir / "manifest",

@@ -659,15 +659,7 @@ def make_plan(
     reference's 1.2/0.75 and bit parity."""
     query = rewrite(query, index)
     terms = sorted(query_terms(query))
-    stats = {}
-    if terms:
-        rows = (
-            index.term_stats()
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        stats = {r["term"]: r["df"] for r in rows}
+    stats = index.term_dfs(terms) if terms else {}
     max_doc = index.max_doc
     idf = {t: bm25.idf(stats[t], max_doc) for t in stats}
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
@@ -822,14 +814,8 @@ def search_many(
     if not all_terms_l:
         return index.spark.createDataFrame([], MANY_SCHEMA)
 
-    # one stats fetch for the whole batch
-    stats = {
-        r["term"]: r["df"]
-        for r in index.term_stats()
-        .filter(F.col("term").isin(all_terms_l))
-        .select("term", "df")
-        .collect()
-    }
+    # one cached stats fetch for the whole batch (Index.term_dfs)
+    stats = index.term_dfs(all_terms_l)
     max_doc = index.max_doc
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
     cache = bm25.norm_cache(avgdl)

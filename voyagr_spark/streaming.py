@@ -63,6 +63,7 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     ranged.unpersist()
     index._postings_df = None  # new files under segments/ — drop cached listing
     index._stats_df = None
+    index._df_cache = None
 
     # recompute global stats (an agg over posting rows; cheap vs the corpus)
     lo = pid_base << 20
