@@ -1,0 +1,68 @@
+"""Seeded randomized differential test: generated queries, engine vs oracle.
+
+The fixed reference query set (test_end_to_end) covers each operator once;
+this sweep composes ~120 random queries from the corpus vocabulary —
+term / AND / OR / NOT / minShouldMatch / phrase / sloppy-phrase / prefix
+mixes, including absent terms and stopwords — and requires rank-identical
+top-10 (ids AND float32 scores) against the oracle for every one.
+Deterministic (seed=7): failures reproduce exactly.
+"""
+
+import numpy as np
+import pytest
+
+
+def _vocab(oracle_index, rng, hot=40):
+    terms = sorted(oracle_index.postings, key=lambda t: -len(oracle_index.postings[t]))
+    head = terms[:hot]
+    tail = [t for t in terms if 2 <= len(oracle_index.postings[t]) <= 5][:200]
+    return head, tail or head
+
+
+def _gen_queries(oracle_index, n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    head, tail = _vocab(oracle_index, rng)
+    absent = ["zzqx", "notaterm9"]
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    out = []
+    for i in range(n):
+        kind = int(rng.integers(0, 8))
+        if kind == 0:
+            out.append(pick(head + tail + absent))
+        elif kind == 1:
+            out.append(f"{pick(head)} AND {pick(tail)}")
+        elif kind == 2:
+            out.append(" OR ".join(pick(head + tail) for _ in range(int(rng.integers(2, 5)))))
+        elif kind == 3:
+            out.append(f"{pick(head)} AND NOT {pick(head)}")
+        elif kind == 4:
+            a, b = pick(head), pick(head)
+            out.append(f'"{a} {b}"')
+        elif kind == 5:
+            a, b = pick(head), pick(head)
+            out.append(f'"{a} {b}"~{int(rng.integers(1, 6))}')
+        elif kind == 6:
+            t = pick(head)
+            out.append(t[: max(2, len(t) - 2)] + "*")
+        else:
+            out.append(f"{pick(head)} {pick(tail)} {pick(absent)}")
+    return out
+
+
+def test_random_query_sweep_rank_identical(built_index, oracle_index):
+    from voyagr_spark.search import search
+
+    queries = _gen_queries(oracle_index)
+    failures = []
+    for q in queries:
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in search(built_index, q, k=10).collect()
+        ]
+        want = [(d, s) for d, s in oracle_index.search(q, 10)]
+        if got != want:
+            failures.append((q, got[:3], want[:3]))
+    assert not failures, failures[:5]
