@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.8 faceting / grouping
         "facet_lang": lambda s, d: R.facet_lang(s, d, _RARE),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
+        "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
         "dedup_exact": lambda s, d: R.dedup_exact(s, d),
         "minhash_signature": lambda s, d: R.minhash_signature(s, d),
@@ -224,6 +225,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored s JOIN documents d USING (doc_id)
                 WHERE s.term = '{_HOT}'
               ) WHERE rn = 1""",
+        "join_by_source": _BASE
+        + f"""SELECT d2.doc_id, d2.source
+              FROM documents d2
+              WHERE d2.source IN (
+                SELECT d.source
+                FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m
+                JOIN documents d USING (doc_id))""",
         "dedup_exact": """
             SELECT doc_id, md5(text) AS fp,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,

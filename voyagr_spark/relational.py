@@ -431,3 +431,29 @@ def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7) -> Dat
         verified.withColumnRenamed("db", "doc_id").withColumn("drop", F.lit(True)),
         "doc_id", "left",
     ).select("doc_id", F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
+
+
+def join_by_source(spark, sf_dir, term: str) -> DataFrame:
+    """q: query-time join (JoinQParserPlugin / GlobalOrdinalsQuery analog,
+    SURVEY §2.8): all docs whose `source` matches the source of ANY doc
+    matching `term` — `{!join from=source to=source}text:term` in Solr
+    syntax.  Constant-score (Solr joins drop scores).
+
+    Spark shape: the matching side reduces to a small distinct key set ->
+    broadcast LEFT SEMI join against the full table; no shuffle of the big
+    side.
+    """
+    d = documents(spark, sf_dir)
+    matching = (
+        terms_tf(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .select("doc_id")
+        .distinct()
+        .join(d, "doc_id")
+        .select("source")
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(matching), "source", "left_semi")
+        .select("doc_id", "source")
+    )
