@@ -13,9 +13,9 @@ dedicated cores.  On a real cluster, 4N executors bring 4N cores AND 4x
 the aggregate memory bandwidth (each node has its own memory controllers).
 On this single box all levels share ONE node's memory bandwidth, and the
 invert kernel (regex tokenization + sort + varint encoding over Arrow
-batches) saturates it around ~16 concurrent workers: a pure-Python
-multiprocessing probe of the same kernel (no Spark) scales 1->8 procs at
-~0.87 efficiency but 8->32 at only ~0.65 — the box, not the engine.  The
+batches) saturates it around ~16 concurrent workers: mp_probe.py (the
+same kernel, no Spark) scales 1->8 procs at ~0.9 efficiency but 8->32 at
+only ~0.65-0.73 — the box, not the engine.  The
 8->32 row is still measured and reported; the 2->8 row is the evidence
 against the >=0.8 target.
 
@@ -274,9 +274,9 @@ instruction — no real cluster available).
 
 Also measured, local[8] -> local[32]: AddDoc efficiency
 {eff(8, 32, "adddoc_files_per_sec")}, full build {eff(8, 32)}.  All levels
-share ONE node's memory bandwidth; a no-Spark multiprocessing probe of the
-same invert kernel scales 1->8 procs at ~0.87 efficiency but 8->32 at
-~0.65 (per-process wall time inflates 1.5x with 32 concurrent tokenizers),
+share ONE node's memory bandwidth; mp_probe.py (the invert kernel with
+no Spark) scales 1->8 procs at ~0.9 efficiency but 8->32 at ~0.65-0.73
+(per-process wall time inflates ~1.4x with 32 concurrent tokenizers),
 so beyond ~8-16 cores this box's memory bus, not the engine, is the
 ceiling.  On a real 4N-executor cluster each node brings its own memory
 controllers, which is what the 2->8 pair emulates.
