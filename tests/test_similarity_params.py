@@ -30,6 +30,37 @@ def test_b_zero_removes_length_norm(built_index):
     assert d0 != db  # length norm changes tie-heavy ordering
 
 
+def test_phrase_respects_custom_k1(built_index):
+    # k1=0 -> tfNorm = freq/(freq+0) = 1, so every phrase match scores exactly
+    # weight_value(sum_idfs, k1=0) = sum_idfs * (0+1).  A leaked default k1
+    # in the phrase weight (ADVICE r1) would score sum_idfs * 2.2 instead.
+    from voyagr_spark import bm25
+
+    rows = search(built_index, '"parse query"', k=50, k1=0.0, b=0.0).collect()
+    assert rows
+    stats = built_index.term_dfs(["parse", "query"])
+    acc = np.float32(0.0)
+    for t in ("parse", "query"):
+        acc = np.float32(acc + bm25.idf(stats[t], built_index.max_doc))
+    want = np.float32(acc * np.float32(1.0))
+    assert all(np.float32(r["score"]) == want for r in rows)
+
+
+def test_sloppy_phrase_custom_k1_consistent(built_index):
+    # sloppy phrase under custom k1: score must use the custom weight too —
+    # with k1=0, score = sum_idfs * sloppyFreq/(sloppyFreq+0) = sum_idfs
+    from voyagr_spark import bm25
+
+    rows = search(built_index, '"parse query"~2', k=50, k1=0.0, b=0.0).collect()
+    assert rows
+    stats = built_index.term_dfs(["parse", "query"])
+    acc = np.float32(0.0)
+    for t in ("parse", "query"):
+        acc = np.float32(acc + bm25.idf(stats[t], built_index.max_doc))
+    want = np.float32(acc * np.float32(1.0))
+    assert all(np.float32(r["score"]) == want for r in rows)
+
+
 def test_pruned_paths_respect_custom_k1b(built_index):
     # block-max WAND + MaxScore must stay rank-identical to unpruned under
     # custom constants (their upper bounds are derived from plan.k1/plan.b)

@@ -61,3 +61,11 @@ def test_select_fq_range(built_index):
 def test_select_bad_fq_raises(built_index):
     with pytest.raises(ValueError):
         solr_select(built_index, "file", fq="nosuchfield:x").collect()
+
+
+def test_select_bad_fl_raises(built_index):
+    # unknown fl fields error loudly (never a silent zero-column projection)
+    with pytest.raises(ValueError):
+        solr_select(built_index, "file", fl="doc_id,nosuchfield")
+    with pytest.raises(ValueError):
+        solr_select(built_index, "file", fl="nosuchfield")

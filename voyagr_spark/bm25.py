@@ -52,9 +52,12 @@ def norm_cache(avgdl: np.float32, k1: float = None, b: float = None) -> np.ndarr
     """
     k1f = K1 if k1 is None else np.float32(k1)
     bf = B if b is None else np.float32(b)
-    return (k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / np.float32(avgdl))).astype(
-        np.float32
-    )
+    # b=0 hits 0*inf at NORM_TABLE[0] -> NaN, matching Java's 0f*Infinity;
+    # silence the numpy warning so real NaN bugs elsewhere stay visible
+    with np.errstate(invalid="ignore"):
+        return (
+            k1f * ((np.float32(1.0) - bf) + bf * NORM_TABLE / np.float32(avgdl))
+        ).astype(np.float32)
 
 
 def weight_value(idf_sum: np.float32, boost: float = 1.0,

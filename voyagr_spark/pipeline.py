@@ -297,10 +297,14 @@ def ivf_train_centroids(
     """
     src = emb.select(vec_col)
     if sample_fraction is not None:
-        # at scale: a seeded uniform sample, NOT limit() (limit reads only
-        # the first partitions — biased if the table is clustered)
+        # seeded uniform pre-thin for huge tables: sample first so the
+        # ordered take below touches ~fraction of the rows
         src = src.sample(False, sample_fraction, seed=seed)
-    pdf = src.limit(sample_rows).toPandas()
+    # seeded uniform take by default: orderBy(rand).limit compiles to
+    # TakeOrderedAndProject (per-partition top-k + driver merge, no global
+    # sort), so the training sample is unbiased even on clustered tables —
+    # a bare limit() would read only the first partitions
+    pdf = src.orderBy(F.rand(seed)).limit(sample_rows).toPandas()
     x = _l2_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),

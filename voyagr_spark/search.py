@@ -470,7 +470,7 @@ def _phrase_scorer(q: PhraseQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
     survivor_ord = keys >> 22
     freq = np.bincount(survivor_ord, minlength=docs.size)
     m = freq > 0
-    wv = bm25.weight_value(_sum_idfs(plan, q.terms))
+    wv = bm25.weight_value(_sum_idfs(plan, q.terms), k1=plan.k1)
     # score(doc, phraseFreq): ExactPhraseScorer.java:108-110
     norms = rows[q.terms[0]].norms()[idxmap[q.terms[0]]]
     scores = bm25.score(freq[m].astype(np.float32), norms[m], plan.cache, wv)
@@ -503,7 +503,7 @@ def _sloppy_scorer(
     m = freqs > 0
     if not m.any():
         return _EMPTY
-    wv = bm25.weight_value(_sum_idfs(plan, q.terms))
+    wv = bm25.weight_value(_sum_idfs(plan, q.terms), k1=plan.k1)
     norms = rows[q.terms[0]].norms()[idxmap[q.terms[0]]]
     scores = bm25.score(freqs[m], norms[m], plan.cache, wv)
     return docs[m], scores

@@ -100,6 +100,8 @@ def solr_select(
     if fl:
         if isinstance(fl, str):
             fl = [c.strip() for c in fl.split(",")]
-        cols = [c for c in fl if c in _DOCMAP_FIELDS or c in ("doc_id", "score")]
-        return paged.select(*cols)
+        unknown = [c for c in fl if c not in _DOCMAP_FIELDS and c not in ("doc_id", "score")]
+        if unknown:  # loud, like _fq_predicate: never a zero-column projection
+            raise ValueError(f"unknown fl field(s): {unknown}")
+        return paged.select(*fl)
     return paged.select("doc_id", "score", "repo", "path", "commit", "lang")
