@@ -60,6 +60,181 @@ _OR3 = ["fast", "key", "vector"]
 
 
 # ---------------------------------------------------------------------------
+# float32 / SmallFloat-quantized oracle prefix for the ENGINE-NATIVE entries
+# ---------------------------------------------------------------------------
+#
+# The engine scores in Java-float (float32) with SmallFloat-quantized norms
+# (bm25.py / smallfloat.py; BM25Similarity.java:97-99,207-238).  DuckDB
+# promotes FLOAT arithmetic to DOUBLE, but rounding each operation back to
+# FLOAT reproduces float32 arithmetic bit-exactly (binary64 has > 2p+2 bits
+# of binary32, so the double-rounding is innocuous for + - * /), so the SQL
+# below casts after EVERY operation in the same order numpy executes them.
+# The quantized field length NORM_TABLE[floatToByte315(1/sqrt(doclen))] is a
+# step function of doclen, inlined as a (lo, hi, qlen) boundary table.
+
+
+def _qlen_rows(max_len: int = 10**12) -> str:
+    """(lo, hi, qlen) VALUES rows: doclen range -> quantized decoded length."""
+    import numpy as np
+
+    from voyagr_spark.smallfloat import NORM_TABLE, encode_norm
+
+    def byte_of(n: int) -> int:
+        return int(encode_norm(np.array([n], dtype=np.int64))[0])
+
+    rows = []
+    lo = 1
+    while lo <= max_len:
+        b = byte_of(lo)
+        hi, step = lo, 1
+        while hi + step <= max_len and byte_of(hi + step) == b:
+            hi += step
+            step *= 2
+        lo2, hi2 = hi, min(hi + step, max_len)
+        while lo2 < hi2:  # largest doclen still encoding to byte b
+            mid = (lo2 + hi2 + 1) // 2
+            if byte_of(mid) == b:
+                lo2 = mid
+            else:
+                hi2 = mid - 1
+        # CAST .. AS DOUBLE: a bare decimal literal parses as DECIMAL(28,15),
+        # whose FLOAT conversion is NOT the float32 the engine uses
+        rows.append(f"({lo}, {lo2}, CAST({float(NORM_TABLE[b])!r} AS DOUBLE))")
+        lo = lo2 + 1
+    return ", ".join(rows)
+
+
+def _engine_base_sql() -> str:
+    """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
+    per-(term, doc) BM25 scores with quantized norms (bit parity with the
+    engine's numpy scorer; see cast discipline note above)."""
+    # cache[nb] = fl(1.2f * fl(0.25f + fl(fl(0.75f*qlen)/avgdl)))  (bm25.norm_cache)
+    cache = (
+        "CAST(CAST(1.2 AS FLOAT) * CAST(CAST(0.25 AS FLOAT) + "
+        "CAST(CAST(CAST(0.75 AS FLOAT) * CAST(q.qlen AS FLOAT) AS FLOAT) "
+        "/ cs.avgdl AS FLOAT) AS FLOAT) AS FLOAT)"
+    )
+    return f"""
+WITH docmap AS (
+  SELECT row_number() OVER (
+           ORDER BY source ASC, 'doc/' || CAST(doc_id AS VARCHAR) ASC,
+                    md5(text) ASC) - 1 AS doc_id,
+         text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lower(t) AS term, p AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS t,
+           unnest(range(len(string_split(text, ' ')))) AS p
+    FROM docmap
+  )
+),
+terms AS (SELECT * FROM tok WHERE term NOT IN {_STOP_SQL}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM terms GROUP BY doc_id),
+qlens(lo, hi, qlen) AS (VALUES {_qlen_rows()}),
+st AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+cs AS (
+  SELECT (SELECT count(*) FROM docmap)::BIGINT AS n,
+         CAST((SELECT sum(doclen) FROM dl) /
+              CAST((SELECT count(*) FROM docmap) AS DOUBLE) AS FLOAT) AS avgdl
+),
+-- idf = (float) ln(1 + (n - df + 0.5)/(df + 0.5))   (BM25Similarity.java:66-69)
+w AS (
+  SELECT st.term,
+         CAST(CAST(ln(1.0 + (CAST(cs.n AS DOUBLE) - st.df + 0.5) / (st.df + 0.5))
+                   AS FLOAT)
+              * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+              AS FLOAT) AS wv,
+         CAST(ln(1.0 + (CAST(cs.n AS DOUBLE) - st.df + 0.5) / (st.df + 0.5))
+              AS FLOAT) AS idf
+  FROM st CROSS JOIN cs
+),
+qn AS (
+  SELECT dl.doc_id, {cache} AS cache
+  FROM dl JOIN qlens q ON dl.doclen BETWEEN q.lo AND q.hi CROSS JOIN cs
+),
+-- score = fl(fl(wv*tf) / fl(tf + cache[norm]))      (BM25Similarity.java:228)
+fscored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(CAST(w.wv * CAST(tf.tf AS FLOAT) AS FLOAT)
+              / CAST(CAST(tf.tf AS FLOAT) + qn.cache AS FLOAT) AS FLOAT) AS score
+  FROM tf
+  JOIN qn ON tf.doc_id = qn.doc_id
+  JOIN w ON tf.term = w.term
+)
+"""
+
+
+def _engine_batch_sql(k: int = 10) -> str:
+    """UNION ALL of the four per-query oracles, tagged with query_id."""
+    parts = [
+        f"""SELECT '{qid}' AS query_id, rank, doc_id, score FROM (
+              SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                     doc_id, score
+              FROM ({inner})
+            ) WHERE rank <= {k}"""
+        for qid, inner in [
+            ("hot", _SQL_TERM.format(t=_HOT)), ("and", _SQL_AND),
+            ("or", _SQL_OR), ("phrase", _SQL_PHRASE),
+        ]
+    ]
+    return _engine_base_sql() + " UNION ALL ".join(parts)
+
+
+def _engine_topk_sql(inner: str, k: int = 10) -> str:
+    return (
+        _engine_base_sql()
+        + f"""SELECT rank, doc_id, score FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                 doc_id, score
+          FROM ({inner})
+        ) WHERE rank <= {k}"""
+    )
+
+
+_SQL_TERM = "SELECT doc_id, score FROM fscored WHERE term = '{t}'"
+_SQL_AND = f"""
+  SELECT a.doc_id, CAST(a.score + b.score AS FLOAT) AS score
+  FROM ({_SQL_TERM.format(t=_HOT)}) a
+  JOIN ({_SQL_TERM.format(t=_RARE)}) b USING (doc_id)"""
+# float32 sums accumulate in CLAUSE order with absent terms skipped; adding
+# float32 zero is exact, so COALESCE(x, 0) keeps bit parity (search.py
+# _union_scorer / _or_maxscore accumulate the same way)
+_SQL_OR = f"""
+  SELECT u.doc_id,
+         CAST(CAST(COALESCE(s0.score, CAST(0 AS FLOAT))
+                   + COALESCE(s1.score, CAST(0 AS FLOAT)) AS FLOAT)
+              + COALESCE(s2.score, CAST(0 AS FLOAT)) AS FLOAT) AS score
+  FROM (SELECT DISTINCT doc_id FROM fscored
+        WHERE term IN ('{_OR3[0]}', '{_OR3[1]}', '{_OR3[2]}')) u
+  LEFT JOIN ({_SQL_TERM.format(t=_OR3[0])}) s0 USING (doc_id)
+  LEFT JOIN ({_SQL_TERM.format(t=_OR3[1])}) s1 USING (doc_id)
+  LEFT JOIN ({_SQL_TERM.format(t=_OR3[2])}) s2 USING (doc_id)"""
+# phrase: freq = adjacent-position alignments; weight = fl-summed idfs * (k1+1)
+_SQL_PHRASE = """
+  SELECT ph.doc_id,
+         CAST(CAST(pw.wv * CAST(ph.freq AS FLOAT) AS FLOAT)
+              / CAST(CAST(ph.freq AS FLOAT) + qn.cache AS FLOAT) AS FLOAT) AS score
+  FROM (
+    SELECT a.doc_id, count(*)::BIGINT AS freq
+    FROM (SELECT doc_id, pos FROM tok WHERE term = 'fast') a
+    JOIN (SELECT doc_id, pos FROM tok WHERE term = 'key') b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+  ) ph
+  JOIN qn ON ph.doc_id = qn.doc_id
+  CROSS JOIN (
+    SELECT CAST(CAST((SELECT idf FROM w WHERE term = 'fast')
+                     + (SELECT idf FROM w WHERE term = 'key') AS FLOAT)
+                * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+                AS FLOAT) AS wv
+  ) pw"""
+
+
+# ---------------------------------------------------------------------------
 # engine-native path (rows-only check; float32 contract tested in tests/)
 # ---------------------------------------------------------------------------
 
@@ -100,6 +275,27 @@ def _engine_search(qtext: str, k: int = 10):
 
         idx = _engine_index(spark, sf_dir)
         return search(idx, qtext, k=k)
+
+    return run
+
+
+def _engine_search_ranked(qtext: str, k: int = 10):
+    """Engine top-k as (rank, doc_id, score) — the DuckDB-gated shape.
+
+    The rank window runs over the already-limited k-row result (k2/k3 merge
+    done), so it is not a scale concern."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from voyagr_spark.search import search
+
+        idx = _engine_index(spark, sf_dir)
+        res = search(idx, qtext, k=k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return res.select(
+            F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+        )
 
     return run
 
@@ -147,11 +343,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
-        # engine-native (rows-only check; bit-exact parity in tests/)
-        "engine_topk_hot": _engine_search(_HOT, 10),
-        "engine_topk_and": _engine_search(f"{_HOT} AND {_RARE}", 10),
-        "engine_topk_or": _engine_search(" OR ".join(_OR3), 10),
-        "engine_topk_phrase": _engine_search('"fast key"', 10),
+        # engine-native path, DuckDB-gated bit-exactly: the oracle reproduces
+        # the float32 + SmallFloat-quantized-norm pipeline in SQL (see
+        # _engine_base_sql), so rows+schema+hash compare on (rank, doc_id,
+        # float32 score)
+        "engine_topk_hot": _engine_search_ranked(_HOT, 10),
+        "engine_topk_and": _engine_search_ranked(f"{_HOT} AND {_RARE}", 10),
+        "engine_topk_or": _engine_search_ranked(" OR ".join(_OR3), 10),
+        "engine_topk_phrase": _engine_search_ranked('"fast key"', 10),
         "engine_batch_topk": _engine_batch,
     }
     return q
@@ -159,15 +358,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched execution (search_many): one job, many queries — rank-identical
-    to the per-query engine_topk_* entries above (rows-only check)."""
+    per query to the engine_topk_* entries, DuckDB-gated the same way."""
+    from pyspark.sql import Window
+
     from voyagr_spark.search import search_many
 
     idx = _engine_index(spark, sf_dir)
-    return search_many(
+    res = search_many(
         idx,
         {"hot": _HOT, "and": f"{_HOT} AND {_RARE}", "or": " OR ".join(_OR3),
          "phrase": '"fast key"'},
         k=10,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        "query_id", F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
     )
 
 
@@ -325,6 +531,12 @@ def oracle_sql() -> dict[str, str]:
              WHERE length(term) BETWEEN 3 AND 7 AND term != 'batcj'
                AND levenshtein(term, 'batcj') <= 2
              ORDER BY dist ASC, df DESC, term ASC LIMIT 5""",
+        # engine-native entries: bit-exact float32 + quantized-norm pipeline
+        "engine_topk_hot": _engine_topk_sql(_SQL_TERM.format(t=_HOT)),
+        "engine_topk_and": _engine_topk_sql(_SQL_AND),
+        "engine_topk_or": _engine_topk_sql(_SQL_OR),
+        "engine_topk_phrase": _engine_topk_sql(_SQL_PHRASE),
+        "engine_batch_topk": _engine_batch_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
             z AS (
