@@ -213,6 +213,43 @@ _SQL_OR = f"""
   LEFT JOIN ({_SQL_TERM.format(t=_OR3[0])}) s0 USING (doc_id)
   LEFT JOIN ({_SQL_TERM.format(t=_OR3[1])}) s1 USING (doc_id)
   LEFT JOIN ({_SQL_TERM.format(t=_OR3[2])}) s2 USING (doc_id)"""
+def _sql_term_boosted(t: str, boost: float) -> str:
+    """Boosted term score: wv = fl(fl(idf*boost) * fl(k1+1)) (weight_value)."""
+    return f"""
+  SELECT tf.doc_id,
+         CAST(CAST(w2.wv * CAST(tf.tf AS FLOAT) AS FLOAT)
+              / CAST(CAST(tf.tf AS FLOAT) + qn.cache AS FLOAT) AS FLOAT) AS score
+  FROM tf
+  JOIN qn ON tf.doc_id = qn.doc_id
+  JOIN (SELECT term,
+               CAST(CAST(idf * CAST({boost!r} AS FLOAT) AS FLOAT)
+                    * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+                    AS FLOAT) AS wv
+        FROM w) w2 ON tf.term = w2.term
+  WHERE tf.term = '{t}'"""
+
+
+# (fast OR key) AND batch: group score = clause-ordered fl sum; then the
+# outer MUST adds batch's score in one more fl add (search._bool_scorer)
+_SQL_GROUPED = f"""
+  SELECT g.doc_id, CAST(g.score + b.score AS FLOAT) AS score
+  FROM (
+    SELECT u.doc_id,
+           CAST(COALESCE(s0.score, CAST(0 AS FLOAT))
+                + COALESCE(s1.score, CAST(0 AS FLOAT)) AS FLOAT) AS score
+    FROM (SELECT DISTINCT doc_id FROM fscored
+          WHERE term IN ('fast', 'key')) u
+    LEFT JOIN ({_SQL_TERM.format(t='fast')}) s0 USING (doc_id)
+    LEFT JOIN ({_SQL_TERM.format(t='key')}) s1 USING (doc_id)
+  ) g
+  JOIN ({_SQL_TERM.format(t=_HOT)}) b USING (doc_id)"""
+
+# constant-score prefix vec*: term range [vec, ved), score = 1.0f
+_SQL_PREFIX = """
+  SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+  FROM tf WHERE term >= 'vec' AND term < 'ved'"""
+
+
 # phrase: freq = adjacent-position alignments; weight = fl-summed idfs * (k1+1)
 _SQL_PHRASE = """
   SELECT ph.doc_id,
@@ -340,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
         "suggest_term": lambda s, d: R.suggest_term(s, d, "batcj", 2, 5),
+        # §2.5 P5 multi-term family (relational form)
+        "wildcard_term": lambda s, d: R.wildcard_term(s, d, "f%st"),
+        "term_range": lambda s, d: R.term_range_docs(s, d, "fast", "file"),
+        "fuzzy_term": lambda s, d: R.fuzzy_term(s, d, "batcj", 2),
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
@@ -351,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_topk_and": _engine_search_ranked(f"{_HOT} AND {_RARE}", 10),
         "engine_topk_or": _engine_search_ranked(" OR ".join(_OR3), 10),
         "engine_topk_phrase": _engine_search_ranked('"fast key"', 10),
+        "engine_topk_grouped": _engine_search_ranked(f"(fast OR key) AND {_HOT}", 10),
+        "engine_topk_boost": _engine_search_ranked(f"{_HOT}^2 OR {_RARE}", 10),
+        "engine_prefix": _engine_search_ranked("vec*", 10),
         "engine_batch_topk": _engine_batch,
     }
     return q
@@ -531,11 +575,41 @@ def oracle_sql() -> dict[str, str]:
              WHERE length(term) BETWEEN 3 AND 7 AND term != 'batcj'
                AND levenshtein(term, 'batcj') <= 2
              ORDER BY dist ASC, df DESC, term ASC LIMIT 5""",
+        # §2.5 P5 multi-term family (relational double form)
+        "wildcard_term": _BASE
+        + """SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms
+             FROM tf WHERE term LIKE 'f%st' GROUP BY doc_id""",
+        "term_range": _BASE
+        + """SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms
+             FROM tf WHERE term >= 'fast' AND term <= 'file' GROUP BY doc_id""",
+        "fuzzy_term": _BASE
+        + """, cand AS (
+              SELECT term,
+                     CASE WHEN levenshtein(term, 'batcj') = 0 THEN 1.0
+                          ELSE 1.0 - levenshtein(term, 'batcj') * 1.0
+                               / least(length(term), 5) END AS boost
+              FROM st
+              WHERE length(term) BETWEEN 3 AND 7
+                AND levenshtein(term, 'batcj') <= 2)
+            SELECT s.doc_id, count(*)::BIGINT AS nmatch,
+                   round(sum(c.boost * s.score), 4) AS score4
+            FROM scored s JOIN cand c ON s.term = c.term
+            GROUP BY s.doc_id""",
         # engine-native entries: bit-exact float32 + quantized-norm pipeline
         "engine_topk_hot": _engine_topk_sql(_SQL_TERM.format(t=_HOT)),
         "engine_topk_and": _engine_topk_sql(_SQL_AND),
         "engine_topk_or": _engine_topk_sql(_SQL_OR),
         "engine_topk_phrase": _engine_topk_sql(_SQL_PHRASE),
+        "engine_topk_grouped": _engine_topk_sql(_SQL_GROUPED),
+        "engine_topk_boost": _engine_topk_sql(
+            f"SELECT u.doc_id, CAST(COALESCE(b2.score, CAST(0 AS FLOAT))"
+            f" + COALESCE(d1.score, CAST(0 AS FLOAT)) AS FLOAT) AS score"
+            f" FROM (SELECT DISTINCT doc_id FROM fscored"
+            f"       WHERE term IN ('{_HOT}', '{_RARE}')) u"
+            f" LEFT JOIN ({_sql_term_boosted(_HOT, 2.0)}) b2 USING (doc_id)"
+            f" LEFT JOIN ({_SQL_TERM.format(t=_RARE)}) d1 USING (doc_id)"
+        ),
+        "engine_prefix": _engine_topk_sql(_SQL_PREFIX),
         "engine_batch_topk": _engine_batch_sql(),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

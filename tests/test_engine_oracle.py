@@ -21,6 +21,9 @@ ENGINE_ENTRIES = [
     "engine_topk_and",
     "engine_topk_or",
     "engine_topk_phrase",
+    "engine_topk_grouped",
+    "engine_topk_boost",
+    "engine_prefix",
     "engine_batch_topk",
 ]
 

@@ -21,15 +21,43 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ConstScoreMulti,
     ConstScoreTerms,
     DisjunctionMaxQuery,
+    FuzzyQuery,
     MatchNoDocsQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
     TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
     parse,
 )
 from .smallfloat import encode_norm
+
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Plain DP edit distance with an early-out cap (oracle-side twin of
+    F.levenshtein; independent of the Spark implementation)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
 
 
 class OracleIndex:
@@ -77,31 +105,63 @@ class OracleIndex:
     def _term_matches(self, term: str) -> dict[int, int]:
         return {d: len(ps) for d, ps in self.postings.get(term, {}).items()}
 
-    def _clause(self, q, cache) -> dict[int, np.float32]:
+    def _clause(self, q, cache, boost: float = 1.0) -> dict[int, np.float32]:
         if isinstance(q, TermQuery):
-            wv = bm25.weight_value(self._idf(q.term))
+            wv = bm25.weight_value(self._idf(q.term), boost=boost * q.boost)
             return {
                 d: self._score_doc(d, tf, wv, cache)
                 for d, tf in self._term_matches(q.term).items()
             }
         if isinstance(q, PhraseQuery):
-            return self._phrase(q, cache)
+            return self._phrase(q, cache, boost * q.boost)
         if isinstance(q, BooleanQuery):
-            return self._bool(q, cache)
+            return self._bool(q, cache, boost * q.boost)
         if isinstance(q, PrefixQuery):
-            terms = tuple(sorted(t for t in self.postings if t.startswith(q.prefix)))
-            return self._clause(ConstScoreTerms(terms), cache) if terms else {}
+            return self._multi(
+                lambda t: t.startswith(q.prefix), boost * q.boost)
+        if isinstance(q, WildcardQuery):
+            import re as _re
+
+            pat = "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in q.pattern
+            )
+            return self._multi(
+                lambda t: _re.fullmatch(pat, t) is not None, boost * q.boost)
+        if isinstance(q, RegexpQuery):
+            import re as _re
+
+            return self._multi(
+                lambda t: _re.fullmatch(q.pattern, t) is not None,
+                boost * q.boost)
+        if isinstance(q, TermRangeQuery):
+            def in_range(t: str) -> bool:
+                if q.lower is not None and (
+                    t < q.lower if q.include_lower else t <= q.lower
+                ):
+                    return False
+                if q.upper is not None and (
+                    t > q.upper if q.include_upper else t >= q.upper
+                ):
+                    return False
+                return True
+
+            return self._multi(in_range, boost * q.boost)
+        if isinstance(q, ConstScoreMulti):
+            return self._multi(q.matches, boost * q.boost)
+        if isinstance(q, FuzzyQuery):
+            return self._bool(self._fuzzy_rewrite(q), cache, boost)
         if isinstance(q, ConstScoreTerms):
             out: dict[int, np.float32] = {}
             for t in q.terms:
                 for d in self.postings.get(t, {}):
-                    out[d] = np.float32(q.boost)
+                    out[d] = np.float32(boost * q.boost)
             return out
         if isinstance(q, DisjunctionMaxQuery):
             smax: dict[int, np.float32] = {}
             ssum: dict[int, np.float32] = {}
             for sub in q.disjuncts:
-                for d, s in self._clause(sub, cache).items():
+                for d, s in self._clause(sub, cache, boost * q.boost).items():
                     smax[d] = max(smax.get(d, np.float32(-np.inf)), s)
                     ssum[d] = np.float32(ssum.get(d, np.float32(0.0)) + s)
             tie = np.float32(q.tie)
@@ -113,14 +173,51 @@ class OracleIndex:
             return {}
         raise TypeError(type(q))
 
-    def _bool(self, q: BooleanQuery, cache) -> dict[int, np.float32]:
+    def _multi(self, pred, boost: float) -> dict[int, np.float32]:
+        """Constant-score union of all dictionary terms matching `pred`."""
+        out: dict[int, np.float32] = {}
+        for t, plist in self.postings.items():
+            if pred(t):
+                for d in plist:
+                    out[d] = np.float32(boost)
+        return out
+
+    def _fuzzy_rewrite(self, q: FuzzyQuery):
+        """Independent fuzzy expansion: pure-Python edit distance, same
+        contract as search._rewrite_fuzzy (FuzzyTermsEnum boost, top
+        max_expansions by (sim desc, term asc), clause order term asc)."""
+        cands = []
+        n = len(q.term)
+        for t in self.postings:
+            if abs(len(t) - n) > q.max_edits:
+                continue
+            if q.prefix_length and not t.startswith(q.term[: q.prefix_length]):
+                continue
+            dist = _levenshtein(t, q.term, q.max_edits)
+            if dist > q.max_edits:
+                continue
+            sim = 1.0 if dist == 0 else 1.0 - dist / min(len(t), n)
+            cands.append((t, sim))
+        cands.sort(key=lambda ts: (-ts[1], ts[0]))
+        cands = sorted(cands[: q.max_expansions])
+        if not cands:
+            return BooleanQuery(())
+        return BooleanQuery(
+            tuple(
+                (SHOULD, TermQuery(t, boost=sim * q.boost)) for t, sim in cands
+            )
+        )
+
+    def _bool(
+        self, q: BooleanQuery, cache, boost: float = 1.0
+    ) -> dict[int, np.float32]:
         must = [s for o, s in q.clauses if o == MUST]
         should = [s for o, s in q.clauses if o == SHOULD]
         must_not = [s for o, s in q.clauses if o == MUST_NOT]
         if must:
             res: dict[int, np.float32] | None = None
             for m in must:
-                part = self._clause(m, cache)
+                part = self._clause(m, cache, boost)
                 if res is None:
                     res = dict(part)
                 else:
@@ -129,7 +226,7 @@ class OracleIndex:
                     }
             assert res is not None
             for sh in should:
-                part = self._clause(sh, cache)
+                part = self._clause(sh, cache, boost)
                 for d in res:
                     if d in part:
                         res[d] = np.float32(res[d] + part[d])
@@ -137,21 +234,23 @@ class OracleIndex:
             res = {}
             counts: dict[int, int] = {}
             for sh in should:
-                for d, s in self._clause(sh, cache).items():
+                for d, s in self._clause(sh, cache, boost).items():
                     res[d] = np.float32(res.get(d, np.float32(0.0)) + s)
                     counts[d] = counts.get(d, 0) + 1
             if q.min_should_match > 1:
                 res = {d: s for d, s in res.items() if counts[d] >= q.min_should_match}
         for mn in must_not:
-            for d in self._clause(mn, cache):
+            for d in self._clause(mn, cache, boost):
                 res.pop(d, None)
         return res
 
-    def _phrase(self, q: PhraseQuery, cache) -> dict[int, np.float32]:
+    def _phrase(
+        self, q: PhraseQuery, cache, boost: float = 1.0
+    ) -> dict[int, np.float32]:
         idf = np.float32(0.0)
         for t in q.terms:
             idf = np.float32(idf + self._idf(t))
-        wv = bm25.weight_value(idf)
+        wv = bm25.weight_value(idf, boost=boost)
         plists = [self.postings.get(t, {}) for t in q.terms]
         if any(not p for p in plists):
             return {}

@@ -212,6 +212,57 @@ def group_top1(spark, sf_dir, term: str) -> DataFrame:
     )
 
 
+def wildcard_term(spark, sf_dir, pattern: str) -> DataFrame:
+    """q: wildcard match over the dictionary (P5 WildcardQuery, relational
+    form): docs containing >=1 term LIKE pattern, with the matching-term
+    count.  Constant-score semantics — no scores."""
+    t = terms_tf(spark, sf_dir).filter(F.col("term").like(pattern))
+    return t.groupBy("doc_id").agg(F.count_distinct("term").alias("n_terms"))
+
+
+def term_range_docs(spark, sf_dir, lo: str, hi: str) -> DataFrame:
+    """q: inclusive term-range match (P5 TermRangeQuery, relational form)."""
+    t = terms_tf(spark, sf_dir).filter(
+        (F.col("term") >= lo) & (F.col("term") <= hi)
+    )
+    return t.groupBy("doc_id").agg(F.count_distinct("term").alias("n_terms"))
+
+
+def fuzzy_term(spark, sf_dir, term: str, max_edits: int = 2) -> DataFrame:
+    """q: FuzzyQuery (P5), relational double-precision form: expand to all
+    dictionary terms within max_edits, score each as a boosted TermQuery
+    (boost = 1 - dist/min(len, len(term)); FuzzyTermsEnum similarity), sum
+    per doc.  The engine's float32 capped twin is tested against the Python
+    oracle in tests/test_multiterm.py."""
+    t = term.lower()
+    n = len(t)
+    cand = (
+        term_stats(spark, sf_dir)
+        .filter(
+            (F.length("term") >= n - max_edits)
+            & (F.length("term") <= n + max_edits)
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+        .filter(F.col("dist") <= max_edits)
+        .withColumn(
+            "boost",
+            F.when(F.col("dist") == 0, F.lit(1.0)).otherwise(
+                F.lit(1.0) - F.col("dist") / F.least(F.length("term"), F.lit(n))
+            ),
+        )
+        .select("term", "boost")
+    )
+    s = _scored(spark, sf_dir).join(F.broadcast(cand), "term")
+    return (
+        s.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nmatch"),
+            F.round(F.sum(F.col("boost") * F.col("score")), 4).alias("score4"),
+        )
+        .select("doc_id", "nmatch", "score4")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops
 # ---------------------------------------------------------------------------
