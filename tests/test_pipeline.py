@@ -96,3 +96,73 @@ def test_multimodal_plumbing(spark):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         extract_features(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket cap (degenerate LSH buckets; VERDICT r1 #9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted_cluster_dir(spark, tmp_path_factory):
+    """300 byte-identical docs + 50 unique docs, as a documents.parquet."""
+    import pandas as pd
+
+    n_dup, n_uniq = 300, 50
+    texts = (
+        ["common boilerplate text shared across every duplicate document"]
+        * n_dup
+        + [
+            f"unique document number {i} carrying words w{i} x{i} y{i} z{i}"
+            for i in range(n_uniq)
+        ]
+    )
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts,
+         "lang": ["en"] * len(texts), "source": ["s"] * len(texts)}
+    )
+    d = tmp_path_factory.mktemp("planted")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    return str(d), n_dup, n_uniq
+
+
+def test_dedup_bucket_cap_same_decisions_bounded_candidates(spark, planted_cluster_dir):
+    from pyspark.sql import functions as F
+
+    from voyagr_spark import relational as R
+
+    sf, n_dup, n_uniq = planted_cluster_dir
+    uncapped = {r["doc_id"]: r["keep"]
+                for r in R.dedup_pipeline(spark, sf, 4, 0.7).collect()}
+    capped = {r["doc_id"]: r["keep"]
+              for r in R.dedup_pipeline(spark, sf, 4, 0.7, bucket_cap=32).collect()}
+    assert capped == uncapped
+    assert sum(v for v in capped.values()) == 1 + n_uniq  # one dup survives
+    # candidate volume: linear in bucket size, not quadratic
+    sig = R.minhash_signature(spark, sf, 4)
+    parts = [
+        sig.select(F.lit(j).alias("band"), F.col(f"mh{j}").alias("sig"), "doc_id")
+        for j in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    n_capped = R._lsh_candidates(u, 32).count()
+    n_uncapped = R._lsh_candidates(u, None).count()
+    assert n_capped < 10 * (n_dup + n_uniq)
+    assert n_uncapped > n_dup * (n_dup - 1) // 2  # the trap the cap avoids
+
+
+def test_simhash_bucket_cap_keeps_min_links(spark, planted_cluster_dir):
+    from voyagr_spark.pipeline import simhash, simhash_near_dup_pairs
+
+    sf, n_dup, _ = planted_cluster_dir
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sigs = simhash(docs)
+    capped = simhash_near_dup_pairs(sigs, max_hamming=3, bucket_cap=32)
+    rows = capped.collect()
+    # every duplicate still links (directly) to the cluster minimum at h=0,
+    # so min-retention dedup reaches the same decisions as all-pairs
+    linked_to_min = {r["doc_b"] for r in rows if r["doc_a"] == 0 and r["hamming"] == 0}
+    assert linked_to_min >= set(range(1, n_dup))
+    assert len(rows) < 10 * n_dup  # bounded, not ~n_dup^2/2

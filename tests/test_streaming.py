@@ -50,3 +50,64 @@ def test_streamed_index_rank_identical(streamed, q):
     got = [(r["doc_id"], r["score"]) for r in search(idx, q, k=10).collect()]
     want = oracle.search(q, 10)
     assert got == [(d, s) for d, s in want], q
+
+
+def test_incremental_stats_equal_full_recompute(streamed):
+    # after two appends, the versioned stats table must equal a from-scratch
+    # aggregation over ALL posting rows (associative merge correctness)
+    from pyspark.sql import functions as F
+
+    idx, _ = streamed
+    assert idx.meta["stats_dir"].startswith("term_stats_v")
+    full = (
+        idx.postings()
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("ttf").alias("ttf"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_len").alias("min_len"),
+        )
+    )
+    inc = idx.term_stats()
+    a = {r["term"]: (r["df"], r["ttf"], r["max_tf"], r["min_len"])
+         for r in inc.collect()}
+    b = {r["term"]: (r["df"], r["ttf"], r["max_tf"], r["min_len"])
+         for r in full.collect()}
+    assert a == b
+
+
+def test_append_stats_input_is_o_batch(streamed):
+    # the incremental aggregate's scan must push the seg-range predicate so
+    # parquet footer min/max prunes pre-append files (O(batch) input)
+    from voyagr_spark.streaming import STREAM_PARTITION_BASE, new_segment_postings
+
+    idx, _ = streamed
+    lo = STREAM_PARTITION_BASE << 20
+    hi = (STREAM_PARTITION_BASE + 4) << 20
+    plan = (
+        new_segment_postings(idx, lo, hi)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(seg" in l and "LessThan(seg" in l
+               for l in pushed), pushed
+
+
+def test_new_seg_ids_derived_without_scan(streamed):
+    # seg ids in the manifest match the deterministic (pid_base, counts)
+    # derivation — and every derived id actually exists on disk
+    idx, _ = streamed
+    manifest = idx.manifest()
+    appended = {
+        r["seg"]
+        for r in manifest.filter(
+            manifest["stage"].startswith("append_epoch")
+        ).collect()
+    }
+    on_disk = {
+        r["seg"]
+        for r in idx.postings().select("seg").distinct().collect()
+        if r["seg"] >= (1 << 30) << 20
+    }
+    assert appended == on_disk and appended

@@ -163,6 +163,24 @@ def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
     return varint_encode(np.concatenate(parts).astype(np.uint64))
 
 
+def encode_positions_flat(flat_abs: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Vectorized inverse of decode_positions_flat: encode a flat array of
+    absolute positions (doc boundaries given by the tf stream) as per-doc
+    restarted deltas in ONE numpy pass — no per-doc Python loop.  This is the
+    hot-term merge path (a stopword-like term can carry millions of
+    positions in one task); same segmented-delta trick as invert_flush."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat = np.asarray(flat_abs, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    d = np.empty_like(flat)
+    d[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=d[1:])
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    d[starts] = flat[starts]  # absolute restart at each doc's first position
+    return varint_encode(d.astype(np.uint64))
+
+
 def decode_positions(pos_blob: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     """Inverse of encode_positions given the tf (position-count) array."""
     tfs = np.asarray(tfs, dtype=np.int64)

@@ -74,11 +74,13 @@ def plan_merges(seg_bytes: dict[int, int]) -> list[list[int]]:
 
 
 def _merge_term(pdf: pd.DataFrame, new_seg: int,
-                deleted: np.ndarray | None = None) -> pd.DataFrame:
+                tombstones: tuple[str, int] | None = None) -> pd.DataFrame:
     """Merge one (term, bucket) group: decode, concat doc-ordered, re-encode.
 
     Tombstoned docs are dropped here — merge is where deletes are reclaimed
-    (SegmentMerger.java:74-116 skips non-live docs)."""
+    (SegmentMerger.java:74-116 skips non-live docs).  Tombstones are loaded
+    EXECUTOR-side per source row's doc range (indexer.load_tombstones, the
+    per-segment .liv read), not shipped in the task closure."""
     pdf = pdf.sort_values("first_doc", kind="mergesort")
     term = pdf["term"].iloc[0]
     docs = []
@@ -91,6 +93,13 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
 
         flat, doc_idx = decode_positions_flat(r["pos_blob"], t)
         nb = np.frombuffer(r["norms_blob"], dtype=np.uint8)
+        deleted = None
+        if tombstones is not None and d.size:
+            from .indexer import load_tombstones
+
+            deleted = load_tombstones(
+                tombstones[0], tombstones[1], int(d[0]), int(d[-1])
+            )
         if deleted is not None and deleted.size:
             idx = np.searchsorted(deleted, d)
             idx_c = np.minimum(idx, deleted.size - 1)
@@ -118,14 +127,16 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
     # source ranges are disjoint and rows sorted by first_doc => already sorted
     assert np.all(docs[1:] > docs[:-1]), "segment doc ranges overlap"
     docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(docs, tfs)
-    # positions: re-encode per-doc delta streams (deletes may have dropped docs)
-    from .codec import encode_positions
+    # positions: vectorized segmented re-delta over the concatenated flat
+    # position stream (no per-doc Python loop — the hot-term merge path)
+    from .codec import encode_positions_flat
 
-    plists = []
-    for flat, t in pos_chunks:
-        off = np.concatenate(([0], np.cumsum(t)))
-        plists.extend(flat[off[i]: off[i + 1]] for i in range(t.size))
-    pos_blob = encode_positions(plists)
+    flat_all = (
+        np.concatenate([f for f, _ in pos_chunks])
+        if pos_chunks
+        else np.zeros(0, dtype=np.int64)
+    )
+    pos_blob = encode_positions_flat(flat_all, tfs)
     lens = NORM_TABLE[norms]
     nblocks = (docs.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     pad = nblocks * BLOCK_SIZE - docs.size
@@ -180,14 +191,14 @@ def merge_segments(
     rank_df = spark.createDataFrame(
         [(s, r) for s, r in rank.items()], "seg int, seg_rank int"
     )
-    deleted = index.deleted_doc_ids()
+    tombs = index.tombstone_ref()
     merged = (
         src.join(F.broadcast(rank_df), "seg")
         .withColumn("bucket", bucket_expr)
         .groupBy("term", "bucket")
         .applyInPandas(
             lambda pdf: _merge_term(
-                pdf.drop(columns=["bucket", "seg_rank"]), new_seg, deleted
+                pdf.drop(columns=["bucket", "seg_rank"]), new_seg, tombs
             ),
             SEGMENT_SCHEMA,
         )

@@ -91,14 +91,22 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_dup_pairs(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame, max_hamming: int = 3, bucket_cap: int | None = None
 ) -> DataFrame:
     """Banded candidate join + exact hamming filter (doc_a < doc_b).
 
     Pigeonhole: hamming <= 3 over 4 bands => at least one band equal, so the
     band join loses no true pair.  Scales as a shuffle on 16-bit band values
     (salt-friendly), never a cross join.
+
+    bucket_cap=N bounds degenerate hot buckets (boilerplate-identical docs):
+    members of a bucket larger than N pair only with the bucket minimum and
+    their id-order neighbor — linear, and identical keep/drop decisions for
+    identical-signature clusters (every non-min member still pairs with the
+    min at hamming 0).
     """
+    from pyspark.sql import Window
+
     bands = []
     for j in range(SIMHASH_BANDS):
         bands.append(
@@ -112,18 +120,54 @@ def simhash_near_dup_pairs(
     u = bands[0]
     for b in bands[1:]:
         u = u.unionAll(b)
-    a, b = u.alias("a"), u.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+    if bucket_cap is None:
+        a, b = u.alias("a"), u.alias("b")
+        cand = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        w = Window.partitionBy("band", "bkey")
+        wo = w.orderBy("doc_id")
+        u2 = (
+            u.withColumn("n", F.count("*").over(w))
+            .withColumn("mn", F.min("doc_id").over(w))
+            .withColumn("mn_sig", F.first("simhash").over(wo))
+            .withColumn("prev", F.lag("doc_id").over(wo))
+            .withColumn("prev_sig", F.lag("simhash").over(wo))
+        )
+        small = u2.filter(F.col("n") <= bucket_cap)
+        a, b = (
+            small.select("band", "bkey", "doc_id", "simhash").alias("a"),
+            small.select("band", "bkey", "doc_id", "simhash").alias("b"),
+        )
+        cand_small = (
+            a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sig_a"), F.col("b.simhash").alias("sig_b"),
+            )
+        )
+        big = u2.filter(F.col("n") > bucket_cap)
+        min_links = big.filter(F.col("doc_id") != F.col("mn")).select(
+            F.col("mn").alias("doc_a"), F.col("doc_id").alias("doc_b"),
+            F.col("mn_sig").alias("sig_a"), F.col("simhash").alias("sig_b"),
+        )
+        neighbor_links = big.filter(
+            F.col("prev").isNotNull() & (F.col("prev") != F.col("mn"))
+        ).select(
+            F.col("prev").alias("doc_a"), F.col("doc_id").alias("doc_b"),
+            F.col("prev_sig").alias("sig_a"), F.col("simhash").alias("sig_b"),
+        )
+        cand = cand_small.unionAll(min_links).unionAll(neighbor_links).distinct()
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -408,11 +452,9 @@ def ivf_topk(
             )
 
     scored = sel.select("vec_id", "embedding").mapInArrow(kernel, schema)
-    from pyspark.sql import Window
+    from .relational import _ranked, distributed_topk
 
-    w = Window.orderBy(F.desc("cos4"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "cos4")
-    )
+    # per-partition top-k then a k-row global merge: the IVF scale path must
+    # not funnel every probed cell's candidates through one window reducer
+    by = [("cos4", False), ("vec_id", True)]
+    return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "cos4"])

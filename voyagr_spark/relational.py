@@ -34,6 +34,43 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_series(texts)
 
 
+def distributed_topk(df: DataFrame, k: int, by: list[tuple[str, bool]]) -> DataFrame:
+    """Exact global top-k without a single-reducer window (VERDICT r1 #4).
+
+    Stage 1: per-partition top-k inside one mapInPandas pass (bounded
+    memory: the running buffer is re-cut to k rows every few batches) — no
+    shuffle, scales with partitions.  Stage 2: orderBy().limit(k) over the
+    <= k * n_partitions survivors (tiny).  `by` = [(col, ascending), ...];
+    exactness: the global top-k is a subset of the union of per-partition
+    top-ks.  The same shape as search._segment_topk + its global merge."""
+    cols = [c for c, _ in by]
+    asc = [a for _, a in by]
+    schema = df.schema
+
+    def kernel(batches):
+        best = None
+        for pdf in batches:
+            best = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            if len(best) > 8 * k:
+                best = best.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+        if best is not None and len(best):
+            yield best.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    local = df.mapInPandas(kernel, schema)
+    order = [F.asc(c) if a else F.desc(c) for c, a in by]
+    return local.orderBy(*order).limit(k)
+
+
+def _ranked(top: DataFrame, by: list[tuple[str, bool]], cols: list[str]) -> DataFrame:
+    """Attach a rank column; the window runs over an already-limited k-row
+    result, so the single partition it implies is k rows, not the corpus."""
+    order = [F.asc(c) if a else F.desc(c) for c, a in by]
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", *cols
+    )
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -182,14 +219,13 @@ def phrase_freq(spark, sf_dir, w1: str, w2: str) -> DataFrame:
 
 
 def topk_term(spark, sf_dir, term: str, k: int = 10) -> DataFrame:
-    """q: deterministic top-k (K2/K3): rank by (round(score,4) desc, doc_id)."""
+    """q: deterministic top-k (K2/K3): rank by (round(score,4) desc, doc_id).
+
+    Per-partition top-k then a k-row global merge — no full-corpus
+    single-reducer window."""
     s = bm25_term(spark, sf_dir, term)
-    w = Window.orderBy(F.desc("score4"), F.asc("doc_id"))
-    return (
-        s.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "doc_id", "score4")
-    )
+    by = [("score4", False), ("doc_id", True)]
+    return _ranked(distributed_topk(s, k, by), by, ["doc_id", "score4"])
 
 
 def facet_lang(spark, sf_dir, term: str) -> DataFrame:
@@ -385,12 +421,8 @@ def ann_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     scored = j.select(
         "vec_id", F.round(dot / (n1 * n2), 4).alias("cos4")
     )
-    w = Window.orderBy(F.desc("cos4"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "vec_id", "cos4")
-    )
+    by = [("cos4", False), ("vec_id", True)]
+    return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "cos4"])
 
 
 def suggest_term(spark, sf_dir, term: str, max_edits: int = 2, top: int = 5) -> DataFrame:
@@ -426,7 +458,52 @@ def events_window(spark, sf_dir, hours: int = 6) -> DataFrame:
     return windowed_event_counts(ev, hours)
 
 
-def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7) -> DataFrame:
+def _lsh_candidates(u: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """(da, db) candidate pairs from banded signatures (band, sig, doc_id).
+
+    bucket_cap=None: exact all-pairs-within-bucket self-join (the gate/oracle
+    form).  bucket_cap=N: degenerate hot buckets (> N members — e.g.
+    thousands of boilerplate-identical docs) switch from the quadratic
+    self-join to LINEAR candidate generation: every member pairs with the
+    bucket minimum plus its id-order neighbor.  For identical-content
+    clusters this yields exactly the same keep/drop decisions as all-pairs
+    (every non-min member verifies against the min); for near-dup chains it
+    is the standard bounded approximation.  Planted-cluster equivalence is
+    tested in tests/test_pipeline.py."""
+    if bucket_cap is None:
+        return (
+            u.alias("a")
+            .join(u.alias("b"), ["band", "sig"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .distinct()
+        )
+    w = Window.partitionBy("band", "sig")
+    wo = w.orderBy("doc_id")
+    u2 = (
+        u.withColumn("n", F.count("*").over(w))
+        .withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("prev", F.lag("doc_id").over(wo))
+    )
+    small = u2.filter(F.col("n") <= bucket_cap).select("band", "sig", "doc_id")
+    cand_small = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    big = u2.filter(F.col("n") > bucket_cap)
+    min_links = big.filter(F.col("doc_id") != F.col("mn")).select(
+        F.col("mn").alias("da"), F.col("doc_id").alias("db")
+    )
+    neighbor_links = big.filter(
+        F.col("prev").isNotNull() & (F.col("prev") != F.col("mn"))
+    ).select(F.col("prev").alias("da"), F.col("doc_id").alias("db"))
+    return cand_small.unionAll(min_links).unionAll(neighbor_links).distinct()
+
+
+def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
+                   bucket_cap: int | None = None) -> DataFrame:
     """q: end-to-end near-dup removal decision — the composite the three
     building blocks above exist for: MinHash signatures -> banded LSH
     candidate pairs -> exact token-set Jaccard verification -> greedy
@@ -446,13 +523,7 @@ def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7) -> Dat
     u = parts[0]
     for p in parts[1:]:
         u = u.unionAll(p)
-    cand = (
-        u.alias("a")
-        .join(u.alias("b"), ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
-    )
+    cand = _lsh_candidates(u, bucket_cap)
     t = terms_tf(spark, sf_dir).select("doc_id", "term")
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (

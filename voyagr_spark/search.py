@@ -79,7 +79,9 @@ class QueryPlan:
     avgdl: np.float32
     prune: bool = True
     after: tuple[float, int] | None = None  # searchAfter cursor (K4)
-    deleted: np.ndarray | None = None  # sorted tombstoned doc ids (E14)
+    # (deletes_dir, epoch) or None — tombstones are loaded EXECUTOR-side per
+    # segment doc range (indexer.load_tombstones), never shipped in the plan
+    tombstones: tuple[str, int] | None = None
     k1: np.float32 = bm25.K1  # custom similarity (BM25Similarity.java:46-58)
     b: np.float32 = bm25.B
 
@@ -818,12 +820,12 @@ def make_plan(
     max_doc = index.max_doc
     idf = {t: bm25.idf(stats[t], max_doc) for t in stats}
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
-    deleted = index.deleted_doc_ids() if hasattr(index, "deleted_doc_ids") else None
+    tombs = index.tombstone_ref() if hasattr(index, "tombstone_ref") else None
     k1f = bm25.K1 if k1 is None else np.float32(k1)
     bf = bm25.B if b is None else np.float32(b)
     return QueryPlan(
         query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl, k1f, bf),
-        avgdl=avgdl, prune=prune, after=after, deleted=deleted, k1=k1f, b=bf,
+        avgdl=avgdl, prune=prune, after=after, tombstones=tombs, k1=k1f, b=bf,
     )
 
 
@@ -858,12 +860,22 @@ def _group_rows(pdf: pd.DataFrame) -> dict[str, TermPostings]:
 
 
 def _apply_live_docs(docs: np.ndarray, scores: np.ndarray, plan: QueryPlan):
-    """E14: push tombstones into every scorer (acceptDocs analog)."""
-    if plan.deleted is None or docs.size == 0:
+    """E14: push tombstones into every scorer (acceptDocs analog).
+
+    The tombstone set is loaded executor-side for exactly this result's doc
+    range — each segment task reads only its own delete buckets."""
+    if plan.tombstones is None or docs.size == 0:
         return docs, scores
-    idx = np.searchsorted(plan.deleted, docs)
-    idx_c = np.minimum(idx, plan.deleted.size - 1)
-    dead = plan.deleted[idx_c] == docs
+    from .indexer import load_tombstones
+
+    deleted = load_tombstones(
+        plan.tombstones[0], plan.tombstones[1], int(docs[0]), int(docs[-1])
+    )
+    if deleted.size == 0:
+        return docs, scores
+    idx = np.searchsorted(deleted, docs)
+    idx_c = np.minimum(idx, deleted.size - 1)
+    dead = deleted[idx_c] == docs
     return docs[~dead], scores[~dead]
 
 
@@ -877,7 +889,7 @@ def _score_in_segment(
     q = plan.query
     if (
         plan.prune
-        and plan.deleted is None
+        and plan.tombstones is None
         and plan.after is None
         and isinstance(q, TermQuery)
         and q.term in rows
@@ -887,7 +899,7 @@ def _score_in_segment(
         )
     elif (
         plan.prune
-        and plan.deleted is None
+        and plan.tombstones is None
         and isinstance(q, BooleanQuery)
         and all(o == SHOULD and isinstance(s, TermQuery) for o, s in q.clauses)
         and q.min_should_match <= 1
@@ -1000,12 +1012,12 @@ def search_many(
     max_doc = index.max_doc
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
     cache = bm25.norm_cache(avgdl)
-    deleted = index.deleted_doc_ids() if hasattr(index, "deleted_doc_ids") else None
+    tombs = index.tombstone_ref() if hasattr(index, "tombstone_ref") else None
     plans = {
         qid: QueryPlan(
             query=q, k=k,
             idf={t: bm25.idf(stats[t], max_doc) for t in query_terms(q) & stats.keys()},
-            cache=cache, avgdl=avgdl, prune=prune, deleted=deleted,
+            cache=cache, avgdl=avgdl, prune=prune, tombstones=tombs,
         )
         for qid, q in parsed.items()
         if not isinstance(q, MatchNoDocsQuery)
