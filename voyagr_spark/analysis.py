@@ -193,3 +193,137 @@ def doc_lengths(terms: pd.Series) -> np.ndarray:
     discountOverlaps=true with no overlap tokens in this chain.
     """
     return terms.map(len).to_numpy(dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# pluggable analyzer (Analyzer.createComponents analog, StandardAnalyzer.java:84)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field  # noqa: E402
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=32)
+def _compiled(pattern: str) -> re.Pattern:
+    return re.compile(pattern)
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Configurable analysis chain: tokenizer regex -> [lowercase] ->
+    [stop filter], with pre-stop positions (A7 holes preserved).
+
+    The default instance IS the StandardAnalyzer-equivalent chain and
+    delegates to the vectorized module fast paths (bit-identical to the
+    module-level functions).  Custom instances (per-field/per-corpus
+    tokenizers, the §2.8 "custom analyzers" surface) run a generic
+    vectorized path: same semantics, same Series-in/arrays-out shape.
+    """
+
+    token_pattern: str = TOKEN_PATTERN
+    lowercase: bool = True
+    stopwords: frozenset = field(default=ENGLISH_STOP_WORDS)
+    max_token_length: int = MAX_TOKEN_LENGTH
+
+    @property
+    def is_standard(self) -> bool:
+        return (
+            self.token_pattern == TOKEN_PATTERN
+            and self.lowercase
+            and self.stopwords == ENGLISH_STOP_WORDS
+            and self.max_token_length == MAX_TOKEN_LENGTH
+        )
+
+    # -- serialization (stored in index meta so queries analyze identically)
+    def to_dict(self) -> dict:
+        return {
+            "token_pattern": self.token_pattern,
+            "lowercase": self.lowercase,
+            "stopwords": sorted(self.stopwords),
+            "max_token_length": self.max_token_length,
+        }
+
+    @staticmethod
+    def from_dict(d: dict | None) -> "Analyzer":
+        if not d:
+            return STANDARD_ANALYZER
+        return Analyzer(
+            token_pattern=d["token_pattern"],
+            lowercase=bool(d["lowercase"]),
+            stopwords=frozenset(d["stopwords"]),
+            max_token_length=int(d["max_token_length"]),
+        )
+
+    # -- single string (query parsing, tests, oracle)
+    def analyze_text(self, text: str) -> tuple[list[str], list[int]]:
+        if self.is_standard:
+            return analyze_text(text)
+        toks = self._chunk(_compiled(self.token_pattern).findall(text or ""))
+        terms, positions = [], []
+        for pos, tok in enumerate(toks):
+            t = tok.lower() if self.lowercase else tok
+            if t in self.stopwords:
+                continue
+            terms.append(t)
+            positions.append(pos)
+        return terms, positions
+
+    def _chunk(self, tokens: list[str]) -> list[str]:
+        mx = self.max_token_length
+        if not mx or all(len(t) <= mx for t in tokens):
+            return tokens
+        pat = _compiled(self.token_pattern)
+        out: list[str] = []
+        for tok in tokens:
+            if len(tok) <= mx:
+                out.append(tok)
+                continue
+            rest = tok
+            while rest:
+                m = pat.match(rest[:mx])
+                if m is None:
+                    rest = rest[1:]
+                    continue
+                out.append(m.group(0))
+                rest = rest[m.end():]
+        return out
+
+    # -- whole batch -> flat arrays (the invert hot path)
+    def analyze_flat(
+        self, texts: pd.Series
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        if self.is_standard:
+            return analyze_flat(texts)
+        from itertools import chain as _chain
+
+        pat = _compiled(self.token_pattern)
+        toks = texts.fillna("").str.findall(pat)
+        mx = self.max_token_length
+        if mx:
+            toks = toks.map(self._chunk)
+        raw_lens = toks.map(len).to_numpy(dtype=np.int64)
+        total = int(raw_lens.sum())
+        if total == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return (np.zeros(0, dtype=object), z, z,
+                    np.zeros(len(texts), dtype=np.int64))
+        flat = pd.Series(
+            np.fromiter(_chain.from_iterable(toks), dtype=object, count=total),
+            dtype=object,
+        )
+        if self.lowercase:
+            flat = flat.str.lower()
+        keep = (
+            ~flat.isin(self.stopwords) if self.stopwords
+            else pd.Series(True, index=flat.index)
+        )
+        doc_starts = np.concatenate(([0], np.cumsum(raw_lens)[:-1]))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, raw_lens)
+        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), raw_lens)
+        keep_np = keep.to_numpy()
+        doclens = np.zeros(len(texts), dtype=np.int64)
+        np.add.at(doclens, docidx[keep_np], 1)
+        return flat.to_numpy()[keep_np], pos[keep_np], docidx[keep_np], doclens
+
+
+STANDARD_ANALYZER = Analyzer()

@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .analysis import analyze_flat
+from .analysis import Analyzer, analyze_flat
 from .bm25 import NORM_TABLE
 from .codec import BLOCK_SIZE, varint_encode_with_offsets
 from .smallfloat import encode_norm
@@ -162,7 +162,8 @@ _ARROW_SCHEMA = pa.schema(
 
 
 def invert_flush(
-    seg: int, doc_ids: np.ndarray, contents: pd.Series, meta: pd.DataFrame
+    seg: int, doc_ids: np.ndarray, contents: pd.Series, meta: pd.DataFrame,
+    analyzer: Analyzer | None = None,
 ) -> pa.RecordBatch:
     """Invert one flush group into posting + per-doc rows (one Arrow batch).
 
@@ -171,7 +172,10 @@ def invert_flush(
     (term, doc, pos) -> run-length boundaries -> per-term delta+varint
     encoding with the 128-doc block directory (Lucene50PostingsWriter).
     """
-    flat_terms, flat_pos, flat_docidx, doclens = analyze_flat(contents)
+    flat_terms, flat_pos, flat_docidx, doclens = (
+        analyzer.analyze_flat(contents) if analyzer is not None
+        else analyze_flat(contents)
+    )
     norm_bytes = encode_norm(doclens)
     dec_len = NORM_TABLE[norm_bytes]
 
@@ -307,7 +311,7 @@ def invert_flush(
 
 
 def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
-                   pid_offset: int = 0):
+                   pid_offset: int = 0, analyzer: Analyzer | None = None):
     """mapInArrow kernel: stream batches, flush a segment every
     `docs_per_segment` rows.  seg id = (pid_offset+partition) << 20 | flush
     ordinal (pid_offset keeps streamed appends disjoint from build ids)."""
@@ -328,7 +332,7 @@ def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
             n = len(pdf)
             doc_ids = np.arange(next_id, next_id + n, dtype=np.int64)
             seg = (pid << 20) | flush_no
-            out = invert_flush(seg, doc_ids, pdf["content"], pdf)
+            out = invert_flush(seg, doc_ids, pdf["content"], pdf, analyzer)
             next_id += n
             flush_no += 1
             buf, buffered = [], 0
@@ -359,6 +363,7 @@ def build_index(
     num_segments: int | None = None,
     docs_per_segment: int = 100_000,
     resume: bool = False,
+    analyzer: Analyzer | None = None,
 ) -> "Index":
     """Build the full index at index_dir; checkpoint-resumable per stage.
 
@@ -406,7 +411,8 @@ def build_index(
         offsets_p.write_text(json.dumps(offsets))
         (
             ranged.mapInArrow(
-                make_invert_fn(offsets, docs_per_segment), SEGMENT_SCHEMA
+                make_invert_fn(offsets, docs_per_segment, analyzer=analyzer),
+                SEGMENT_SCHEMA,
             )
             .write.mode("overwrite")
             .partitionBy("kind")
@@ -466,6 +472,10 @@ def build_index(
             "num_segments": len(seg_rows),
             "built_unix": int(time.time()),
         }
+        if analyzer is not None and not analyzer.is_standard:
+            # custom chain persists with the index so queries re-analyze
+            # identically on reopen (Analyzer.createComponents contract)
+            meta["analyzer"] = analyzer.to_dict()
         meta_p.write_text(json.dumps(meta))
 
     return Index(spark, index_dir)
@@ -508,6 +518,13 @@ class Index:
     @property
     def sum_total_term_freq(self) -> int:
         return self.meta["sum_total_term_freq"]
+
+    @property
+    def analyzer(self) -> Analyzer | None:
+        """The index's analysis chain; None = the standard chain (so the
+        default query path skips any per-call Analyzer dispatch)."""
+        d = self.meta.get("analyzer")
+        return Analyzer.from_dict(d) if d else None
 
     def reload_meta(self) -> None:
         self.meta = json.loads((self.dir / "meta.json").read_text())

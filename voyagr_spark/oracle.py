@@ -61,10 +61,12 @@ def _levenshtein(a: str, b: str, cap: int) -> int:
 
 
 class OracleIndex:
-    def __init__(self, docs: pd.DataFrame, sort: bool = True):
+    def __init__(self, docs: pd.DataFrame, sort: bool = True, analyzer=None):
         """docs: (repo, path, commit, content); doc ids = dense rank over key
         (sort=True, the batch-build contract) or arrival order (sort=False,
-        the streaming-append contract)."""
+        the streaming-append contract).  `analyzer` = analysis.Analyzer for
+        a custom chain (None = standard)."""
+        self.analyzer = analyzer
         if sort:
             docs = docs.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
         else:
@@ -73,7 +75,10 @@ class OracleIndex:
         self.postings: dict[str, dict[int, list[int]]] = {}
         doclens = np.zeros(len(docs), dtype=np.int64)
         for i, content in enumerate(docs["content"]):
-            terms, positions = analyze_text(content)
+            terms, positions = (
+                analyzer.analyze_text(content) if analyzer is not None
+                else analyze_text(content)
+            )
             doclens[i] = len(terms)
             for t, p in zip(terms, positions):
                 self.postings.setdefault(t, {}).setdefault(i, []).append(p)
@@ -285,7 +290,8 @@ class OracleIndex:
     def search(
         self, query_or_text, k: int = 10, after: tuple[float, int] | None = None
     ) -> list[tuple[int, float]]:
-        q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+        q = (parse(query_or_text, analyzer=self.analyzer)
+             if isinstance(query_or_text, str) else query_or_text)
         cache = self._cache()
         res = self._clause(q, cache)
         if self.deleted:
@@ -300,7 +306,8 @@ class OracleIndex:
         return [(d, np.float32(s)) for d, s in ranked[:k]]
 
     def count(self, query_or_text) -> int:
-        q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+        q = (parse(query_or_text, analyzer=self.analyzer)
+             if isinstance(query_or_text, str) else query_or_text)
         res = self._clause(q, self._cache())
         if self.deleted:
             res = {d: s for d, s in res.items() if d not in self.deleted}

@@ -263,18 +263,20 @@ def _lex(qtext: str) -> list[tuple[str, object]]:
 # ---------------------------------------------------------------------------
 
 
-def _analyze_term(text: str):
-    terms, _ = analyze_text(text)
+def _analyze_term(text: str, analyzer=None):
+    terms, _ = (analyzer.analyze_text(text) if analyzer is not None
+                else analyze_text(text))
     if not terms:
         return MatchNoDocsQuery(f"term {text!r} analyzed to nothing")
     if len(terms) == 1:
         return TermQuery(terms[0])
     # multi-token term text behaves like a phrase (getFieldQuery:470-493)
-    return _phrase(text)
+    return _phrase(text, analyzer=analyzer)
 
 
-def _phrase(text: str, slop: int = 0):
-    terms, pos = analyze_text(text)
+def _phrase(text: str, slop: int = 0, analyzer=None):
+    terms, pos = (analyzer.analyze_text(text) if analyzer is not None
+                  else analyze_text(text))
     if not terms:
         return MatchNoDocsQuery(f"phrase {text!r} analyzed to nothing")
     if len(terms) == 1:
@@ -283,7 +285,7 @@ def _phrase(text: str, slop: int = 0):
     return PhraseQuery(tuple(terms), tuple(p - base for p in pos), slop)
 
 
-def _term_atom(text: str):
+def _term_atom(text: str, analyzer=None):
     """Classify one bare token: fuzzy / wildcard / prefix / plain term.
 
     Multi-term text is NOT analyzed (Lucene passes wildcard/fuzzy terms
@@ -300,14 +302,14 @@ def _term_atom(text: str):
                     "(LevenshteinAutomata.MAXIMUM_SUPPORTED_DISTANCE)"
                 )
             if edits == 0:
-                return _analyze_term(body)
+                return _analyze_term(body, analyzer)
             return FuzzyQuery(body.lower(), max_edits=edits)
     if "*" in text or "?" in text:
         low = text.lower()
         if "?" not in low and low.endswith("*") and "*" not in low[:-1]:
             return PrefixQuery(low[:-1])
         return WildcardQuery(low)
-    return _analyze_term(text)
+    return _analyze_term(text, analyzer)
 
 
 # ---------------------------------------------------------------------------
@@ -317,10 +319,11 @@ def _term_atom(text: str):
 
 class _Parser:
     def __init__(self, tokens: list[tuple[str, object]],
-                 min_should_match: int = 0):
+                 min_should_match: int = 0, analyzer=None):
         self.toks = tokens
         self.i = 0
         self.msm = min_should_match
+        self.analyzer = analyzer
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -382,7 +385,7 @@ class _Parser:
             return q
         if kind == "phrase":
             body, slop = val
-            return self._apply_boost(_phrase(body, slop))
+            return self._apply_boost(_phrase(body, slop, self.analyzer))
         if kind == "regexp":
             return self._apply_boost(RegexpQuery(val))
         if kind == "range":
@@ -404,7 +407,7 @@ class _Parser:
                         f"{INDEXED_FIELDS}"
                     )
                 text = fm.group("rest")
-            return self._apply_boost(_term_atom(text))
+            return self._apply_boost(_term_atom(text, self.analyzer))
         raise ValueError(f"unexpected {val!r} in query")
 
     def _apply_boost(self, q):
@@ -443,14 +446,16 @@ def _with_boost(q, b: float):
     return q
 
 
-def parse(qtext: str, min_should_match: int = 0):
+def parse(qtext: str, min_should_match: int = 0, analyzer=None):
     """Parse the classic-QueryParser surface; ValueError on bad syntax.
 
-    Default operator is OR (QueryParserBase default)."""
+    Default operator is OR (QueryParserBase default).  `analyzer` (an
+    analysis.Analyzer) applies the index\'s chain to term/phrase text; None
+    = the standard chain."""
     tokens = _lex(qtext.strip())
     if not tokens:
         return MatchNoDocsQuery("empty query")
-    p = _Parser(tokens, min_should_match)
+    p = _Parser(tokens, min_should_match, analyzer)
     q = p.parse_query(0)
     if p.i < len(p.toks):
         raise ValueError(f"trailing tokens {p.toks[p.i:]!r}")

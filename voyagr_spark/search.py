@@ -940,7 +940,8 @@ def search(
 
     `after=(score, doc_id)` pages past a previous hit (searchAfter, K4:
     IndexSearcher.java:315-325)."""
-    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
+         if isinstance(query_or_text, str) else query_or_text)
     plan = make_plan(index, q, k, prune, after, k1=k1, b=b)
     q = plan.query  # post-rewrite (multi-term expansion)
     terms = sorted(query_terms(q))
@@ -994,8 +995,10 @@ def search_many(
     row_number over (score desc, doc_id asc) — the same HitQueue tie-break
     as the single-query path (HitQueue.java:76-81).
     """
+    _an = getattr(index, "analyzer", None)
     parsed = {
-        qid: parse(q) if isinstance(q, str) else q for qid, q in queries.items()
+        qid: parse(q, analyzer=_an) if isinstance(q, str) else q
+        for qid, q in queries.items()
     }
     parsed = {qid: rewrite(q, index) for qid, q in parsed.items()}
     all_terms: set[str] = set()
@@ -1082,7 +1085,8 @@ def scores(index, query_or_text, prune: bool = False) -> DataFrame:
     function-query composition.  Same scorers as search(), same float32
     contract; defaults to prune=False because every match must be emitted.
     """
-    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
+         if isinstance(query_or_text, str) else query_or_text)
     plan = make_plan(index, q, k=1, prune=prune)
     q = plan.query
     terms = sorted(query_terms(q))
@@ -1113,7 +1117,8 @@ def scores(index, query_or_text, prune: bool = False) -> DataFrame:
 
 def count(index, query_or_text) -> int:
     """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
-    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
+         if isinstance(query_or_text, str) else query_or_text)
     plan = make_plan(index, q, k=1, prune=False)
     terms = sorted(query_terms(plan.query))
     multis = query_multis(plan.query)
@@ -1143,7 +1148,8 @@ def explain(index, query_or_text, doc_id: int) -> dict:
     not recomputed from the printed factors (Lucene's own explain text can
     drift in the last ulp from the scorer; ours never does).
     """
-    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
+         if isinstance(query_or_text, str) else query_or_text)
     plan = make_plan(index, q, k=1, prune=False)
     q = plan.query
     terms = sorted(query_terms(q))
