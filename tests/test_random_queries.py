@@ -52,6 +52,59 @@ def _gen_queries(oracle_index, n=120, seed=7):
     return out
 
 
+def _gen_queries_r2(oracle_index, n=80, seed=11):
+    """Round-2 surface: boosts, grouping, wildcard/fuzzy/regexp/range mixes."""
+    rng = np.random.default_rng(seed)
+    head, tail = _vocab(oracle_index, rng)
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    out = []
+    for i in range(n):
+        kind = int(rng.integers(0, 7))
+        if kind == 0:  # leaf boost in a disjunction
+            b = [1, 2, 3, 0.5][int(rng.integers(0, 4))]
+            out.append(f"{pick(head)}^{b} OR {pick(tail)}")
+        elif kind == 1:  # grouping under AND
+            out.append(f"({pick(head)} OR {pick(tail)}) AND {pick(head)}")
+        elif kind == 2:  # group boost
+            out.append(f"({pick(head)} OR {pick(head)})^2 AND {pick(tail)}")
+        elif kind == 3:  # wildcard
+            t = pick(head)
+            if len(t) >= 4:
+                out.append(t[:2] + "?" + t[3:])
+            else:
+                out.append(t + "*")
+        elif kind == 4:  # fuzzy (mutate one char)
+            t = pick(head)
+            j = int(rng.integers(0, len(t)))
+            out.append(t[:j] + "q" + t[j + 1:] + "~1")
+        elif kind == 5:  # term range AND scoring term
+            a, b = sorted((pick(head), pick(tail)))
+            out.append(f"[{a} TO {b}] AND {pick(head)}")
+        else:  # regexp
+            t = pick(head)
+            out.append("/" + t[: max(1, len(t) - 2)] + ".*/")
+    return out
+
+
+def test_random_query_sweep_r2_surface(built_index, oracle_index):
+    from voyagr_spark.search import search
+
+    queries = _gen_queries_r2(oracle_index)
+    failures = []
+    for q in queries:
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in search(built_index, q, k=10).collect()
+        ]
+        want = [(d, s) for d, s in oracle_index.search(q, 10)]
+        if got != want:
+            failures.append((q, got[:3], want[:3]))
+    assert not failures, failures[:5]
+
+
 def test_random_query_sweep_rank_identical(built_index, oracle_index):
     from voyagr_spark.search import search
 

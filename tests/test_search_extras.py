@@ -105,3 +105,24 @@ def test_delete_by_keys(spark, deletable, corpus_pdf):
     n = idx.delete_by_keys(keys)
     assert n == 5
     assert idx.deleted_doc_ids().size == 5
+
+
+def test_search_by_field_matches_docmap_order(built_index):
+    # TopFieldCollector analog: top-k by doclen desc among matches of 'file'
+    from voyagr_spark.search import scores, search_by_field
+
+    rows = search_by_field(built_index, "file", "doclen", ascending=False,
+                           k=8).collect()
+    assert len(rows) == 8
+    match_ids = {r["doc_id"] for r in scores(built_index, "file").collect()}
+    dm = {r["doc_id"]: r["doclen"] for r in built_index.docmap().collect()}
+    expect = sorted(
+        ((dm[d], d) for d in match_ids), key=lambda t: (-t[0], t[1])
+    )[:8]
+    assert [(dm[r["doc_id"]], r["doc_id"]) for r in rows] == expect
+    # numeric range fq composes (E15 on the engine surface)
+    ranged = search_by_field(
+        built_index, "file", "doclen", ascending=True, k=5,
+        fq="doclen:[50 TO 200]",
+    ).collect()
+    assert ranged and all(50 <= dm[r["doc_id"]] <= 200 for r in ranged)

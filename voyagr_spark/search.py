@@ -1115,6 +1115,27 @@ def scores(index, query_or_text, prune: bool = False) -> DataFrame:
     return rows.groupBy("seg").applyInPandas(_seg_all, RESULT_SCHEMA)
 
 
+def search_by_field(
+    index, query_or_text, field: str, ascending: bool = False, k: int = 10,
+    fq=None,
+) -> DataFrame:
+    """Sort-by-field top-k on the engine surface — the TopFieldCollector
+    analog (K5, IndexSearcher.java:432-460): rank matches by a stored/doc-
+    values field instead of relevance, doc_id as the final tie-break.
+
+    Delegates to the Solr /select flow (all-matches scorer -> docmap join ->
+    fq filters -> orderBy().limit, which Spark executes as
+    TakeOrderedAndProject: per-partition top-k + driver merge, no global
+    sort).  Numeric/term range filtering rides the same fq syntax
+    (`doclen:[10 TO 200]`) — native Catalyst predicates (E15)."""
+    from .solr_api import solr_select
+
+    direction = "asc" if ascending else "desc"
+    return solr_select(
+        index, query_or_text, fq=fq, sort=f"{field} {direction}", rows=k
+    )
+
+
 def count(index, query_or_text) -> int:
     """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
     q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
