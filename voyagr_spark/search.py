@@ -931,17 +931,54 @@ def _segment_topk(pdf: pd.DataFrame, plan: QueryPlan) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
 
 
+def _index_version(index) -> tuple:
+    """Cache-coherence key: changes whenever a commit/append/merge/delete
+    publishes new state (the searcher-reopen point)."""
+    meta = getattr(index, "meta", {})
+    live = meta.get("live_segments")
+    return (
+        meta.get("built_unix"), meta.get("stream_epoch", 0),
+        meta.get("delete_epoch", 0), meta.get("stats_dir", "term_stats"),
+        tuple(live) if live is not None else None, meta.get("max_doc"),
+    )
+
+
+_RESULT_CACHE_MAX = 1024
+
+
 def search(
     index, query_or_text, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
     k1: float = None, b: float = None,
+    use_cache: bool = False,
 ) -> DataFrame:
     """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical.
 
     `after=(score, doc_id)` pages past a previous hit (searchAfter, K4:
-    IndexSearcher.java:315-325)."""
+    IndexSearcher.java:315-325).
+
+    `use_cache=True` consults the per-index query-RESULT cache (K7: Solr's
+    queryResultCache, SolrIndexSearcher.java:128-129): a hit rebuilds the
+    k-row DataFrame from cached rows with ZERO Spark jobs.  Entries are
+    keyed by the parsed query + paging/similarity params AND the index
+    version (commit epoch / live segments / deletes), so any reopen-worthy
+    state change invalidates naturally — same lifecycle as Lucene's
+    per-reader LRUQueryCache.  Off by default: the engine's plans are
+    already zero-job to construct, so caching only pays on repeated
+    identical queries."""
     q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
          if isinstance(query_or_text, str) else query_or_text)
+    cache_key = None
+    if use_cache:
+        cache = getattr(index, "_result_cache", None)
+        if cache is None:
+            cache = index._result_cache = {}
+        cache_key = (
+            repr(q), k, prune, after, k1, b, _index_version(index),
+        )
+        hit = cache.get(cache_key)
+        if hit is not None:
+            return index.spark.createDataFrame(hit, RESULT_SCHEMA)
     plan = make_plan(index, q, k, prune, after, k1=k1, b=b)
     q = plan.query  # post-rewrite (multi-term expansion)
     terms = sorted(query_terms(q))
@@ -964,7 +1001,15 @@ def search(
         lambda pdf: _segment_topk(pdf, plan), RESULT_SCHEMA
     )
     # K3 global merge: identical tie-break (score desc, doc_id asc)
-    return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    out = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if cache_key is not None:
+        rows_out = [(int(r["doc_id"]), float(r["score"])) for r in out.collect()]
+        cache = index._result_cache
+        if len(cache) >= _RESULT_CACHE_MAX:
+            cache.pop(next(iter(cache)))  # FIFO evict (insertion-ordered)
+        cache[cache_key] = rows_out
+        return index.spark.createDataFrame(rows_out, RESULT_SCHEMA)
+    return out
 
 
 MANY_SCHEMA = T.StructType(
