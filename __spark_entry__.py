@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": lambda s, d: R.minhash_signature(s, d),
         "lsh_buckets": lambda s, d: R.lsh_buckets(s, d),
         "jaccard_pairs": lambda s, d: R.jaccard_pairs(s, d, 0.7, 100),
+        "shingle_minhash": lambda s, d: R.shingle_minhash(s, d, 3, 4),
+        "jaccard3_pairs": lambda s, d: R.jaccard_ngram_pairs(s, d, 3, 0.8, 500),
         "quality_stats": lambda s, d: R.quality_stats(s, d),
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
@@ -517,6 +519,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = da
             JOIN sz sb ON sb.doc_id = db
             WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.7""",
+        "shingle_minhash": _BASE
+        + """, sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.term || ' ' || b.term || ' ' || c.term AS shingle
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+                   min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+            FROM sh GROUP BY doc_id""",
+        "jaccard3_pairs": _BASE
+        + """, sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.term || ' ' || b.term || ' ' || c.term AS shingle
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+              WHERE a.doc_id < 500),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT da, db, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jac
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8""",
         "quality_stats": _BASE
         + f"""SELECT doc_id, count(*)::BIGINT AS n_raw,
                      sum(CASE WHEN term IN {_STOP_SQL} THEN 1 ELSE 0 END)::BIGINT AS n_stop,

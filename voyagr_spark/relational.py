@@ -367,6 +367,60 @@ def jaccard_pairs(spark, sf_dir, threshold: float = 0.7, max_doc: int = 300) -> 
     )
 
 
+def shingles(spark, sf_dir, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams over the raw (pre-stop)
+    token stream — the standard dedup shingling unit.  n-1 position
+    self-joins, all JVM-side; at scale this is a shuffle on (doc_id) that
+    AQE coalesces, never a cross join."""
+    t = raw_tokens(spark, sf_dir)
+    out = t.select("doc_id", F.col("pos").alias("p0"), F.col("term").alias("t0"))
+    for i in range(1, n):
+        ti = t.select(
+            "doc_id", F.col("pos").alias(f"p{i}"), F.col("term").alias(f"t{i}")
+        )
+        out = out.join(ti, "doc_id").filter(
+            F.col(f"p{i}") == F.col("p0") + i
+        )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)]).alias("shingle"),
+    ).distinct()
+
+
+def shingle_minhash(spark, sf_dir, n: int = 3, bands: int = 4) -> DataFrame:
+    """q: MinHash over word n-gram shingles (the shingle->minhash->band
+    pipeline of the brief): per band, min md5('<band>:'||shingle)."""
+    s = shingles(spark, sf_dir, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(bands)
+    ]
+    return s.groupBy("doc_id").agg(*aggs)
+
+
+def jaccard_ngram_pairs(
+    spark, sf_dir, n: int = 3, threshold: float = 0.5, max_doc: int = 100
+) -> DataFrame:
+    """q: n-gram-shingle Jaccard near-dup pairs (bounded doc range — the
+    gate form; the scale path is LSH-banded like dedup_pipeline)."""
+    s = shingles(spark, sf_dir, n).filter(F.col("doc_id") < max_doc)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        s.alias("a")
+        .join(s.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("sb")), "db")
+        .withColumn("jac", F.round(F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")), 4))
+        .filter(F.col("jac") >= threshold)
+        .select("da", "db", "jac")
+    )
+
+
 def quality_stats(spark, sf_dir) -> DataFrame:
     """q: text-quality features: counts, stopword ratio, mean token length."""
     t = raw_tokens(spark, sf_dir)
