@@ -49,13 +49,15 @@ def test_postings_roundtrip_random_universe(n):
     assert bmax_doc.size == nblocks == bmax_tf.size
     assert dboff.size == nblocks + 1 and tboff.size == nblocks + 1
     assert dboff[-1] == len(docs_blob) and tboff[-1] == len(tfs_blob)
-    # per-block random decode reproduces the full list
-    from voyagr_spark.codec import varint_decode
+    # per-block random decode reproduces the full list (FOR block format:
+    # header + packed/varint payload, decodable from the byte slice alone)
+    from voyagr_spark.codec import decode_block
 
     got = []
     for b in range(nblocks):
         base = 0 if b == 0 else int(bmax_doc[b - 1])
-        deltas = varint_decode(docs_blob[int(dboff[b]): int(dboff[b + 1])])
+        cnt = min(n - b * BLOCK_SIZE, BLOCK_SIZE)
+        deltas = decode_block(docs_blob[int(dboff[b]): int(dboff[b + 1])], cnt)
         got.append(base + np.cumsum(deltas.astype(np.int64)))
     assert np.array_equal(np.concatenate(got), doc_ids)
     # block maxima are true maxima
@@ -87,3 +89,51 @@ def test_positions_empty():
     assert encode_positions([]) == b""
     flat, idx = decode_positions_flat(b"", np.array([], dtype=np.int64))
     assert flat.size == 0 and idx.size == 0
+
+
+# ---------------------------------------------------------------------------
+# FOR bit-packed block scheme (B6: ForUtil.java parity)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**45), min_size=1, max_size=700)
+)
+@settings(max_examples=100, deadline=None)
+def test_for_stream_roundtrip_hypothesis(vals):
+    from voyagr_spark.codec import decode_stream, encode_stream
+
+    deltas = np.array(vals, dtype=np.uint64)
+    n = deltas.size
+    nblocks = -(-n // BLOCK_SIZE)
+    starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+    counts = np.minimum(n - starts, BLOCK_SIZE)
+    blob, offs = encode_stream(deltas, starts, counts)
+    assert offs.size == nblocks + 1 and offs[-1] == len(blob)
+    assert np.array_equal(decode_stream(blob, offs, n), deltas)
+
+
+def test_for_all_equal_block_collapses():
+    from voyagr_spark.codec import decode_stream, encode_stream
+
+    deltas = np.full(BLOCK_SIZE, 42, dtype=np.uint64)
+    blob, offs = encode_stream(
+        deltas, np.array([0], dtype=np.int64),
+        np.array([BLOCK_SIZE], dtype=np.int64),
+    )
+    assert blob[0] == 0 and len(blob) == 2  # header + 1 varint byte
+    assert np.array_equal(decode_stream(blob, offs, BLOCK_SIZE), deltas)
+
+
+def test_for_full_block_is_bitpacked():
+    from voyagr_spark.codec import encode_stream
+
+    rng = np.random.default_rng(1)
+    deltas = rng.integers(0, 1 << 10, BLOCK_SIZE).astype(np.uint64)
+    blob, offs = encode_stream(
+        deltas, np.array([0], dtype=np.int64),
+        np.array([BLOCK_SIZE], dtype=np.int64),
+    )
+    w = blob[0]
+    assert 1 <= w <= 10  # header = bit width of the block max
+    assert len(blob) == 1 + 16 * w  # 128 * w bits, exactly

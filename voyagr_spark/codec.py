@@ -5,11 +5,13 @@ Spark-first re-expression of the Lucene50 postings format
 Lucene50PostingsWriter.java:214-301`, BLOCK_SIZE=128 at
 `Lucene50PostingsFormat.java:398`):
 
-* doc ids are delta-encoded then varint (LEB128) packed; term frequencies and
-  per-doc position deltas use the same varint stream.  (The reference
-  FOR-bit-packs full 128 blocks and varints the tail; we varint throughout —
-  same asymptotics, one code path, and Parquet page compression recovers the
-  残 constant factor.)
+* doc ids are delta-encoded, then full 128-value blocks are FOR bit-packed
+  at the block's max bit width with the all-equal-block collapse, and the
+  <128 tail is varint — the reference scheme (ForUtil.java:41,157-243;
+  Lucene50PostingsWriter.java:340-348).  Term frequencies use the same
+  block scheme; per-doc position deltas stay one varint stream (B7
+  divergence: positions are bulk-decoded whole, so the block win is nil
+  and Parquet page compression recovers the constant factor).
 * the multi-level skip list (`Lucene50SkipWriter.java:27-46`) becomes a flat
   *block directory*: per 128-doc block we store max docid / max tf / min
   quantized field length as plain array columns next to the blob, so skipping
@@ -25,6 +27,10 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
+
+#: on-disk posting format version, stamped into index meta; readers refuse
+#: indexes written by a different codec (the SegmentInfos version check)
+CODEC_VERSION = "for128-1"
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -74,6 +80,13 @@ def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0
+    # fast path mirroring the encoder's: every value fits one byte (typical
+    # for tf and position-delta streams) — the blob IS the value array, no
+    # scatter-add needed (np.add.at is the slow op in the general path)
+    if is_last.all():
+        if count is not None and raw.size != count:
+            raise ValueError(f"varint stream holds {raw.size} values, expected {count}")
+        return raw.astype(np.uint64)
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
@@ -89,6 +102,221 @@ def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
     if count is not None and n != count:
         raise ValueError(f"varint stream holds {n} values, expected {count}")
     return out
+
+
+# ---------------------------------------------------------------------------
+# FOR (Frame-of-Reference) bit-packed blocks — the Lucene50 block scheme
+# (ForUtil.java: full 128-value blocks packed at the block's max bit width;
+# all-equal block collapses to the single value, ForUtil.java:41,157-165;
+# the <128 tail stays varint, Lucene50PostingsWriter.java:340-348).
+#
+# Per-block wire format (each block independently decodable from its byte
+# slice, delimited by the *_boff offset arrays):
+#   header 0x00:        all 128 values equal; varint(value) follows
+#   header w (1..64):   ceil(count*w/8) bytes, values little-endian bit-packed
+#   header 0xFF:        varint stream (the tail block form)
+# ---------------------------------------------------------------------------
+
+_TAIL = 0xFF
+_BIT_WEIGHTS = {}
+
+
+def _weights(w: int) -> np.ndarray:
+    got = _BIT_WEIGHTS.get(w)
+    if got is None:
+        got = _BIT_WEIGHTS[w] = (np.uint64(1) << np.arange(w, dtype=np.uint64))
+    return got
+
+
+def _bit_width(vals: np.ndarray) -> int:
+    m = int(vals.max())
+    return max(1, m.bit_length())
+
+
+def pack_blocks(vals_2d: np.ndarray, w: int) -> np.ndarray:
+    """Bit-pack (nblocks, count) uint64 values at width w -> (nblocks, nbytes)
+    uint8, little-endian bit order, fully vectorized."""
+    nb, cnt = vals_2d.shape
+    shifts = np.arange(w, dtype=np.uint64)
+    bits = ((vals_2d[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    flat = bits.reshape(nb, cnt * w)
+    return np.packbits(flat, axis=1, bitorder="little")
+
+
+def unpack_block(raw: np.ndarray, w: int, count: int) -> np.ndarray:
+    """Inverse of pack_blocks for ONE block's bytes -> uint64[count]."""
+    bits = np.unpackbits(raw, bitorder="little", count=count * w)
+    return (bits.reshape(count, w).astype(np.uint64) * _weights(w)).sum(
+        axis=1, dtype=np.uint64
+    )
+
+
+def unpack_blocks(raw_2d: np.ndarray, w: int) -> np.ndarray:
+    """(nblocks, nbytes) same-width blocks -> (nblocks, count) uint64."""
+    nb = raw_2d.shape[0]
+    count = raw_2d.shape[1] * 8 // w
+    bits = np.unpackbits(raw_2d, axis=1, bitorder="little")[:, : count * w]
+    return (bits.reshape(nb, count, w).astype(np.uint64) * _weights(w)).sum(
+        axis=2, dtype=np.uint64
+    )
+
+
+def encode_block(vals: np.ndarray) -> bytes:
+    """Encode one block of uint64 values (<= BLOCK_SIZE)."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    if vals.size == BLOCK_SIZE:
+        if vals.max() == vals.min():  # all-equal (ForUtil.java:41)
+            return b"\x00" + varint_encode(vals[:1])
+        w = _bit_width(vals)
+        return bytes([w]) + pack_blocks(vals[None, :], w).tobytes()
+    return bytes([_TAIL]) + varint_encode(vals)
+
+
+def decode_block(blob, count: int) -> np.ndarray:
+    """Decode one block's byte slice (header + payload) -> uint64[count]."""
+    raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+    h = int(raw[0])
+    if h == _TAIL:
+        return varint_decode(raw[1:].tobytes(), count=count)
+    if h == 0:
+        v = varint_decode(raw[1:].tobytes(), count=1)
+        return np.full(count, v[0], dtype=np.uint64)
+    return unpack_block(raw[1:], h, count)
+
+
+def decode_stream(blob: bytes, offsets: np.ndarray, total: int) -> np.ndarray:
+    """Decode a whole multi-block stream given its block byte offsets.
+
+    Full packed blocks are grouped by width and unpacked in ONE vectorized
+    pass per width (they all have identical byte length 1 + 16w), so a
+    hot-term stream with thousands of blocks costs a few numpy calls, not a
+    per-block Python loop."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    nblocks = offsets.size - 1
+    if nblocks <= 0 or total == 0:
+        return np.zeros(0, dtype=np.uint64)
+    counts = np.minimum(
+        total - np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE, BLOCK_SIZE
+    )
+    out = np.empty(total, dtype=np.uint64)
+    headers = raw[offsets[:-1]]
+    starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+    # vectorized groups: full packed blocks by width
+    for w in np.unique(headers):
+        w = int(w)
+        idx = np.flatnonzero(headers == w)
+        if w == 0:
+            for i in idx:  # all-equal blocks: one varint each (rare, cheap)
+                v = varint_decode(
+                    raw[offsets[i] + 1: offsets[i + 1]].tobytes(), count=1
+                )
+                out[starts[i]: starts[i] + counts[i]] = v[0]
+        elif w == _TAIL:
+            for i in idx:  # the (at most one) varint tail block
+                out[starts[i]: starts[i] + counts[i]] = varint_decode(
+                    raw[offsets[i] + 1: offsets[i + 1]].tobytes(),
+                    count=int(counts[i]),
+                )
+        else:
+            nbytes = 16 * w  # ceil(128*w/8)
+            gather = (
+                offsets[idx][:, None] + 1 + np.arange(nbytes, dtype=np.int64)
+            )
+            vals = unpack_blocks(raw[gather], w)  # (len(idx), 128)
+            out[(starts[idx][:, None] + np.arange(BLOCK_SIZE)).ravel()] = (
+                vals.ravel()
+            )
+    return out
+
+
+def encoded_block_lengths(
+    deltas: np.ndarray, block_start: np.ndarray, block_count: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch planning for FOR encoding: per-block (byte length, header, width).
+
+    header semantics as in encode_block; returns (lengths incl. header,
+    headers, widths) as int64/uint8/int64 arrays."""
+    nb = block_start.size
+    lengths = np.empty(nb, dtype=np.int64)
+    headers = np.empty(nb, dtype=np.uint8)
+    # per-block max/min via reduceat on the flat delta stream
+    bmax = np.maximum.reduceat(deltas, block_start)
+    bmin = np.minimum.reduceat(deltas, block_start)
+    full = block_count == BLOCK_SIZE
+    alleq = full & (bmax == bmin)
+    # widths for full non-equal blocks
+    widths = np.zeros(nb, dtype=np.int64)
+    nz = full & ~alleq
+    if nz.any():
+        # bit length of per-block max (vectorized): 64 - clz
+        mx = bmax[nz].astype(np.uint64)
+        bl = np.zeros(mx.size, dtype=np.int64)
+        v = mx.copy()
+        while (v > 0).any():
+            bl += (v > 0).astype(np.int64)
+            v >>= np.uint64(1)
+        bl = np.maximum(bl, 1)
+        widths[nz] = bl
+        headers[nz] = bl.astype(np.uint8)
+        lengths[nz] = 1 + 16 * bl
+    if alleq.any():
+        headers[alleq] = 0
+        vlen = np.searchsorted(
+            np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64),
+            bmax[alleq].astype(np.uint64), side="right",
+        ) + 1
+        lengths[alleq] = 1 + vlen
+    tail = ~full
+    if tail.any():
+        headers[tail] = _TAIL
+        for i in np.flatnonzero(tail):  # at most one tail per term
+            s, c = int(block_start[i]), int(block_count[i])
+            vals = deltas[s: s + c].astype(np.uint64)
+            nb_ = np.searchsorted(
+                np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64),
+                vals, side="right",
+            ) + 1
+            lengths[i] = 1 + int(nb_.sum())
+    return lengths, headers, widths
+
+
+def encode_stream(
+    deltas: np.ndarray, block_start: np.ndarray, block_count: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """FOR-encode a flat delta stream cut into blocks -> (blob, offsets).
+
+    `block_start`/`block_count` define each block's slice of `deltas`;
+    offsets has nblocks+1 entries (byte offset of each block, then total).
+    Vectorized: full blocks are packed per width group in one numpy pass."""
+    deltas = np.asarray(deltas, dtype=np.uint64)
+    nb = block_start.size
+    if nb == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    lengths, headers, widths = encoded_block_lengths(
+        deltas, block_start, block_count
+    )
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    out[offsets[:-1]] = headers
+    for w in np.unique(widths[widths > 0]):
+        w = int(w)
+        idx = np.flatnonzero(widths == w)
+        vals = deltas[(block_start[idx][:, None]
+                       + np.arange(BLOCK_SIZE, dtype=np.int64)).ravel()]
+        packed = pack_blocks(vals.reshape(len(idx), BLOCK_SIZE), w)
+        scatter = (
+            offsets[idx][:, None] + 1 + np.arange(16 * w, dtype=np.int64)
+        )
+        out[scatter.ravel()] = packed.ravel()
+    for i in np.flatnonzero(headers == 0):
+        v = varint_encode(deltas[block_start[i]: block_start[i] + 1])
+        out[offsets[i] + 1: offsets[i] + 1 + len(v)] = np.frombuffer(v, dtype=np.uint8)
+    for i in np.flatnonzero(headers == _TAIL):
+        s, c = int(block_start[i]), int(block_count[i])
+        v = varint_encode(deltas[s: s + c])
+        out[offsets[i] + 1: offsets[i] + 1 + len(v)] = np.frombuffer(v, dtype=np.uint8)
+    return out.tobytes(), offsets
 
 
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
@@ -109,40 +337,79 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
 def encode_postings(
     doc_ids: np.ndarray, tfs: np.ndarray
 ) -> tuple[bytes, bytes, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Encode one term's (sorted local doc ids, tfs).
+    """Encode one term's (sorted local doc ids, tfs) with FOR blocks.
 
     Returns (docs_blob, tfs_blob, block_max_doc, block_max_tf,
     block_doc_boff, block_tf_boff); block arrays have one entry per 128-doc
     block (the block directory replacing Lucene's skip list,
     Lucene50SkipWriter.java:27-46); the *_boff arrays (len nblocks+1) are byte
     offsets of each block within the blob, enabling per-block random decode.
+    Full blocks are bit-packed at the block max width (all-equal -> 1 value,
+    ForUtil.java:41); the tail block is varint.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
-    docs_blob, doc_off = varint_encode_with_offsets(delta_encode(doc_ids))
-    tfs_blob, tf_off = varint_encode_with_offsets(tfs)
-    nblocks = (doc_ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
-    pad = nblocks * BLOCK_SIZE - doc_ids.size
-    bm_doc = np.pad(doc_ids, (0, pad), constant_values=doc_ids[-1] if doc_ids.size else 0)
+    n = doc_ids.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+    counts = np.minimum(n - starts, BLOCK_SIZE)
+    docs_blob, doc_off = encode_stream(delta_encode(doc_ids), starts, counts)
+    tfs_blob, tf_off = encode_stream(tfs.astype(np.uint64), starts, counts)
+    pad = nblocks * BLOCK_SIZE - n
+    bm_doc = np.pad(doc_ids, (0, pad), constant_values=doc_ids[-1] if n else 0)
     bm_tf = np.pad(tfs, (0, pad), constant_values=0)
     block_max_doc = bm_doc.reshape(nblocks, BLOCK_SIZE).max(axis=1).astype(np.int64)
     block_max_tf = bm_tf.reshape(nblocks, BLOCK_SIZE).max(axis=1).astype(np.int64)
-    idx = np.minimum(np.arange(nblocks + 1) * BLOCK_SIZE, doc_ids.size)
     return (
         docs_blob,
         tfs_blob,
         block_max_doc,
         block_max_tf,
-        doc_off[idx],
-        tf_off[idx],
+        doc_off,
+        tf_off,
     )
 
 
-def decode_postings(docs_blob: bytes, tfs_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of encode_postings -> (doc_ids int64, tfs int64)."""
-    doc_ids = delta_decode(varint_decode(docs_blob))
-    tfs = varint_decode(tfs_blob).astype(np.int64)
+def decode_postings(
+    docs_blob: bytes, tfs_blob: bytes,
+    doc_off: np.ndarray | None = None, tf_off: np.ndarray | None = None,
+    df: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_postings -> (doc_ids int64, tfs int64).
+
+    Offsets + df come from the posting row's block directory; when omitted
+    (tests / ad-hoc use) the self-delimiting headers are walked instead."""
+    if doc_off is None or tf_off is None or df is None:
+        doc_off, df = _walk_offsets(docs_blob)
+        tf_off, _ = _walk_offsets(tfs_blob)
+    doc_ids = delta_decode(decode_stream(docs_blob, doc_off, df))
+    tfs = decode_stream(tfs_blob, tf_off, df).astype(np.int64)
     return doc_ids, tfs
+
+
+def _walk_offsets(blob: bytes) -> tuple[np.ndarray, int]:
+    """Recover block offsets + total count by walking the block headers."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    offs = [0]
+    total = 0
+    i = 0
+    while i < raw.size:
+        h = int(raw[i])
+        if h == _TAIL:
+            tail_vals = varint_decode(raw[i + 1:].tobytes())
+            total += tail_vals.size
+            i = raw.size
+        elif h == 0:
+            j = i + 1
+            while raw[j] & 0x80:
+                j += 1
+            total += BLOCK_SIZE
+            i = j + 1
+        else:
+            total += BLOCK_SIZE
+            i += 1 + 16 * h
+        offs.append(i)
+    return np.asarray(offs, dtype=np.int64), total
 
 
 def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:

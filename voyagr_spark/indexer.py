@@ -56,7 +56,7 @@ from pyspark.sql import types as T
 
 from .analysis import Analyzer, analyze_flat
 from .bm25 import NORM_TABLE
-from .codec import BLOCK_SIZE, varint_encode_with_offsets
+from .codec import BLOCK_SIZE, CODEC_VERSION, varint_encode_with_offsets
 from .smallfloat import encode_norm
 
 DOC_KEY = ["repo", "path", "commit"]
@@ -235,14 +235,14 @@ def invert_flush(
         pair_tok_start = pair_starts
         pair_tok_end = np.concatenate((pair_starts[1:], [c.size]))
 
-        # ---- batch-wide encoding: one varint pass per stream, then slice ----
+        # ---- batch-wide encoding: one FOR pass per stream, then slice ----
+        # (full 128 blocks bit-packed per width group, tails varint — the
+        # Lucene50 block scheme; codec.encode_stream)
         gdocs = doc_ids[pair_doc]
         deltas = np.empty(npairs, dtype=np.int64)
         deltas[0] = gdocs[0]
         np.subtract(gdocs[1:], gdocs[:-1], out=deltas[1:])
         deltas[term_starts] = gdocs[term_starts]  # absolute restart per term
-        docs_bytes, doc_off = varint_encode_with_offsets(deltas.astype(np.uint64))
-        tfs_bytes, tf_off = varint_encode_with_offsets(tfs_all.astype(np.uint64))
         pos_bytes, pos_off = varint_encode_with_offsets(pos_delta.astype(np.uint64))
         nb_all = norm_bytes[pair_doc]
         nb_bytes = nb_all.tobytes()
@@ -261,12 +261,20 @@ def invert_flush(
         bexcl = np.concatenate(([0], np.cumsum(nblocks_t)[:-1]))
         within = np.arange(total_blocks) - bexcl[bterm]
         block_start = term_starts[bterm] + within * BLOCK_SIZE
+        block_count = np.minimum(
+            term_ends[bterm] - block_start, BLOCK_SIZE
+        ).astype(np.int64)
         block_max_doc = np.maximum.reduceat(gdocs, block_start)
         block_max_tf = np.maximum.reduceat(tfs_all, block_start)
         block_min_len = np.minimum.reduceat(lens_all, block_start).astype(np.float32)
-        # byte offsets of blocks, rebased to each term's blob start below
-        blk_doc_boff = doc_off[block_start]
-        blk_tf_boff = tf_off[block_start]
+        from .codec import encode_stream
+
+        docs_bytes, doc_blk_off = encode_stream(
+            deltas.astype(np.uint64), block_start, block_count
+        )
+        tfs_bytes, tf_blk_off = encode_stream(
+            tfs_all.astype(np.uint64), block_start, block_count
+        )
 
         mv_docs, mv_tfs, mv_pos = (
             memoryview(docs_bytes), memoryview(tfs_bytes), memoryview(pos_bytes),
@@ -275,8 +283,8 @@ def invert_flush(
         for ti in range(nterms):
             s, e = term_starts[ti], term_ends[ti]
             b0, b1 = bexcl[ti], bexcl[ti] + nblocks_t[ti]
-            dlo, dhi = int(doc_off[s]), int(doc_off[e])
-            tlo, thi = int(tf_off[s]), int(tf_off[e])
+            dlo, dhi = int(doc_blk_off[b0]), int(doc_blk_off[b1])
+            tlo, thi = int(tf_blk_off[b0]), int(tf_blk_off[b1])
             plo, phi = int(pos_off[pair_tok_start[s]]), int(pos_off[pair_tok_end[e - 1]])
             emit_posting(
                 term_strs[ti],
@@ -289,8 +297,8 @@ def invert_flush(
                  bytes(mv_pos[plo:phi]), nb_bytes[s:e]),
                 (block_max_doc[b0:b1].tolist(), block_max_tf[b0:b1].tolist(),
                  block_min_len[b0:b1].tolist(),
-                 np.append(blk_doc_boff[b0:b1] - dlo, dhi - dlo).tolist(),
-                 np.append(blk_tf_boff[b0:b1] - tlo, thi - tlo).tolist()),
+                 (doc_blk_off[b0:b1 + 1] - dlo).tolist(),
+                 (tf_blk_off[b0:b1 + 1] - tlo).tolist()),
             )
 
     n = doc_ids.size
@@ -471,6 +479,7 @@ def build_index(
             "num_partitions": int(num_segments),
             "num_segments": len(seg_rows),
             "built_unix": int(time.time()),
+            "codec": CODEC_VERSION,
         }
         if analyzer is not None and not analyzer.is_standard:
             # custom chain persists with the index so queries re-analyze
@@ -510,6 +519,12 @@ class Index:
         self.spark = spark
         self.dir = Path(index_dir)
         self.meta = json.loads((self.dir / "meta.json").read_text())
+        codec = self.meta.get("codec")
+        if codec != CODEC_VERSION:
+            raise ValueError(
+                f"index at {index_dir} was written by codec {codec!r}; "
+                f"this reader is {CODEC_VERSION!r} — rebuild the index"
+            )
 
     @property
     def max_doc(self) -> int:

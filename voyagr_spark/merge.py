@@ -88,7 +88,12 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
     norms = []
     pos_chunks = []
     for _, r in pdf.iterrows():
-        d, t = decode_postings(r["docs_blob"], r["tfs_blob"])
+        d, t = decode_postings(
+            r["docs_blob"], r["tfs_blob"],
+            np.asarray(r["block_doc_boff"], dtype=np.int64),
+            np.asarray(r["block_tf_boff"], dtype=np.int64),
+            int(r["df"]),
+        )
         from .codec import decode_positions_flat
 
         flat, doc_idx = decode_positions_flat(r["pos_blob"], t)

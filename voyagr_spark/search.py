@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import bm25
-from .codec import varint_decode
 from .parser import (
     MUST,
     MUST_NOT,
@@ -273,14 +272,25 @@ class PostingRow:
 
     def docs(self) -> np.ndarray:
         if self._docs is None:
-            self._docs = _decode_deltas(self.row["docs_blob"], base=0)
+            from .codec import decode_stream
+
+            deltas = decode_stream(
+                self.row["docs_blob"],
+                np.asarray(self.row["block_doc_boff"], dtype=np.int64),
+                self.df,
+            )
+            self._docs = np.cumsum(deltas.astype(np.int64))
         return self._docs
 
     def tfs(self) -> np.ndarray:
         if self._tfs is None:
-            self._tfs = varint_decode(self.row["tfs_blob"], count=self.df).astype(
-                np.int64
-            )
+            from .codec import decode_stream
+
+            self._tfs = decode_stream(
+                self.row["tfs_blob"],
+                np.asarray(self.row["block_tf_boff"], dtype=np.int64),
+                self.df,
+            ).astype(np.int64)
         return self._tfs
 
     def norms(self) -> np.ndarray:
@@ -306,11 +316,12 @@ class PostingRow:
         blob = self.row["docs_blob"]
         mask = np.zeros(candidates.size, dtype=bool)
         pidx = np.zeros(candidates.size, dtype=np.int64)
-        from .codec import BLOCK_SIZE
+        from .codec import BLOCK_SIZE, decode_block
 
         for b in need:
             base = 0 if b == 0 else int(bmax[b - 1])
-            deltas = varint_decode(bytes(blob[dboff[b]: dboff[b + 1]]))
+            cnt = min(self.df - int(b) * BLOCK_SIZE, BLOCK_SIZE)
+            deltas = decode_block(blob[dboff[b]: dboff[b + 1]], cnt)
             docs_b = base + np.cumsum(deltas.astype(np.int64))
             lo = np.searchsorted(candidates, docs_b[0])
             hi = np.searchsorted(candidates, docs_b[-1], side="right")
@@ -321,10 +332,6 @@ class PostingRow:
             mask[lo:hi] |= m
             pidx[lo:hi][m] = b * BLOCK_SIZE + ii_c[m]
         return mask, pidx[mask]
-
-
-def _decode_deltas(blob: bytes, base: int) -> np.ndarray:
-    return base + np.cumsum(varint_decode(bytes(blob)).astype(np.int64))
 
 
 class TermPostings:
@@ -703,15 +710,18 @@ def _term_blockmax_topk(tp: TermPostings, wv: np.float32, plan: QueryPlan):
     for ub, pi, bi in blocks:
         if nseen >= plan.k and ub < tau:
             break  # no remaining block can beat the kth score
+        from .codec import decode_block
+
         p = tp.parts[pi]
         bmax = np.asarray(p.row["block_max_doc"], dtype=np.int64)
         dboff = np.asarray(p.row["block_doc_boff"], dtype=np.int64)
         tboff = np.asarray(p.row["block_tf_boff"], dtype=np.int64)
         base = 0 if bi == 0 else int(bmax[bi - 1])
-        deltas = varint_decode(bytes(p.row["docs_blob"][dboff[bi]: dboff[bi + 1]]))
+        cnt = min(p.df - bi * BLOCK_SIZE, BLOCK_SIZE)
+        deltas = decode_block(p.row["docs_blob"][dboff[bi]: dboff[bi + 1]], cnt)
         docs_b = base + np.cumsum(deltas.astype(np.int64))
-        tfs_b = varint_decode(
-            bytes(p.row["tfs_blob"][tboff[bi]: tboff[bi + 1]])
+        tfs_b = decode_block(
+            p.row["tfs_blob"][tboff[bi]: tboff[bi + 1]], cnt
         ).astype(np.int64)
         lo = bi * BLOCK_SIZE
         norms_b = np.frombuffer(
