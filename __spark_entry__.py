@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": lambda s, d: R.lsh_buckets(s, d),
         "jaccard_pairs": lambda s, d: R.jaccard_pairs(s, d, 0.7, 100),
         "shingle_minhash": lambda s, d: R.shingle_minhash(s, d, 3, 4),
+        "simhash_sig": _simhash_entry,
         "jaccard3_pairs": lambda s, d: R.jaccard_ngram_pairs(s, d, 3, 0.8, 500),
         "quality_stats": lambda s, d: R.quality_stats(s, d),
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
@@ -421,6 +422,50 @@ def _engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.row_number().over(w).cast("long").alias("rank"),
         "doc_id", "score",
     )
+
+
+def _simhash_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures over the documents table (pipeline.simhash):
+    tf-weighted +-1 bit votes from 64-bit term hashes -> sign bits."""
+    from voyagr_spark.pipeline import simhash
+
+    return simhash(R.documents(spark, sf_dir), "doc_id", "text")
+
+
+_HEXMAP_SQL = ", ".join(f"('{i:02x}', {i})" for i in range(256))
+
+# SimHash in SQL: the 64-bit term hash is md5's first 8 bytes little-endian;
+# bit b of the hash = bit (b%8) of hex pair (b//8), extracted via a 256-row
+# hex map so no >63-bit integer is ever formed; the final signature wraps
+# to signed int64 two's complement exactly like numpy's uint64->int64 view.
+_SIMHASH_SQL = f"""
+, hexmap(pair, val) AS (VALUES {_HEXMAP_SQL}),
+hx AS (SELECT term, md5(term) AS h FROM (SELECT DISTINCT term FROM tf)),
+bitsk AS (SELECT unnest(range(64)) AS bit),
+tbits AS (
+  SELECT hx.term, b.bit, ((hm.val >> (b.bit % 8)) & 1) AS bitval
+  FROM hx
+  CROSS JOIN bitsk b
+  JOIN hexmap hm ON hm.pair = substr(hx.h, 2 * (b.bit // 8) + 1, 2)
+),
+votes AS (
+  SELECT tf.doc_id, tb.bit, SUM(tf.tf * (2 * tb.bitval - 1)) AS v
+  FROM tf JOIN tbits tb ON tf.term = tb.term
+  GROUP BY tf.doc_id, tb.bit
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(power(2, bit) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS hv
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(s.hv, 0) >= CAST(power(2, 63) AS HUGEINT)
+                 THEN coalesce(s.hv, 0) - CAST(power(2, 64) AS HUGEINT)
+                 ELSE coalesce(s.hv, 0) END
+            AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -530,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
                    min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
                    min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
             FROM sh GROUP BY doc_id""",
+        "simhash_sig": _BASE + _SIMHASH_SQL,
         "jaccard3_pairs": _BASE
         + """, sh AS (
               SELECT DISTINCT a.doc_id,

@@ -6,6 +6,7 @@ import shutil
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 
 def test_resume_skips_completed_invert(spark, corpus_pdf, tmp_path):
@@ -44,3 +45,20 @@ def test_resume_noop_on_complete_index(spark, corpus_pdf, tmp_path):
     idx2 = build_index(spark, docs, str(d), num_segments=4, resume=True)
     assert idx2.max_doc == max_doc
     assert idx2.meta["built_unix"] == built_unix  # nothing recomputed
+
+
+def test_reader_refuses_mismatched_codec(spark, built_index, tmp_path):
+    # the SegmentInfos-version analog: an index stamped with a different
+    # codec must be refused, not silently mis-decoded
+    import json
+    import shutil
+
+    from voyagr_spark.indexer import Index
+
+    d = tmp_path / "stale"
+    shutil.copytree(built_index.dir, d)
+    meta = json.loads((d / "meta.json").read_text())
+    meta["codec"] = "varint-0"
+    (d / "meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="codec"):
+        Index(spark, str(d))

@@ -143,22 +143,36 @@ def pack_blocks(vals_2d: np.ndarray, w: int) -> np.ndarray:
     return np.packbits(flat, axis=1, bitorder="little")
 
 
+def unpack_blocks(raw_2d: np.ndarray, w: int) -> np.ndarray:
+    """(nblocks, nbytes) same-width blocks -> (nblocks, count) uint64.
+
+    Byte-gather kernel: value i spans bytes [i*w//8, ...]; each value is
+    assembled from ceil((w+7)/8) gathered bytes + one shift/mask — ~10x
+    faster than the unpackbits route (which materializes 8x the data).
+    Falls back to unpackbits for w > 56 (bit offset + width can exceed 64).
+    """
+    nb, nbytes = raw_2d.shape
+    count = nbytes * 8 // w
+    if w > 56:
+        bits = np.unpackbits(raw_2d, axis=1, bitorder="little")[:, : count * w]
+        return (bits.reshape(nb, count, w).astype(np.uint64) * _weights(w)).sum(
+            axis=2, dtype=np.uint64
+        )
+    bitpos = np.arange(count, dtype=np.int64) * w
+    s = bitpos >> 3
+    r = (bitpos & 7).astype(np.uint64)
+    k = (w + 7 + 7) // 8  # bytes covering r+w bits
+    acc = np.zeros((nb, count), dtype=np.uint64)
+    for j in range(k):
+        idx = np.minimum(s + j, nbytes - 1)
+        acc |= raw_2d[:, idx].astype(np.uint64) << np.uint64(8 * j)
+    mask = np.uint64((1 << w) - 1)
+    return (acc >> r) & mask
+
+
 def unpack_block(raw: np.ndarray, w: int, count: int) -> np.ndarray:
     """Inverse of pack_blocks for ONE block's bytes -> uint64[count]."""
-    bits = np.unpackbits(raw, bitorder="little", count=count * w)
-    return (bits.reshape(count, w).astype(np.uint64) * _weights(w)).sum(
-        axis=1, dtype=np.uint64
-    )
-
-
-def unpack_blocks(raw_2d: np.ndarray, w: int) -> np.ndarray:
-    """(nblocks, nbytes) same-width blocks -> (nblocks, count) uint64."""
-    nb = raw_2d.shape[0]
-    count = raw_2d.shape[1] * 8 // w
-    bits = np.unpackbits(raw_2d, axis=1, bitorder="little")[:, : count * w]
-    return (bits.reshape(nb, count, w).astype(np.uint64) * _weights(w)).sum(
-        axis=2, dtype=np.uint64
-    )
+    return unpack_blocks(raw[None, :], w)[0, :count]
 
 
 def encode_block(vals: np.ndarray) -> bytes:
