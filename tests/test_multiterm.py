@@ -36,6 +36,9 @@ QUERIES = [
     "f?le",                      # wildcard single-char
     "to*en",                     # wildcard mid-star
     "/fi.e/",                    # regexp
+    "/file|handle/",             # regexp alternation: no mandatory prefix
+    "/files?/",                  # optional last char: prefix must shrink
+    "/handle(s|d)?/",            # optional group after literal run
     "[file TO handle]",          # inclusive term range
     "{file TO handle}",          # exclusive term range
     "[parse TO *]",              # open-ended range
@@ -73,6 +76,27 @@ def test_prefix_range_reaches_pushed_filters(built_index):
         "GreaterThanOrEqual(term,par" in l and "LessThan(term,pas" in l
         for l in pushed
     ), pushed
+
+
+def test_regexp_prefix_only_when_mandatory():
+    """ADVICE r2 (high): range bounds must only be emitted when the literal
+    run is a mandatory prefix of every matching term."""
+    from voyagr_spark.parser import RegexpQuery
+
+    # alternation anywhere: no bounds at all ('dog' is outside [cat, cau))
+    q = rewrite(RegexpQuery("cat|dog"), index=None)
+    assert q.lower is None and q.upper is None and q.regex == "cat|dog"
+    assert q.matches("dog") and q.matches("cat") and not q.matches("cow")
+    # optional quantifier drops the preceding literal ('ac' matches /ab?c/)
+    q = rewrite(RegexpQuery("ab?c"), index=None)
+    assert q.lower == "a" and q.matches("ac") and q.matches("abc")
+    # star / bounded repeat after the run shrink it the same way
+    assert rewrite(RegexpQuery("ab*c"), index=None).lower == "a"
+    assert rewrite(RegexpQuery("ab{0,2}c"), index=None).lower == "a"
+    # '+' keeps the char mandatory; plain literal run keeps full bounds
+    assert rewrite(RegexpQuery("ab+c"), index=None).lower == "ab"
+    q = rewrite(RegexpQuery("abc.*"), index=None)
+    assert q.lower == "abc" and q.upper == "abd"
 
 
 def test_too_many_clauses_guard():
@@ -113,6 +137,7 @@ def test_wildcard_count_matches_bruteforce(built_index, oracle_index):
 
 
 def test_malformed_syntax_raises(built_index):
-    for bad in ["(file", "file)", "file AND", "nosuch:field", "file^x"]:
+    for bad in ["(file", "file)", "file AND", "nosuch:field", "file^x",
+                '"foo bar', 'foo" bar', '"']:  # unbalanced quotes (ADVICE r2)
         with pytest.raises(ValueError):
             parse(bad)

@@ -34,6 +34,31 @@ def test_cache_keyed_by_params(built_index):
     assert a == b[:5] and len(b) == 10
 
 
+def test_cache_evicts_least_recently_used(built_index):
+    # LRU semantics (LRUQueryCache.java, VERDICT r2 missing #3): a HIT moves
+    # the entry to the tail, so eviction at capacity removes the least
+    # recently USED entry, not the oldest-inserted
+    import voyagr_spark.search as S
+    from voyagr_spark.search import search
+
+    built_index._result_cache = None  # reset any earlier-test state
+    old_max = S._RESULT_CACHE_MAX
+    S._RESULT_CACHE_MAX = 2
+    try:
+        search(built_index, "file", k=3, use_cache=True).collect()
+        search(built_index, "handle", k=3, use_cache=True).collect()
+        # touch 'file' -> 'handle' becomes the LRU entry
+        search(built_index, "file", k=3, use_cache=True).collect()
+        search(built_index, "parse", k=3, use_cache=True).collect()  # evicts
+        keys = [k[0] for k in built_index._result_cache]
+        assert any("file" in k for k in keys), keys
+        assert not any("handle" in k for k in keys), keys
+        assert any("parse" in k for k in keys), keys
+    finally:
+        S._RESULT_CACHE_MAX = old_max
+        built_index._result_cache = None
+
+
 def test_cache_invalidated_by_delete(spark, tmp_path):
     import pandas as pd
 

@@ -5,11 +5,19 @@ Spark-first re-expression of the Lucene50 postings format
 Lucene50PostingsWriter.java:214-301`, BLOCK_SIZE=128 at
 `Lucene50PostingsFormat.java:398`):
 
-* doc ids are delta-encoded, then full 128-value blocks are FOR bit-packed
-  at the block's max bit width with the all-equal-block collapse, and the
-  <128 tail is varint — the reference scheme (ForUtil.java:41,157-243;
-  Lucene50PostingsWriter.java:340-348).  Term frequencies use the same
-  block scheme; per-doc position deltas stay one varint stream (B7
+* doc ids are delta-encoded, then cut into 128-value blocks encoded with a
+  PER-BLOCK codec choice: blocks whose max delta fits one byte (the
+  overwhelmingly common hot-term / tf case) are stored as raw bytes
+  (header 0xFE — decode is a single gather + astype, no bit math at all),
+  all-equal full blocks collapse to one value (ForUtil.java:41,157-165),
+  and only genuinely wide blocks are FOR bit-packed at the block's max bit
+  width (ForUtil.java:157-243); a wide <128 tail is varint
+  (Lucene50PostingsWriter.java:340-348).  This is the same cost model as
+  Lucene's own all-equal special case: on corpus-shaped small-delta
+  streams the raw-byte form decodes ~20x faster than numpy FOR unpacking
+  (measured in BENCH/CODEC_MICRO.md) and Parquet page compression
+  recovers the <=12% byte overhead vs w<8 packing.  Term frequencies use
+  the same scheme; per-doc position deltas stay one varint stream (B7
   divergence: positions are bulk-decoded whole, so the block win is nil
   and Parquet page compression recovers the constant factor).
 * the multi-level skip list (`Lucene50SkipWriter.java:27-46`) becomes a flat
@@ -30,7 +38,7 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
 
 #: on-disk posting format version, stamped into index meta; readers refuse
 #: indexes written by a different codec (the SegmentInfos version check)
-CODEC_VERSION = "for128-1"
+CODEC_VERSION = "hyb128-2"
 
 
 def varint_encode(values: np.ndarray) -> bytes:
@@ -114,10 +122,12 @@ def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
 # slice, delimited by the *_boff offset arrays):
 #   header 0x00:        all 128 values equal; varint(value) follows
 #   header w (1..64):   ceil(count*w/8) bytes, values little-endian bit-packed
-#   header 0xFF:        varint stream (the tail block form)
+#   header 0xFE:        count raw bytes, one value per byte (all values <256)
+#   header 0xFF:        varint stream (the wide tail block form)
 # ---------------------------------------------------------------------------
 
 _TAIL = 0xFF
+_RAW8 = 0xFE  # small-delta block: payload is the uint8 value array itself
 _BIT_WEIGHTS = {}
 
 
@@ -178,9 +188,11 @@ def unpack_block(raw: np.ndarray, w: int, count: int) -> np.ndarray:
 def encode_block(vals: np.ndarray) -> bytes:
     """Encode one block of uint64 values (<= BLOCK_SIZE)."""
     vals = np.asarray(vals, dtype=np.uint64)
+    if vals.size == BLOCK_SIZE and vals.max() == vals.min():
+        return b"\x00" + varint_encode(vals[:1])  # all-equal (ForUtil.java:41)
+    if vals.size and vals.max() < 256:
+        return bytes([_RAW8]) + vals.astype(np.uint8).tobytes()
     if vals.size == BLOCK_SIZE:
-        if vals.max() == vals.min():  # all-equal (ForUtil.java:41)
-            return b"\x00" + varint_encode(vals[:1])
         w = _bit_width(vals)
         return bytes([w]) + pack_blocks(vals[None, :], w).tobytes()
     return bytes([_TAIL]) + varint_encode(vals)
@@ -190,6 +202,8 @@ def decode_block(blob, count: int) -> np.ndarray:
     """Decode one block's byte slice (header + payload) -> uint64[count]."""
     raw = np.frombuffer(bytes(blob), dtype=np.uint8)
     h = int(raw[0])
+    if h == _RAW8:
+        return raw[1: 1 + count].astype(np.uint64)
     if h == _TAIL:
         return varint_decode(raw[1:].tobytes(), count=count)
     if h == 0:
@@ -201,47 +215,124 @@ def decode_block(blob, count: int) -> np.ndarray:
 def decode_stream(blob: bytes, offsets: np.ndarray, total: int) -> np.ndarray:
     """Decode a whole multi-block stream given its block byte offsets.
 
-    Full packed blocks are grouped by width and unpacked in ONE vectorized
-    pass per width (they all have identical byte length 1 + 16w), so a
-    hot-term stream with thousands of blocks costs a few numpy calls, not a
+    Fast path: when every block is RAW8 (corpus-shaped small-delta streams —
+    the hot-term / tf norm) the value stream IS the blob minus its header
+    bytes: one boolean mask + one astype, the same cost as the old varint
+    single-byte path.  Otherwise blocks are grouped by header and each group
+    is decoded in ONE vectorized pass (packed groups share byte length
+    1 + 16w), so even a mixed hot-term stream costs a few numpy calls, not a
     per-block Python loop."""
     raw = np.frombuffer(blob, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
     nblocks = offsets.size - 1
     if nblocks <= 0 or total == 0:
         return np.zeros(0, dtype=np.uint64)
+    headers = raw[offsets[:-1]]
+    if (headers == _RAW8).all():
+        # full RAW8 blocks are fixed 129-byte records: strip the header
+        # column with one reshape (memcpy speed), append the raw tail
+        nfull = total // BLOCK_SIZE
+        out = np.empty(total, dtype=np.uint64)
+        if nfull:
+            out[: nfull * BLOCK_SIZE] = raw[
+                : nfull * (BLOCK_SIZE + 1)
+            ].reshape(nfull, BLOCK_SIZE + 1)[:, 1:].ravel()
+        tail = total - nfull * BLOCK_SIZE
+        if tail:
+            out[nfull * BLOCK_SIZE:] = raw[offsets[-2] + 1: offsets[-2] + 1 + tail]
+        return out
     counts = np.minimum(
         total - np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE, BLOCK_SIZE
     )
     out = np.empty(total, dtype=np.uint64)
-    headers = raw[offsets[:-1]]
     starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
-    # vectorized groups: full packed blocks by width
+    _decode_groups(raw, offsets, headers, np.arange(nblocks), starts, counts, out)
+    return out
+
+
+def _decode_groups(
+    raw: np.ndarray,
+    offsets: np.ndarray,
+    headers: np.ndarray,
+    block_idx: np.ndarray,
+    out_starts: np.ndarray,
+    counts: np.ndarray,
+    out: np.ndarray,
+) -> None:
+    """Decode the blocks `block_idx` (header per entry in `headers`) into
+    `out` at `out_starts`, one vectorized pass per header group."""
     for w in np.unique(headers):
         w = int(w)
-        idx = np.flatnonzero(headers == w)
+        sel = np.flatnonzero(headers == w)
         if w == 0:
-            for i in idx:  # all-equal blocks: one varint each (rare, cheap)
+            for j in sel:  # all-equal blocks: one varint each (rare, cheap)
+                i = block_idx[j]
                 v = varint_decode(
                     raw[offsets[i] + 1: offsets[i + 1]].tobytes(), count=1
                 )
-                out[starts[i]: starts[i] + counts[i]] = v[0]
+                out[out_starts[j]: out_starts[j] + counts[j]] = v[0]
         elif w == _TAIL:
-            for i in idx:  # the (at most one) varint tail block
-                out[starts[i]: starts[i] + counts[i]] = varint_decode(
+            for j in sel:  # the (at most one) wide varint tail block
+                i = block_idx[j]
+                out[out_starts[j]: out_starts[j] + counts[j]] = varint_decode(
                     raw[offsets[i] + 1: offsets[i + 1]].tobytes(),
-                    count=int(counts[i]),
+                    count=int(counts[j]),
                 )
+        elif w == _RAW8:
+            full = sel[counts[sel] == BLOCK_SIZE]
+            if full.size:
+                gather = (
+                    offsets[block_idx[full]][:, None]
+                    + 1
+                    + np.arange(BLOCK_SIZE, dtype=np.int64)
+                )
+                out[
+                    (out_starts[full][:, None] + np.arange(BLOCK_SIZE)).ravel()
+                ] = raw[gather].ravel()
+            for j in sel[counts[sel] < BLOCK_SIZE]:  # the (<=1) raw tail
+                i = block_idx[j]
+                c = int(counts[j])
+                out[out_starts[j]: out_starts[j] + c] = raw[
+                    offsets[i] + 1: offsets[i] + 1 + c
+                ]
         else:
             nbytes = 16 * w  # ceil(128*w/8)
             gather = (
-                offsets[idx][:, None] + 1 + np.arange(nbytes, dtype=np.int64)
+                offsets[block_idx[sel]][:, None]
+                + 1
+                + np.arange(nbytes, dtype=np.int64)
             )
-            vals = unpack_blocks(raw[gather], w)  # (len(idx), 128)
-            out[(starts[idx][:, None] + np.arange(BLOCK_SIZE)).ravel()] = (
+            vals = unpack_blocks(raw[gather], w)  # (len(sel), 128)
+            out[(out_starts[sel][:, None] + np.arange(BLOCK_SIZE)).ravel()] = (
                 vals.ravel()
             )
-    return out
+
+
+def decode_blocks(
+    blob: bytes,
+    offsets: np.ndarray,
+    block_idx: np.ndarray,
+    counts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode an arbitrary SUBSET of blocks in one width-grouped pass.
+
+    `block_idx` are block indices into `offsets` (any order); `counts` is the
+    per-block value count aligned with `block_idx`.  Returns (flat values in
+    block_idx order, value-start offset per block, len nblocks+1).  This is
+    the batched replacement for per-block `decode_block` loops on the
+    skip/blockmax paths (VERDICT r2 "What's wrong #2")."""
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    block_idx = np.asarray(block_idx, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    out_starts = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    out = np.empty(int(out_starts[-1]), dtype=np.uint64)
+    if block_idx.size:
+        headers = raw[offsets[block_idx]]
+        _decode_groups(
+            raw, offsets, headers, block_idx, out_starts[:-1], counts, out
+        )
+    return out, out_starts
 
 
 def encoded_block_lengths(
@@ -259,9 +350,14 @@ def encoded_block_lengths(
     bmin = np.minimum.reduceat(deltas, block_start)
     full = block_count == BLOCK_SIZE
     alleq = full & (bmax == bmin)
-    # widths for full non-equal blocks
+    # small-delta blocks (full OR tail) become raw bytes — the per-block
+    # codec choice that keeps the varint-era single-byte decode speed
+    raw8 = ~alleq & (bmax < 256)
+    headers[raw8] = _RAW8
+    lengths[raw8] = 1 + block_count[raw8]
+    # widths for full non-equal wide blocks
     widths = np.zeros(nb, dtype=np.int64)
-    nz = full & ~alleq
+    nz = full & ~alleq & ~raw8
     if nz.any():
         # bit length of per-block max (vectorized): 64 - clz
         mx = bmax[nz].astype(np.uint64)
@@ -281,7 +377,7 @@ def encoded_block_lengths(
             bmax[alleq].astype(np.uint64), side="right",
         ) + 1
         lengths[alleq] = 1 + vlen
-    tail = ~full
+    tail = ~full & ~raw8
     if tail.any():
         headers[tail] = _TAIL
         for i in np.flatnonzero(tail):  # at most one tail per term
@@ -323,6 +419,25 @@ def encode_stream(
             offsets[idx][:, None] + 1 + np.arange(16 * w, dtype=np.int64)
         )
         out[scatter.ravel()] = packed.ravel()
+    raw8 = np.flatnonzero(headers == _RAW8)
+    if raw8.size:
+        full8 = raw8[block_count[raw8] == BLOCK_SIZE]
+        if full8.size:
+            vals = deltas[
+                (block_start[full8][:, None]
+                 + np.arange(BLOCK_SIZE, dtype=np.int64)).ravel()
+            ].astype(np.uint8)
+            scatter = (
+                offsets[full8][:, None]
+                + 1
+                + np.arange(BLOCK_SIZE, dtype=np.int64)
+            )
+            out[scatter.ravel()] = vals
+        for i in raw8[block_count[raw8] < BLOCK_SIZE]:  # the (<=1) raw tail
+            s, c = int(block_start[i]), int(block_count[i])
+            out[offsets[i] + 1: offsets[i] + 1 + c] = deltas[s: s + c].astype(
+                np.uint8
+            )
     for i in np.flatnonzero(headers == 0):
         v = varint_encode(deltas[block_start[i]: block_start[i] + 1])
         out[offsets[i] + 1: offsets[i] + 1 + len(v)] = np.frombuffer(v, dtype=np.uint8)
@@ -413,6 +528,13 @@ def _walk_offsets(blob: bytes) -> tuple[np.ndarray, int]:
             tail_vals = varint_decode(raw[i + 1:].tobytes())
             total += tail_vals.size
             i = raw.size
+        elif h == _RAW8:
+            if i + 1 + BLOCK_SIZE >= raw.size:  # final block: rest is values
+                total += raw.size - i - 1
+                i = raw.size
+            else:  # non-final RAW8 blocks are always full
+                total += BLOCK_SIZE
+                i += 1 + BLOCK_SIZE
         elif h == 0:
             j = i + 1
             while raw[j] & 0x80:

@@ -205,7 +205,7 @@ _TOKEN_RE = re.compile(
   | (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?)
   | (?P<regexp>/(?P<regexp_body>(?:[^/\\]|\\.)*)/)
   | (?P<range>[\[{](?P<range_body>[^\]}]*)[\]}])
-  | (?P<term>[^\s()^]+)
+  | (?P<term>[^\s()^"]+)
     """,
     re.VERBOSE,
 )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .indexer import DOC_KEY, Index, SEGMENT_SCHEMA, _append_manifest, make_invert_fn
 
 STREAM_PARTITION_BASE = 1 << 30  # keep streamed seg ids clear of build ids
+STATS_COMPACT_AFTER = 4  # max stats delta dirs before compaction to one base
 
 
 def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
@@ -88,7 +89,11 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
         for flush_no in range(-(-int(cnt) // docs_per_segment))
     ]
 
-    # incremental stats: new rows only + merge with the current stats table
+    # LSM-shaped incremental stats (VERDICT r2 #4): write ONLY the new
+    # segments' aggregate as a delta dir — O(batch) bytes, not O(vocabulary)
+    # — and let readers union the lineage; compact once the delta chain gets
+    # long.  Old dirs are never deleted here (ADVICE r2, medium): a reader
+    # holding the previous meta keeps valid files; the next open GCs them.
     lo = pid_base << 20
     hi = (pid_base + 2 * max(num_partitions, 1)) << 20
     new_postings = new_segment_postings(index, lo, hi)
@@ -99,24 +104,37 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
         F.min("min_len").alias("min_len"),
     ).persist()
     added_len = int(new_agg.agg(F.sum("ttf")).collect()[0][0] or 0)
-    merged = (
-        index.term_stats().unionByName(new_agg)
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("ttf").alias("ttf"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_len").alias("min_len"),
-        )
-    )
-    stats_rel = f"term_stats_v{epoch + 1}"
+    delta_rel = f"term_stats_d{epoch + 1}"
     (
-        merged.repartition(max(1, num_partitions // 2), "term")
+        new_agg.repartition(1, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .parquet(str(index.dir / stats_rel))
+        .parquet(str(index.dir / delta_rel))
     )
     new_agg.unpersist()
+    stats_dirs = index.stats_dirs() + [delta_rel]
+    if len(stats_dirs) > STATS_COMPACT_AFTER:
+        # compaction: one merged base (term-sorted for row-group pruning),
+        # the delta chain resets — the tiered-merge analog for stats
+        merged = (
+            index.term_stats()
+            .unionByName(index.spark.read.parquet(str(index.dir / delta_rel)))
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("ttf").alias("ttf"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_len").alias("min_len"),
+            )
+        )
+        compact_rel = f"term_stats_v{epoch + 1}"
+        (
+            merged.repartition(max(1, num_partitions // 2), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(str(index.dir / compact_rel))
+        )
+        stats_dirs = [compact_rel]
 
     added = acc - base
     live = index.live_segments
@@ -125,18 +143,14 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     index.meta["max_doc"] = base + added
     index.meta["sum_total_term_freq"] = index.sum_total_term_freq + added_len
     index.meta["stream_epoch"] = epoch + 1
-    old_stats_rel = index.meta.get("stats_dir", "term_stats")
-    index.meta["stats_dir"] = stats_rel
+    index.meta.pop("stats_dir", None)  # legacy single-pointer form
+    index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
         index.meta["live_segments"] = keep
     tmp = index.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")  # atomic publish (reopen point)
     index._stats_df = None  # meta pointer moved
-    if old_stats_rel.startswith("term_stats_v"):
-        import shutil
-
-        shutil.rmtree(index.dir / old_stats_rel, ignore_errors=True)
     _append_manifest(
         index.spark, index.dir / "manifest", f"append_epoch_{epoch}",
         [(s, -1, 0) for s in new_segs], 0.0,
