@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_term": lambda s, d: R.topk_term(s, d, _HOT, 10),
         # §2.8 faceting / grouping
         "facet_lang": lambda s, d: R.facet_lang(s, d, _RARE),
+        "facet_source": lambda s, d: R.facet_field(s, d, _RARE, "source"),
+        "facet_range_nchars": lambda s, d: R.facet_range(
+            s, d, _HOT, "n_chars", 0, 4000, 500
+        ),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
@@ -514,6 +518,17 @@ def oracle_sql() -> dict[str, str]:
         + f"""SELECT d.lang, count(*)::BIGINT AS n
               FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m
               JOIN documents d USING (doc_id) GROUP BY d.lang""",
+        "facet_source": _BASE
+        + f"""SELECT d.source, count(*)::BIGINT AS n
+              FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m
+              JOIN documents d USING (doc_id) GROUP BY d.source""",
+        "facet_range_nchars": _BASE
+        + f"""SELECT (floor(d.n_chars / 500) * 500)::BIGINT AS bucket_start,
+                     count(*)::BIGINT AS n
+              FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
+              JOIN documents d USING (doc_id)
+              WHERE d.n_chars >= 0 AND d.n_chars < 4000
+              GROUP BY 1""",
         "group_top1": _BASE
         + f"""SELECT lang, doc_id, score4 FROM (
                 SELECT d.lang, s.doc_id, round(s.score, 4) AS score4,

@@ -81,6 +81,31 @@ def test_embedding_lsh_on_testdata(spark):
     assert sigs.schema.simpleString() == "struct<vec_id:bigint,bucket:bigint>"
 
 
+def _make_wav(n=2000, freq=5.0, stereo=False, rate=8000) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 bytes (sine), no audio libs."""
+    import struct
+
+    t = np.arange(n) / rate
+    mono = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    pcm = np.column_stack([mono, mono]).ravel() if stereo else mono
+    n_ch = 2 if stereo else 1
+    data = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, rate, rate * 2 * n_ch, 2 * n_ch, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _make_ppm(w=6, h=4) -> bytes:
+    """Deterministic P6 PPM bytes with a comment line in the header."""
+    img = (np.arange(w * h * 3, dtype=np.uint64) * 37 % 256).astype(np.uint8)
+    return (
+        f"P6\n# synthetic\n{w} {h}\n255\n".encode() + img.tobytes()
+    )
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (0, "image", bytearray(b"\x89PNG fake"), (8, 8, "png")),
@@ -94,8 +119,52 @@ def test_multimodal_plumbing(spark):
     # deterministic fake decode
     feats2 = extract_features(media, dim=16, fake=True).collect()
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
-        extract_features(media, fake=False).collect()
+
+
+def test_multimodal_real_decode(spark):
+    """fake=False end-to-end on genuine WAV/PPM bytes (VERDICT r2 #4: the
+    decode stub is retired — pure-numpy RIFF-PCM16 and P6 parsers)."""
+    from voyagr_spark.pipeline import (
+        decode_ppm,
+        decode_wav,
+        ppm_feature,
+        wav_feature,
+    )
+
+    wav_b, wav_st, ppm_b = _make_wav(), _make_wav(stereo=True), _make_ppm()
+    rows = [
+        (0, "audio", bytearray(wav_b), (0, 0, "wav")),
+        (1, "audio", bytearray(wav_st), (0, 0, "wav")),
+        (2, "image", bytearray(ppm_b), (6, 4, "ppm")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    by_id = {
+        r["media_id"]: r
+        for r in extract_features(media, dim=8, fake=False).collect()
+    }
+    # engine output == local numpy decode of the same bytes
+    want_wav = wav_feature(decode_wav(wav_b), 8)
+    got_wav = np.array(by_id[0]["feature"], dtype=np.float32)
+    assert np.array_equal(got_wav, want_wav) and got_wav.max() > 0
+    # stereo downmix of identical channels == the mono signal
+    assert np.array_equal(
+        np.array(by_id[1]["feature"], np.float32), want_wav
+    )
+    want_ppm = ppm_feature(decode_ppm(ppm_b), 8)
+    got_ppm = np.array(by_id[2]["feature"], dtype=np.float32)
+    assert np.array_equal(got_ppm, want_ppm)
+    assert abs(float(got_ppm.sum()) - 1.0) < 1e-6  # normalized histogram
+    # decoder sanity directly: samples in [-1,1), image shape (h,w,3)
+    s = decode_wav(wav_b)
+    assert s.dtype == np.float32 and np.abs(s).max() <= 1.0
+    assert decode_ppm(ppm_b).shape == (4, 6, 3)
+    # unsupported magic fails loudly
+    bad = spark.createDataFrame(
+        [(9, "video", bytearray(b"\x00\x01\x02\x03"), (0, 0, "mp4"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="unsupported media magic"):
+        extract_features(bad, fake=False).collect()
 
 
 # ---------------------------------------------------------------------------

@@ -253,7 +253,8 @@ def embedding_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
-# multimodal binary-column plumbing (decode stubbed; plumbing real)
+# multimodal binary columns: typed metadata + mapInPandas decode/feature
+# kernels; WAV (RIFF PCM16) and PPM (P6) decode is real, pure numpy
 # ---------------------------------------------------------------------------
 
 MEDIA_SCHEMA = T.StructType(
@@ -278,26 +279,119 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+def decode_wav(payload) -> np.ndarray:
+    """Minimal RIFF/WAVE PCM16 decoder, pure numpy: chunk walk + one
+    frombuffer.  Returns mono float32 samples in [-1, 1)."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i: i + 4]
+        sz = int.from_bytes(b[i + 4: i + 8], "little")
+        body = b[i + 8: i + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    frame = 2 * n_ch
+    smp = np.frombuffer(
+        data[: len(data) - (len(data) % frame)], dtype="<i2"
+    ).astype(np.float32) / np.float32(32768.0)
+    return smp.reshape(-1, n_ch).mean(axis=1)  # downmix to mono
+
+
+def decode_ppm(payload) -> np.ndarray:
+    """Minimal binary PPM (P6, maxval<=255) decoder -> (h, w, 3) uint8,
+    including '#' comment handling per the netpbm spec."""
+    b = bytes(payload)
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(b) and b[i: i + 1].isspace():
+            i += 1
+        if b[i: i + 1] == b"#":  # comment to end of line
+            while i < len(b) and b[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j: j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1  # exactly one whitespace byte before the raster
+    raster = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def wav_feature(samples: np.ndarray, dim: int) -> np.ndarray:
+    """RMS energy over `dim` equal windows (cumsum-of-squares, one pass)."""
+    n = samples.size
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    edges = np.linspace(0, n, dim + 1).astype(np.int64)
+    sq = np.concatenate(([0.0], np.cumsum(samples.astype(np.float64) ** 2)))
+    e = sq[edges[1:]] - sq[edges[:-1]]
+    cnt = np.maximum(edges[1:] - edges[:-1], 1)
+    return np.sqrt(e / cnt).astype(np.float32)
+
+
+def ppm_feature(img: np.ndarray, dim: int) -> np.ndarray:
+    """Normalized `dim`-bin luma histogram (ITU-R 601 weights)."""
+    luma = img.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+    hist, _ = np.histogram(luma, bins=dim, range=(0.0, 256.0))
+    return (hist / np.float32(luma.size)).astype(np.float32)
+
+
+def decode_payload_feature(payload, dim: int) -> np.ndarray:
+    """Dispatch on the payload magic: WAV -> windowed RMS, PPM -> luma
+    histogram.  Raises ValueError on formats outside the two supported
+    container-free codecs."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        return wav_feature(decode_wav(b), dim)
+    if b[:2] == b"P6":
+        return ppm_feature(decode_ppm(b), dim)
+    raise ValueError(f"unsupported media magic {b[:4]!r}")
+
+
+def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
     """Batched decode -> feature-extract over opaque binary payloads.
 
-    Real image/audio decoding libs are absent in this container; with
-    fake=True a deterministic hash-derived feature stands in so the Spark
-    plumbing (Arrow batch shape, schema, partitioning) is fully exercised.
-    With fake=False this raises NotImplementedError at the decode step.
+    The real path (fake=False) decodes WAV (RIFF PCM16) and PPM (P6)
+    payloads with the pure-numpy parsers above — no media libraries needed
+    — and emits a dim-length float32 feature (windowed RMS for audio, luma
+    histogram for images).  fake=True keeps the deterministic hash-derived
+    stand-in for exercising the Spark plumbing against arbitrary bytes.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libs not in this container"
-                )
             feats = []
             for payload in pdf["payload"]:
-                h = hashlib.sha256(bytes(payload)).digest()
-                v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-                feats.append((v.astype(np.float32) / np.float32(2**32)).tolist())
+                if fake:
+                    h = hashlib.sha256(bytes(payload)).digest()
+                    v = np.frombuffer(
+                        (h * ((dim * 4) // len(h) + 1))[: dim * 4],
+                        dtype=np.uint32,
+                    )
+                    feats.append(
+                        (v.astype(np.float32) / np.float32(2**32)).tolist()
+                    )
+                else:
+                    feats.append(decode_payload_feature(payload, dim).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
