@@ -354,7 +354,9 @@ class PostingRow:
         need = need[need < nblocks]
         if need.size == 0:
             return np.zeros(candidates.size, dtype=bool), np.zeros(0, dtype=np.int64)
-        if self._docs is not None or need.size > nblocks * 0.5 or nblocks <= 2:
+        # break-even ~25%: a gathered subset decode costs ~4.5x per value vs
+        # the whole-stream reshape fast path (BENCH/CODEC_MICRO.md §3)
+        if self._docs is not None or need.size > nblocks * 0.25 or nblocks <= 2:
             docs = self.docs()
             idx = np.searchsorted(docs, candidates)
             idx_c = np.minimum(idx, docs.size - 1)
@@ -763,6 +765,17 @@ def _term_blockmax_topk(tp: TermPostings, wv: np.float32, plan: QueryPlan):
     )
     dfs = np.array([p.df for p in tp.parts], dtype=np.int64)
     counts = np.minimum(dfs[part_of] - blk_of * BLOCK_SIZE, BLOCK_SIZE)
+    def _score_all():
+        # whole-stream decode is ONE reshape per stream (RAW8 fast path) —
+        # cheaper than a gathered subset once the survivor fraction is high
+        # (BENCH/CODEC_MICRO.md §3); still rank-neutral (candidate superset)
+        docs = tp.docs()
+        scores = bm25.score(tp.tfs(), tp.norms(), plan.cache, wv)
+        return docs, scores
+
+    nblocks = all_ub.size
+    if nblocks <= 4 or plan.k >= tp.df:
+        return _score_all()
     order = np.argsort(-all_ub, kind="stable")
     # phase 1: the smallest ub-desc prefix covering >= k postings
     cum = np.cumsum(counts[order])
@@ -778,6 +791,8 @@ def _term_blockmax_topk(tp: TermPostings, wv: np.float32, plan: QueryPlan):
         phase2 = rest[~(all_ub[rest] < tau)]
     else:
         phase2 = order[m1:]  # fewer than k postings seen: decode the rest
+    if m1 + phase2.size > nblocks // 2:
+        return _score_all()  # pruning didn't bite: bulk decode wins
     if phase2.size:
         d2, s2 = _score_blocks(tp, part_of, blk_of, phase2, wv, plan)
         docs_l += d2
