@@ -189,23 +189,35 @@ def child(cpus: int, corpus_path: str) -> None:
 
 def parent() -> None:
     # generate the corpus ONCE (all cores, unpinned) and share the parquet
-    # with every child: identical bytes per level, no per-level gen cost
-    corpus_path = tempfile.mkdtemp(prefix="voyagr_scale_corpus_")
-    shutil.rmtree(corpus_path, ignore_errors=True)
-    from pyspark.sql import SparkSession
+    # with every child: identical bytes per level, no per-level gen cost.
+    # VOYAGR_SCALE_RESUME=<dir>: cache per-level child JSON there and skip
+    # levels already measured (lets the full run be split across command
+    # timeouts); VOYAGR_SCALE_CORPUS=<path>: reuse a pre-generated corpus.
+    resume_dir = os.environ.get("VOYAGR_SCALE_RESUME")
+    if resume_dir:
+        Path(resume_dir).mkdir(parents=True, exist_ok=True)
+    corpus_path = os.environ.get("VOYAGR_SCALE_CORPUS")
+    if not (corpus_path and Path(corpus_path).exists()):
+        corpus_path = corpus_path or tempfile.mkdtemp(prefix="voyagr_scale_corpus_")
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        from pyspark.sql import SparkSession
 
-    from voyagr_spark.corpus import corpus_spark
+        from voyagr_spark.corpus import corpus_spark
 
-    gen = (SparkSession.builder.master("local[32]")
-           .config("spark.driver.memory", "16g")
-           .config("spark.ui.enabled", "false").getOrCreate())
-    gen.sparkContext.setLogLevel("ERROR")
-    corpus_spark(gen, num_docs=DOCS, seed=42, partitions=NUM_SEGMENTS) \
-        .write.mode("overwrite").parquet(corpus_path)
-    gen.stop()
+        gen = (SparkSession.builder.master("local[32]")
+               .config("spark.driver.memory", "16g")
+               .config("spark.ui.enabled", "false").getOrCreate())
+        gen.sparkContext.setLogLevel("ERROR")
+        corpus_spark(gen, num_docs=DOCS, seed=42, partitions=NUM_SEGMENTS) \
+            .write.mode("overwrite").parquet(corpus_path)
+        gen.stop()
 
     results = {}
     for cpus in LEVELS:
+        cache = Path(resume_dir) / f"child_{cpus}.json" if resume_dir else None
+        if cache is not None and cache.exists():
+            results[cpus] = json.loads(cache.read_text())
+            continue
         out = subprocess.run(
             [sys.executable, __file__, "--child", str(cpus), corpus_path],
             capture_output=True, text=True, check=True,
@@ -213,6 +225,8 @@ def parent() -> None:
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        if cache is not None:
+            cache.write_text(line)
 
     def eff(lo: int, hi: int, key: str = "files_per_sec") -> float:
         return round(
