@@ -95,7 +95,10 @@ def _chunk_overlong(tokens: list[str]) -> list[str]:
 # any token > 255 chars must sit inside a >255-char run of token-ish chars;
 # this superset pre-check on the raw text is one C regex pass per doc and
 # routes only matching (rare) docs through the per-token chunk fixup
-_OVERLONG_HINT = re.compile(r"[0-9A-Za-z_.:'’]{256}")
+# (includes the MidNum `,;` and the non-ASCII mid/connector chars so a
+# >255-char numeric chain like `1,1,…` is routed too — the oracle's
+# analyze_text always chunks, so the batch path must catch the same docs)
+_OVERLONG_HINT = re.compile(r"[0-9A-Za-z_.,;:'’․٬·‿⁀⁔︳︴﹍-﹏＿]{256}")
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:
@@ -184,6 +187,229 @@ def analyze_flat(
         docidx[keep_np],
         doclens,
     )
+
+
+# ---------------------------------------------------------------------------
+# ASCII byte-class tokenizer kernel (the invert hot path, object-string free)
+# ---------------------------------------------------------------------------
+#
+# The UAX#29 subset grammar in TOKEN_PATTERN is, for ASCII input, exactly
+# expressible as a per-byte membership rule over character classes:
+#   * core chars (letter / digit / `_`) are always inside a token;
+#   * a MidLetter char (`:` `.` `'`) is inside iff both neighbours are letters;
+#   * a MidNum char (`,` `;` `.` `'`) is inside iff both neighbours are digits;
+#   * maximal runs of inside-chars are the tokens, except pure-`_` runs
+#     (TOKEN_PATTERN requires at least one letter/digit BODY).
+# Equivalence with the regex for every ASCII string is property-tested in
+# tests/test_tokenizer_kernel.py.  Docs containing non-ASCII bytes or a
+# >255-char run take the regex path (rare for a source-code corpus), so the
+# kernel is a pure fast path: bit-identical output, no new semantics.
+#
+# Everything below is whole-buffer numpy over one concatenated byte buffer —
+# no Python string objects exist until the (small) sorted term dictionary is
+# materialized.  Tokens are built as ONE boolean-mask gather into an Arrow
+# large_utf8 array, then dictionary-encoded C-side; stopword filtering tests
+# the (few-thousand-entry) dictionary instead of the token stream.
+
+_LET, _DIG, _EXTC, _MIDL, _MIDN = 1, 2, 4, 8, 16
+_CLS_LUT = np.zeros(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _CLS_LUT[_c] |= _LET
+for _c in range(ord("A"), ord("Z") + 1):
+    _CLS_LUT[_c] |= _LET
+for _c in range(ord("0"), ord("9") + 1):
+    _CLS_LUT[_c] |= _DIG
+_CLS_LUT[ord("_")] |= _EXTC
+for _ch in ":.'":
+    _CLS_LUT[ord(_ch)] |= _MIDL
+for _ch in ",;.'":
+    _CLS_LUT[ord(_ch)] |= _MIDN
+
+
+def _kernel_tokenize(arr: "np.ndarray", doc_off: np.ndarray, lens: np.ndarray):
+    """Run the byte-class kernel over one concatenated uint8 buffer.
+
+    Returns (k_starts, k_len, k_doc, doc_slow) where the k_* arrays describe
+    the kept (has-body) token runs of docs NOT routed to the regex fallback,
+    and doc_slow marks docs needing the fallback (non-ASCII or overlong run).
+    """
+    cls = _CLS_LUT[arr]
+    is_let = (cls & _LET) != 0
+    is_dig = (cls & _DIG) != 0
+    in_tok = (cls & (_LET | _DIG | _EXTC)) != 0
+    # mid chars join iff both neighbours are same-kind (doc separators are
+    # class 0, so runs can never span documents)
+    midl = (cls & _MIDL) != 0
+    midn = (cls & _MIDN) != 0
+    in_tok[1:-1] |= (midl[1:-1] & is_let[:-2] & is_let[2:]) | (
+        midn[1:-1] & is_dig[:-2] & is_dig[2:]
+    )
+
+    starts_mask = in_tok.copy()
+    starts_mask[1:] &= ~in_tok[:-1]
+    run_starts = np.flatnonzero(starts_mask)
+    ends_mask = in_tok.copy()
+    ends_mask[:-1] &= ~in_tok[1:]
+    run_ends = np.flatnonzero(ends_mask) + 1
+    run_len = run_ends - run_starts
+
+    # has_body: at least one letter/digit in the run.  A body-less run is
+    # necessarily pure `_` (mid chars imply letter/digit neighbours in-run),
+    # so only runs that START with `_` are candidates — usually none/few,
+    # each checked with one slice; the full prefix-sum is the dense fallback.
+    has_body = np.ones(run_len.size, dtype=bool)
+    cand = np.flatnonzero(arr[run_starts] == ord("_"))
+    if cand.size > 4096:
+        body_cum = np.zeros(arr.size + 1, dtype=np.int32)
+        np.cumsum(is_let | is_dig, dtype=np.int32, out=body_cum[1:])
+        has_body = body_cum[run_ends] > body_cum[run_starts]
+    else:
+        for i in cand:
+            s = run_starts[i]
+            if not (arr[s:s + run_len[i]] != ord("_")).any():
+                has_body[i] = False
+
+    run_doc = np.searchsorted(doc_off, run_starts, side="right") - 1
+
+    # fallback routing: any non-ASCII byte, or any >255-char run
+    doc_slow = np.zeros(doc_off.size, dtype=bool)
+    if (arr > 0x7F).any():
+        na_cum = np.zeros(arr.size + 1, dtype=np.int32)
+        np.cumsum(arr >= 0x80, dtype=np.int32, out=na_cum[1:])
+        doc_end = doc_off + lens
+        doc_slow = na_cum[doc_end] > na_cum[doc_off]
+    overlong = run_len > MAX_TOKEN_LENGTH
+    if overlong.any():
+        doc_slow[run_doc[overlong]] = True
+
+    if has_body.all() and not doc_slow.any():
+        # common case: every run is a token — reuse in_tok as the char mask
+        return run_starts, run_len, run_doc, doc_slow, in_tok
+    keep_run = has_body & ~doc_slow[run_doc]
+    return (run_starts[keep_run], run_len[keep_run], run_doc[keep_run],
+            doc_slow, None)
+
+
+def _segment_ordinals(seg_ids: np.ndarray) -> np.ndarray:
+    """0-based ordinal within each run of equal consecutive seg_ids."""
+    n = seg_ids.size
+    pos = np.arange(n, dtype=np.int64)
+    if n == 0:
+        return pos
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    np.not_equal(seg_ids[1:], seg_ids[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    return pos - np.repeat(pos[starts], np.diff(np.concatenate((starts, [n]))))
+
+
+def analyze_flat_codes(
+    texts: pd.Series,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Standard-chain batch analysis -> dictionary-coded flat arrays.
+
+    Returns (codes int64[], uniques object[], positions int64[],
+    docidx int64[], doclens int64[]) with `uniques` sorted ascending and
+    `codes` indexing into it — semantically `pd.factorize(flat_terms,
+    sort=True)` over analyze_flat's term stream, except that `uniques` may
+    contain entries (stopwords / fallback-only terms) not referenced by any
+    surviving code.  Positions are pre-stop ordinals; doclens count
+    survivors; ordering is (docidx asc, position asc) — identical to
+    analyze_flat.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    z = np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return z, np.zeros(0, dtype=object), z, z, np.zeros(0, dtype=np.int64)
+
+    low = texts.fillna("").str.lower()
+    enc = low.str.encode("utf-8")
+    lens = enc.str.len().to_numpy(dtype=np.int64)
+    big = b"\x00".join(enc.tolist()) + b"\x00"
+    arr = np.frombuffer(big, dtype=np.uint8)
+    doc_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_off[1:])
+
+    k_starts, k_len, k_doc, doc_slow, char_mask = _kernel_tokenize(
+        arr, doc_off, lens)
+    nk = k_starts.size
+
+    # pre-stop positions: ordinal of the token run within its doc
+    pos = _segment_ordinals(k_doc)
+
+    # ONE gather builds the token bytes; offsets = cumsum of run lengths
+    if char_mask is None:
+        # runs are maximal so starts and ends never collide: plain assignment
+        char_keep = np.zeros(arr.size + 1, dtype=np.int8)
+        char_keep[k_starts] = 1
+        char_keep[k_starts + k_len] = -1
+        char_mask = np.cumsum(char_keep[:-1], dtype=np.int8).view(bool)
+    data = arr[char_mask]
+    offs = np.zeros(nk + 1, dtype=np.int64)
+    np.cumsum(k_len, out=offs[1:])
+    tokens = pa.Array.from_buffers(
+        pa.large_utf8(), nk, [None, pa.py_buffer(offs), pa.py_buffer(data)]
+    )
+
+    denc = pc.dictionary_encode(tokens)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary
+    stop_code = np.asarray(
+        pc.is_in(
+            uniq,
+            value_set=pa.array(sorted(ENGLISH_STOP_WORDS), type=pa.large_utf8()),
+        ).to_numpy(zero_copy_only=False),
+        dtype=bool,
+    )
+    keep_tok = ~stop_code[codes] if nk else np.zeros(0, dtype=bool)
+
+    # remap first-occurrence dictionary codes to sorted-rank codes
+    # (Arrow sorts utf8 by bytes == code-point order == Python str order)
+    sort_idx = pc.sort_indices(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty_like(sort_idx)
+    rank[sort_idx] = np.arange(sort_idx.size)
+    uniques = uniq.take(pa.array(sort_idx)).to_numpy(zero_copy_only=False)
+
+    f_codes = rank[codes[keep_tok]]
+    f_pos = pos[keep_tok]
+    f_doc = k_doc[keep_tok]
+    doclens = np.bincount(f_doc, minlength=n).astype(np.int64)
+
+    if not doc_slow.any():
+        return f_codes, uniques, f_pos, f_doc, doclens
+
+    # regex fallback for non-ASCII / overlong docs, merged back in doc order
+    slow_idx = np.flatnonzero(doc_slow)
+    s_terms, s_pos, s_local, s_doclens = analyze_flat(
+        texts.iloc[slow_idx].reset_index(drop=True)
+    )
+    s_codes_local, s_uniq = pd.factorize(s_terms, sort=True)
+    all_uniq = np.array(sorted(set(uniques) | set(s_uniq)), dtype=object)
+    f_codes = np.searchsorted(all_uniq, uniques)[f_codes] if f_codes.size else f_codes
+    s_codes = (
+        np.searchsorted(all_uniq, s_uniq)[s_codes_local]
+        if s_codes_local.size else s_codes_local.astype(np.int64)
+    )
+    s_docg = slow_idx[s_local]
+    doclens[slow_idx] = s_doclens
+    # each doc's tokens live wholly in one half and are pos-ascending there:
+    # scatter both halves straight to their doc-major output slots (cheaper
+    # than a stable sort of the concatenated stream)
+    out_start = np.zeros(n, dtype=np.int64)
+    np.cumsum(doclens[:-1], out=out_start[1:])
+    total = int(doclens.sum())
+    tgt_f = out_start[f_doc] + _segment_ordinals(f_doc)
+    tgt_s = out_start[s_docg] + _segment_ordinals(s_docg)
+    m_codes = np.empty(total, dtype=np.int64)
+    m_pos = np.empty(total, dtype=np.int64)
+    m_doc = np.empty(total, dtype=np.int64)
+    m_codes[tgt_f], m_codes[tgt_s] = f_codes, s_codes
+    m_pos[tgt_f], m_pos[tgt_s] = f_pos, s_pos
+    m_doc[tgt_f], m_doc[tgt_s] = f_doc, s_docg
+    return m_codes, all_uniq, m_pos, m_doc, doclens
 
 
 def doc_lengths(terms: pd.Series) -> np.ndarray:
@@ -324,6 +550,17 @@ class Analyzer:
         doclens = np.zeros(len(texts), dtype=np.int64)
         np.add.at(doclens, docidx[keep_np], 1)
         return flat.to_numpy()[keep_np], pos[keep_np], docidx[keep_np], doclens
+
+    # -- whole batch -> dictionary-coded flat arrays (invert fast path)
+    def analyze_flat_codes(
+        self, texts: pd.Series
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        if self.is_standard:
+            return analyze_flat_codes(texts)
+        terms, pos, docidx, doclens = self.analyze_flat(texts)
+        codes, uniques = pd.factorize(terms, sort=True)
+        return (codes.astype(np.int64), np.asarray(uniques, dtype=object),
+                pos, docidx, doclens)
 
 
 STANDARD_ANALYZER = Analyzer()

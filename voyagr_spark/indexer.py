@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .analysis import Analyzer, analyze_flat
+from .analysis import Analyzer, analyze_flat_codes
 from .bm25 import NORM_TABLE
 from .codec import BLOCK_SIZE, CODEC_VERSION, varint_encode_with_offsets
 from .smallfloat import encode_norm
@@ -172,9 +172,9 @@ def invert_flush(
     (term, doc, pos) -> run-length boundaries -> per-term delta+varint
     encoding with the 128-doc block directory (Lucene50PostingsWriter).
     """
-    flat_terms, flat_pos, flat_docidx, doclens = (
-        analyzer.analyze_flat(contents) if analyzer is not None
-        else analyze_flat(contents)
+    codes_flat, uniques, flat_pos, flat_docidx, doclens = (
+        analyzer.analyze_flat_codes(contents) if analyzer is not None
+        else analyze_flat_codes(contents)
     )
     norm_bytes = encode_norm(doclens)
     dec_len = NORM_TABLE[norm_bytes]
@@ -203,8 +203,8 @@ def invert_flush(
 
     total_tokens = int(doclens.sum())
     if total_tokens > 0:
-        codes, uniques = pd.factorize(flat_terms, sort=True)
-        # analyze_flat emits tokens in (doc asc, pos asc) order, so ONE
+        codes = codes_flat
+        # analyze_flat_codes emits tokens in (doc asc, pos asc) order, so ONE
         # stable sort on the term code yields full (term, doc, pos) order —
         # a third of the memory traffic of lexsort's three keyed passes
         # (this loop is bandwidth-bound at high core counts)
