@@ -302,6 +302,7 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         idx = Index(spark, idx_dir)  # reuse a previously built index
     except Exception:
         idx = build_index(spark, docs, idx_dir, num_segments=4)
+    idx.pin()  # serving mode: zero-exchange single-stage queries
     _INDEX_CACHE[key] = idx
     return idx
 

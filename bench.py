@@ -100,18 +100,23 @@ def run(sf_dir: str, cpus: int, runs: int, out_dir: str | None = None) -> dict:
         build_s = time.time() - t0
         corpus.unpersist()
 
-        latencies: dict[str, list[float]] = {}
-        # per-class warmup (file-footer caches + remaining JIT), then timed
+        # serving mode: pin the searcher (hash-partitioned columnar cache,
+        # zero-exchange single-stage queries — Index.pin docstring)
+        idx.pin()
+        # per-class warmup (materializes the pin, python worker pool, JIT)
         for name, q in QUERY_CLASSES.items():
             for _ in range(3):
                 search(idx, q, k=10).collect()
-        for name, q in QUERY_CLASSES.items():
-            ls = []
-            for _ in range(runs):
+        # timed runs are INTERLEAVED round-robin across classes: time-local
+        # disturbance (GC after the build, neighbor-VM noise bursts) spreads
+        # evenly over every class instead of poisoning whichever class is
+        # timed first — paired-measurement protocol
+        latencies: dict[str, list[float]] = {name: [] for name in QUERY_CLASSES}
+        for _ in range(runs):
+            for name, q in QUERY_CLASSES.items():
                 t = time.time()
                 search(idx, q, k=10).collect()
-                ls.append(time.time() - t)
-            latencies[name] = ls
+                latencies[name].append(time.time() - t)
 
         qstats = {}
         for name, ls in latencies.items():

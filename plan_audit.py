@@ -53,6 +53,7 @@ def main() -> None:
     from voyagr_spark.search import search, search_many
 
     idx = m._engine_index(spark, "/root/testdata/sf0.001")
+    idx.unpin()  # sections 1-6 audit the cold parquet path; 8 re-pins
 
     sections: list[tuple[str, list[str], list[str]]] = []
 
@@ -129,6 +130,36 @@ def main() -> None:
          f"({n_exch} Exchange nodes; was n-1 token self-joins in r2)",
          f"{'PASS' if n_join == 0 else 'FAIL'}: zero joins ({n_join} Join nodes)"],
     ))
+
+    # 8. pinned searcher (serving mode): zero exchange per query — the
+    # postings cache is hash-partitioned by seg at pin time, so the
+    # per-query plan is Filter -> InMemoryTableScan -> FlatMapGroupsInPandas
+    # -> TakeOrderedAndProject in ONE stage (Index.pin docstring)
+    idx.pin()
+    try:
+        df = search(idx, "batch AND dup", k=10)
+        df.collect()  # AQE final plan
+        p = _plan(df)
+        final = p.split("== Initial Plan ==")[0]
+        above = final.split("InMemoryRelation")[0]
+        checks = [
+            ("zero per-query Exchange (pin-time shuffle only)",
+             "Exchange" not in above),
+            ("serves from InMemoryTableScan", "InMemoryTableScan" in final),
+            ("term predicate prunes cached batches",
+             any("InMemoryTableScan" in l and "term" in l
+                 for l in final.splitlines())),
+            ("TakeOrderedAndProject global merge",
+             "TakeOrderedAndProject" in final),
+        ]
+        sections.append((
+            "pinned searcher (serving mode, batch AND dup)",
+            _excerpt(above, ["Exchange", "InMemoryTableScan",
+                             "TakeOrderedAndProject", "FlatMapGroupsInPandas"]),
+            [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in checks],
+        ))
+    finally:
+        idx.unpin()
 
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",

@@ -560,23 +560,77 @@ class Index:
 
     def reload_meta(self) -> None:
         self.meta = json.loads((self.dir / "meta.json").read_text())
+        was_pinned = getattr(self, "_pinned_df", None) is not None
+        self.unpin()  # cached plan may reference replaced segment files
         self._postings_df = None  # new segment files may exist — re-list
         self._stats_df = None
         self._df_cache = None  # global stats may have changed
+        if was_pinned:
+            self.pin()  # re-warm the searcher over the new lineage (lazy)
 
     @property
     def live_segments(self) -> list[int] | None:
         """Segments visible to queries; None = all (pre-merge index)."""
         return self.meta.get("live_segments")
 
+    def pin(self, num_partitions: int | None = None) -> "Index":
+        """Warm this reader for query serving: pin the postings table in the
+        executor-memory columnar cache, pre-hash-partitioned by segment.
+
+        The Lucene deployment model made Spark-native: an open IndexSearcher
+        serves from page-cache-resident segment files with one leaf slice per
+        segment (IndexSearcher.java slices); here the pinned InMemoryRelation
+        keeps the cached plan's HashPartitioning(seg), so every
+        `groupBy("seg").applyInPandas` query runs with ZERO exchange — a
+        single-stage, single-wave job per query.  Term predicates still prune
+        inside the cache via per-batch column min/max stats (the in-memory
+        analog of parquet row-group pruning).  At cluster scale the cache is
+        MEMORY_AND_DISK: hot postings partitions stay in RAM across the
+        fleet, cold ones spill to executor-local disk — the same "index fits
+        the aggregate page cache" assumption a Solr/Elasticsearch fleet makes.
+
+        Pinning is the serving mode; the default (cold) path scans parquet
+        with full predicate pushdown and needs no cluster memory — right for
+        one-shot/batch queries.  Returns self for chaining."""
+        if getattr(self, "_pinned_df", None) is None:
+            # keep the cached plan's HashPartitioning visible to the planner:
+            # with this off (Spark >=3.5 default on), AQE recompiles cached
+            # plans and reports UnknownPartitioning, which would re-insert a
+            # per-query Exchange that the pin exists to remove
+            self.spark.conf.set(
+                "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "false",
+            )
+            base = self.spark.read.parquet(
+                str(self.dir / "segments" / "kind=posting")
+            )
+            if num_partitions is None:
+                num_partitions = max(
+                    1,
+                    min(
+                        int(self.meta.get("num_segments", 1)),
+                        2 * self.spark.sparkContext.defaultParallelism,
+                    ),
+                )
+            self._pinned_df = base.repartition(num_partitions, "seg").persist()
+        return self
+
+    def unpin(self) -> None:
+        df = getattr(self, "_pinned_df", None)
+        if df is not None:
+            df.unpersist(blocking=False)
+        self._pinned_df = None
+
     def postings(self) -> DataFrame:
         # cache the DataFrame handle: reuses the resolved FileIndex across
         # queries (no re-listing per search)
-        if getattr(self, "_postings_df", None) is None:
-            self._postings_df = self.spark.read.parquet(
-                str(self.dir / "segments" / "kind=posting")
-            )
-        df = self._postings_df
+        df = getattr(self, "_pinned_df", None)
+        if df is None:
+            if getattr(self, "_postings_df", None) is None:
+                self._postings_df = self.spark.read.parquet(
+                    str(self.dir / "segments" / "kind=posting")
+                )
+            df = self._postings_df
         live = self.live_segments
         if live is not None:
             df = df.filter(F.col("seg").isin(live))  # tombstone filter (pushdown)
