@@ -271,11 +271,68 @@ _SQL_PHRASE = """
   ) pw"""
 
 
+# MoreLikeThis term selection (mlt.interesting_terms): the seed doc's terms
+# with tf >= 2 and df >= 5, scored tf * (ln((n+1)/(df+1)) + 1) in float64
+# (TFIDFSimilarity.idf as MoreLikeThis.createQueue uses it), top 25 by
+# (score DESC, term ASC).  _MLT_DOC's engine doc id equals the oracle
+# docmap row_number by construction.
+_SQL_MLT_CAND = """
+, mseed AS (SELECT term, tf FROM tf WHERE doc_id = {d} AND tf >= 2),
+mcand AS (
+  SELECT ms.term, ms.tf, st.df,
+         (ln((CAST(cs.n AS DOUBLE) + 1) / (st.df + 1)) + 1.0) * ms.tf AS score
+  FROM mseed ms JOIN st USING (term) CROSS JOIN cs
+  WHERE st.df >= 5
+),
+msel AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, term ASC)::BIGINT AS rank,
+           term, tf, df, score
+    FROM mcand
+  ) WHERE rank <= 25
+)"""
+
+_SQL_MLT_TERMS = _SQL_MLT_CAND + "SELECT rank, term, tf, df, score FROM msel"
+
+# the MLT search: BM25 scores of the selected disjunction, per-doc float32
+# sum folded in CLAUSE order (= selection rank order) exactly like
+# search._union_scorer / _or_maxscore accumulate — list_reduce with a
+# per-step FLOAT cast reproduces each float32 rounding
+_SQL_MLT_SEARCH = _SQL_MLT_CAND + """,
+mfold AS (
+  SELECT f.doc_id,
+         list_reduce(list(f.score ORDER BY m.rank),
+                     (a, b) -> CAST(a + b AS FLOAT)) AS score
+  FROM fscored f JOIN msel m USING (term)
+  GROUP BY f.doc_id
+)
+SELECT rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         doc_id, score
+  FROM mfold
+) WHERE rank <= 10"""
+
+
 # ---------------------------------------------------------------------------
 # engine-native path (rows-only check; float32 contract tested in tests/)
 # ---------------------------------------------------------------------------
 
 _INDEX_CACHE: dict[str, object] = {}
+
+
+def _docs_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table mapped to the input_hint corpus shape
+    (repo, path, commit, lang, content) — the engine's source table."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.md5("text").alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+    )
 
 
 def _engine_index(spark: SparkSession, sf_dir: str):
@@ -288,16 +345,7 @@ def _engine_index(spark: SparkSession, sf_dir: str):
         return _INDEX_CACHE[key]
     tag = hashlib.md5(key.encode()).hexdigest()[:10]
     idx_dir = f"/tmp/voyagr_index_{tag}"
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(
-            F.col("source").alias("repo"),
-            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-            F.md5("text").alias("commit"),
-            "lang",
-            F.col("text").alias("content"),
-        )
-    )
+    docs = _docs_mapped(spark, sf_dir)
     try:
         idx = Index(spark, idx_dir)  # reuse a previously built index
     except Exception:
@@ -371,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_nchars": lambda s, d: R.facet_range(
             s, d, _HOT, "n_chars", 0, 4000, 500
         ),
+        "facet_pivot": lambda s, d: R.facet_pivot(s, d, _RARE, "lang", "source"),
+        "stats_nchars": lambda s, d: R.stats_field(s, d, _HOT, "n_chars"),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
@@ -404,8 +454,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_topk_boost": _engine_search_ranked(f"{_HOT}^2 OR {_RARE}", 10),
         "engine_prefix": _engine_search_ranked("vec*", 10),
         "engine_batch_topk": _engine_batch,
+        # MoreLikeThis (Lucene queries module): interesting-term selection
+        # gated on exact (tf, df, float64 score); the MLT search itself gated
+        # bit-exactly via a clause-ordered float32 fold in the oracle
+        "mlt_terms": _mlt_terms_entry,
+        "mlt_search": _mlt_search_entry,
     }
     return q
+
+
+_MLT_DOC = 7  # deterministic seed: engine doc id == oracle docmap row_number
+
+
+def _mlt_terms_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.mlt import interesting_terms_df
+
+    idx = _engine_index(spark, sf_dir)
+    return interesting_terms_df(idx, _docs_mapped(spark, sf_dir), _MLT_DOC)
+
+
+def _mlt_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from voyagr_spark.mlt import more_like_this
+
+    idx = _engine_index(spark, sf_dir)
+    res = more_like_this(idx, _docs_mapped(spark, sf_dir), _MLT_DOC, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 def _engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +608,17 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents d USING (doc_id)
               WHERE d.n_chars >= 0 AND d.n_chars < 4000
               GROUP BY 1""",
+        "facet_pivot": _BASE
+        + f"""SELECT d.lang, d.source, count(*)::BIGINT AS n
+              FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m
+              JOIN documents d USING (doc_id) GROUP BY d.lang, d.source""",
+        "stats_nchars": _BASE
+        + f"""SELECT count(*)::BIGINT AS n,
+                     min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+                     sum(d.n_chars)::BIGINT AS sum_v,
+                     CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS mean_v
+              FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
+              JOIN documents d USING (doc_id)""",
         "group_top1": _BASE
         + f"""SELECT lang, doc_id, score4 FROM (
                 SELECT d.lang, s.doc_id, round(s.score, 4) AS score4,
@@ -704,6 +793,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "engine_prefix": _engine_topk_sql(_SQL_PREFIX),
         "engine_batch_topk": _engine_batch_sql(),
+        "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
+        "mlt_search": _engine_base_sql() + _SQL_MLT_SEARCH.format(d=_MLT_DOC),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
             z AS (

@@ -264,6 +264,32 @@ def facet_range(
     )
 
 
+def facet_pivot(spark, sf_dir, term: str, f1: str, f2: str) -> DataFrame:
+    """q: hierarchical facet counts over two document fields — the Solr
+    facet.pivot=<f1>,<f2> surface (solr PivotFacetProcessor).  One shuffle
+    (the two-key groupBy); match set joined broadcast-style by Catalyst."""
+    m = terms_tf(spark, sf_dir).filter(F.col("term") == term).select("doc_id")
+    d = documents(spark, sf_dir).select("doc_id", f1, f2)
+    return m.join(d, "doc_id").groupBy(f1, f2).agg(F.count("*").alias("n"))
+
+
+def stats_field(spark, sf_dir, term: str, field: str) -> DataFrame:
+    """q: numeric field statistics over the match set — the Solr
+    StatsComponent surface (stats.field=<f>&q=<term>).  count/min/max/sum
+    are exact integer aggregates; mean is the ONE double division
+    sum/count (not a parallel float mean), so the result is deterministic
+    under any partitioning — safe at any cluster size."""
+    m = terms_tf(spark, sf_dir).filter(F.col("term") == term).select("doc_id")
+    d = documents(spark, sf_dir).select("doc_id", field)
+    return m.join(d, "doc_id").agg(
+        F.count("*").alias("n"),
+        F.min(field).alias("min_v"),
+        F.max(field).alias("max_v"),
+        F.sum(field).alias("sum_v"),
+        (F.sum(field).cast("double") / F.count("*")).alias("mean_v"),
+    )
+
+
 def group_top1(spark, sf_dir, term: str) -> DataFrame:
     """q: best doc per lang for a term (§2.8 grouping/collapse)."""
     s = bm25_term(spark, sf_dir, term)
