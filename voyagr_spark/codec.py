@@ -265,7 +265,21 @@ def _decode_groups(
         w = int(w)
         sel = np.flatnonzero(headers == w)
         if w == 0:
-            for j in sel:  # all-equal blocks: one varint each (rare, cheap)
+            # all-equal blocks are the COMMONEST tf-stream form (tf=1 runs);
+            # the one-varint-byte value of a full block decodes as a single
+            # vectorized broadcast scatter — python loop only for the rare
+            # multi-byte value or a non-full block
+            i_all = block_idx[sel]
+            fast = (offsets[i_all + 1] - offsets[i_all] == 2) & (
+                counts[sel] == BLOCK_SIZE
+            )
+            f = sel[fast]
+            if f.size:
+                vals = raw[offsets[block_idx[f]] + 1].astype(np.uint64)
+                out[
+                    (out_starts[f][:, None] + np.arange(BLOCK_SIZE)).ravel()
+                ] = np.repeat(vals, BLOCK_SIZE)
+            for j in sel[~fast]:
                 i = block_idx[j]
                 v = varint_decode(
                     raw[offsets[i] + 1: offsets[i + 1]].tobytes(), count=1
@@ -379,16 +393,28 @@ def encoded_block_lengths(
         lengths[alleq] = 1 + vlen
     tail = ~full & ~raw8
     if tail.any():
+        # one vectorized pass over the CONCATENATION of every wide tail in
+        # the batch (the invert kernel encodes a whole flush's terms in one
+        # call, so "at most one tail per term" still means thousands of
+        # tails here — a per-tail python loop is the build hot path)
         headers[tail] = _TAIL
-        for i in np.flatnonzero(tail):  # at most one tail per term
-            s, c = int(block_start[i]), int(block_count[i])
-            vals = deltas[s: s + c].astype(np.uint64)
-            nb_ = np.searchsorted(
-                np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64),
-                vals, side="right",
-            ) + 1
-            lengths[i] = 1 + int(nb_.sum())
+        ti = np.flatnonzero(tail)
+        flat = _flat_ranges(block_start[ti], block_count[ti])
+        vals = deltas[flat].astype(np.uint64)
+        nb_ = np.searchsorted(
+            np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64),
+            vals, side="right",
+        ).astype(np.int64) + 1
+        vstarts = np.concatenate(([0], np.cumsum(block_count[ti])[:-1]))
+        lengths[ti] = 1 + np.add.reduceat(nb_, vstarts)
     return lengths, headers, widths
+
+
+def _flat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat gather indices for the concatenation of [s, s+c) ranges."""
+    total = int(counts.sum())
+    excl = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.repeat(starts - excl, counts) + np.arange(total, dtype=np.int64)
 
 
 def encode_stream(
@@ -438,13 +464,35 @@ def encode_stream(
             out[offsets[i] + 1: offsets[i] + 1 + c] = deltas[s: s + c].astype(
                 np.uint8
             )
-    for i in np.flatnonzero(headers == 0):
-        v = varint_encode(deltas[block_start[i]: block_start[i] + 1])
-        out[offsets[i] + 1: offsets[i] + 1 + len(v)] = np.frombuffer(v, dtype=np.uint8)
-    for i in np.flatnonzero(headers == _TAIL):
-        s, c = int(block_start[i]), int(block_count[i])
-        v = varint_encode(deltas[s: s + c])
-        out[offsets[i] + 1: offsets[i] + 1 + len(v)] = np.frombuffer(v, dtype=np.uint8)
+    # all-equal blocks: tf=1 runs make these the COMMONEST tf-stream block,
+    # so the single-varint-byte case writes as one vectorized scatter
+    eq = np.flatnonzero(headers == 0)
+    if eq.size:
+        vals = deltas[block_start[eq]]
+        one = vals < 128
+        out[offsets[eq[one]] + 1] = vals[one].astype(np.uint8)
+        for i in eq[~one]:  # multi-byte all-equal value: rare
+            v = varint_encode(deltas[block_start[i]: block_start[i] + 1])
+            out[offsets[i] + 1: offsets[i] + 1 + len(v)] = np.frombuffer(
+                v, dtype=np.uint8
+            )
+    # wide varint tails: one vectorized LEB128 pass over the concatenation
+    # of every tail in the batch, then one segmented scatter into out —
+    # thousands of per-term python iterations otherwise (each term with
+    # df < 128 and an absolute first-doc delta >= 256 lands here)
+    tails = np.flatnonzero(headers == _TAIL)
+    if tails.size:
+        cnts = block_count[tails]
+        flat = _flat_ranges(block_start[tails], cnts)
+        blob, voff = varint_encode_with_offsets(deltas[flat])
+        vb = np.frombuffer(blob, dtype=np.uint8)
+        # per-tail byte span within blob = [voff[vstart], voff[vend])
+        bnd = np.concatenate(([0], np.cumsum(cnts)))
+        src_start = voff[bnd[:-1]]
+        blens = voff[bnd[1:]] - src_start
+        src = _flat_ranges(src_start, blens)
+        dst = _flat_ranges(offsets[tails] + 1, blens)
+        out[dst] = vb[src]
     return out.tobytes(), offsets
 
 
