@@ -151,9 +151,11 @@ def child(cpus: int, corpus_path: str) -> None:
     build_s = min(build_runs)
 
     # single-query latency (median of QUERY_RUNS, after per-class warm);
-    # settle writeback from the last build first
+    # settle writeback from the last build first.  Queries run in serving
+    # mode (pinned searcher: zero-exchange single-stage jobs — Index.pin)
     os.sync()
     time.sleep(2)
+    idx.pin()
     qs = ["file", "open OR merge OR segment", '"parse query tree"', "file AND handle"]
     for q in qs:
         search(idx, q, k=10).collect()
