@@ -605,12 +605,13 @@ class Index:
                 str(self.dir / "segments" / "kind=posting")
             )
             if num_partitions is None:
+                # one cache partition per segment, capped at 2x cores; a
+                # meta without a segment count (never written by this
+                # builder) falls back to full parallelism, not 1
+                par = self.spark.sparkContext.defaultParallelism
                 num_partitions = max(
                     1,
-                    min(
-                        int(self.meta.get("num_segments", 1)),
-                        2 * self.spark.sparkContext.defaultParallelism,
-                    ),
+                    min(int(self.meta.get("num_segments", par)), 2 * par),
                 )
             self._pinned_df = base.repartition(num_partitions, "seg").persist()
         return self
