@@ -454,6 +454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_topk_boost": _engine_search_ranked(f"{_HOT}^2 OR {_RARE}", 10),
         "engine_prefix": _engine_search_ranked("vec*", 10),
         "engine_batch_topk": _engine_batch,
+        # P3 count path (TotalHitCountCollector): per-segment counts summed,
+        # gated against a plain SQL intersection count
+        "engine_count": _engine_count,
+        # K5 sort-by-field (TopFieldCollector): top-10 by doclen desc with
+        # doc_id tie-break, engine float32 scores carried through
+        "engine_sort_field": _engine_sort_field,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -483,6 +489,26 @@ def _mlt_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 MUST->FILTER count path as a 1-row (n_hits) DataFrame."""
+    from voyagr_spark.search import count_df
+
+    idx = _engine_index(spark, sf_dir)
+    return count_df(idx, f"{_HOT} AND {_RARE}")
+
+
+def _engine_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 TopFieldCollector analog: top-10 matches of the hot term ranked by
+    doclen desc (doc_id asc tie-break), projected to (doc_id, score, doclen)."""
+    from voyagr_spark.search import search_by_field
+
+    idx = _engine_index(spark, sf_dir)
+    return search_by_field(
+        idx, _HOT, "doclen", ascending=False, k=10,
+        fl=["doc_id", "score", "doclen"],
     )
 
 
@@ -793,6 +819,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "engine_prefix": _engine_topk_sql(_SQL_PREFIX),
         "engine_batch_topk": _engine_batch_sql(),
+        "engine_count": _engine_base_sql() + f"""
+            SELECT count(*)::BIGINT AS n_hits FROM (
+              SELECT doc_id FROM tf WHERE term = '{_HOT}'
+              INTERSECT
+              SELECT doc_id FROM tf WHERE term = '{_RARE}')""",
+        "engine_sort_field": _engine_base_sql() + f"""
+            SELECT doc_id, score, doclen FROM (
+              SELECT t.doc_id, t.score, dl.doclen,
+                     row_number() OVER (
+                       ORDER BY dl.doclen DESC, t.doc_id ASC) AS rn
+              FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
+            ) WHERE rn <= 10""",
         "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
         "mlt_search": _engine_base_sql() + _SQL_MLT_SEARCH.format(d=_MLT_DOC),
         "ann_cosine_topk": """

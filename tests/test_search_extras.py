@@ -126,3 +126,21 @@ def test_search_by_field_matches_docmap_order(built_index):
         fq="doclen:[50 TO 200]",
     ).collect()
     assert ranged and all(50 <= dm[r["doc_id"]] <= 200 for r in ranged)
+
+
+def test_count_df_and_fl_projection(built_index):
+    # count_df: the distributed (1-row DataFrame) form of count (P3/K5)
+    from voyagr_spark.search import count_df, search_by_field
+
+    df = count_df(built_index, "file")
+    assert df.columns == ["n_hits"]
+    assert df.collect()[0]["n_hits"] == count(built_index, "file")
+    # stopword-only query: zero without a job over postings
+    assert count_df(built_index, "the and of").collect()[0]["n_hits"] == 0
+    # fl projection rides through search_by_field to solr_select
+    rows = search_by_field(
+        built_index, "file", "doclen", ascending=False, k=3,
+        fl=["doc_id", "score", "doclen"],
+    )
+    assert rows.columns == ["doc_id", "score", "doclen"]
+    assert len(rows.collect()) == 3

@@ -1238,7 +1238,7 @@ def scores(index, query_or_text, prune: bool = False) -> DataFrame:
 
 def search_by_field(
     index, query_or_text, field: str, ascending: bool = False, k: int = 10,
-    fq=None,
+    fq=None, fl=None,
 ) -> DataFrame:
     """Sort-by-field top-k on the engine surface — the TopFieldCollector
     analog (K5, IndexSearcher.java:432-460): rank matches by a stored/doc-
@@ -1253,19 +1253,21 @@ def search_by_field(
 
     direction = "asc" if ascending else "desc"
     return solr_select(
-        index, query_or_text, fq=fq, sort=f"{field} {direction}", rows=k
+        index, query_or_text, fq=fq, fl=fl, sort=f"{field} {direction}", rows=k
     )
 
 
-def count(index, query_or_text) -> int:
-    """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
+def count_df(index, query_or_text) -> DataFrame:
+    """TotalHitCountCollector analog as a 1-row DataFrame `(n_hits)` — the
+    distributed form of `count` (P3/K5): per-segment match counts summed by
+    a partial-aggregate, never a per-doc row transferred."""
     q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
          if isinstance(query_or_text, str) else query_or_text)
     plan = make_plan(index, q, k=1, prune=False)
     terms = sorted(query_terms(plan.query))
     multis = query_multis(plan.query)
     if not terms and not multis:
-        return 0
+        return index.spark.range(1).select(F.lit(0).cast("long").alias("n_hits"))
     rows = index.postings().filter(_posting_filter(terms, multis))
     schema = T.StructType([T.StructField("n", T.LongType())])
 
@@ -1275,8 +1277,15 @@ def count(index, query_or_text) -> int:
         docs, _ = _apply_live_docs(docs, scores, plan)
         return pd.DataFrame({"n": [int(docs.size)]})
 
-    out = rows.groupBy("seg").applyInPandas(_cnt, schema).agg(F.sum("n")).collect()
-    return int(out[0][0] or 0)
+    return (
+        rows.groupBy("seg").applyInPandas(_cnt, schema)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_hits"))
+    )
+
+
+def count(index, query_or_text) -> int:
+    """TotalHitCountCollector analog: match count, no scores (P3/K5)."""
+    return int(count_df(index, query_or_text).collect()[0][0])
 
 
 def explain(index, query_or_text, doc_id: int) -> dict:
