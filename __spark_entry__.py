@@ -460,6 +460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # K5 sort-by-field (TopFieldCollector): top-10 by doclen desc with
         # doc_id tie-break, engine float32 scores carried through
         "engine_sort_field": _engine_sort_field,
+        # K4 searchAfter: page 2 via the (score, doc_id) cursor == oracle
+        # ranks 11..20 (strictly-after semantics across float32 ties)
+        "engine_page2": _engine_page2,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -509,6 +512,24 @@ def _engine_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_by_field(
         idx, _HOT, "doclen", ascending=False, k=10,
         fl=["doc_id", "score", "doclen"],
+    )
+
+
+def _engine_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 searchAfter: fetch page 1's cursor (a 10-row collect — the paging
+    usage pattern itself), then page 2 strictly after it, ranked 11..20."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    last = search(idx, _HOT, k=10).collect()[-1]
+    res = search(idx, _HOT, k=10,
+                 after=(float(last["score"]), int(last["doc_id"])))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        (F.row_number().over(w) + 10).cast("long").alias("rank"),
+        "doc_id", "score",
     )
 
 
@@ -824,6 +845,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM tf WHERE term = '{_HOT}'
               INTERSECT
               SELECT doc_id FROM tf WHERE term = '{_RARE}')""",
+        "engine_page2": _engine_base_sql() + f"""
+            SELECT rank, doc_id, score FROM (
+              SELECT row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                     doc_id, score
+              FROM ({_SQL_TERM.format(t=_HOT)})
+            ) WHERE rank BETWEEN 11 AND 20""",
         "engine_sort_field": _engine_base_sql() + f"""
             SELECT doc_id, score, doclen FROM (
               SELECT t.doc_id, t.score, dl.doclen,
