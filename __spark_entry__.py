@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # K4 searchAfter: page 2 via the (score, doc_id) cursor == oracle
         # ranks 11..20 (strictly-after semantics across float32 ties)
         "engine_page2": _engine_page2,
+        # E12 DisjunctionMax (tie=0.3): score = fl(max + fl(tie*fl(sum-max)))
+        "engine_dismax": _engine_dismax,
+        # E5 minShouldMatch on the engine surface: 2-of-3 disjunction,
+        # clause-ordered float32 sum fold
+        "engine_mm": _engine_mm,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -530,6 +535,40 @@ def _engine_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         (F.row_number().over(w) + 10).cast("long").alias("rank"),
         "doc_id", "score",
+    )
+
+
+def _engine_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 DisjunctionMaxQuery over (hot, rare) with tie=0.3, top-10 ranked."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.parser import DisjunctionMaxQuery, TermQuery
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    q = DisjunctionMaxQuery((TermQuery(_HOT), TermQuery(_RARE)), tie=0.3)
+    res = search(idx, q, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 minShouldMatch=2 over the 3-term disjunction, top-10 ranked."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.parser import SHOULD, BooleanQuery, TermQuery
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    q = BooleanQuery(
+        tuple((SHOULD, TermQuery(t)) for t in _OR3), min_should_match=2
+    )
+    res = search(idx, q, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
     )
 
 
@@ -845,6 +884,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id FROM tf WHERE term = '{_HOT}'
               INTERSECT
               SELECT doc_id FROM tf WHERE term = '{_RARE}')""",
+        "engine_dismax": _engine_topk_sql(f"""
+          SELECT u.doc_id,
+                 CAST(g.smax + CAST(CAST(0.3 AS FLOAT)
+                      * CAST(g.ssum - g.smax AS FLOAT) AS FLOAT) AS FLOAT)
+                   AS score
+          FROM (SELECT DISTINCT doc_id FROM fscored
+                WHERE term IN ('{_HOT}', '{_RARE}')) u
+          JOIN (
+            SELECT u2.doc_id,
+                   GREATEST(COALESCE(s0.score, CAST(0 AS FLOAT)),
+                            COALESCE(s1.score, CAST(0 AS FLOAT))) AS smax,
+                   CAST(COALESCE(s0.score, CAST(0 AS FLOAT))
+                        + COALESCE(s1.score, CAST(0 AS FLOAT)) AS FLOAT)
+                     AS ssum
+            FROM (SELECT DISTINCT doc_id FROM fscored
+                  WHERE term IN ('{_HOT}', '{_RARE}')) u2
+            LEFT JOIN ({_SQL_TERM.format(t=_HOT)}) s0 USING (doc_id)
+            LEFT JOIN ({_SQL_TERM.format(t=_RARE)}) s1 USING (doc_id)
+          ) g ON u.doc_id = g.doc_id"""),
+        "engine_mm": _engine_topk_sql(f"""
+          SELECT u.doc_id,
+                 CAST(CAST(COALESCE(s0.score, CAST(0 AS FLOAT))
+                           + COALESCE(s1.score, CAST(0 AS FLOAT)) AS FLOAT)
+                      + COALESCE(s2.score, CAST(0 AS FLOAT)) AS FLOAT) AS score
+          FROM (SELECT doc_id FROM fscored
+                WHERE term IN ('{_OR3[0]}', '{_OR3[1]}', '{_OR3[2]}')
+                GROUP BY doc_id HAVING count(*) >= 2) u
+          LEFT JOIN ({_SQL_TERM.format(t=_OR3[0])}) s0 USING (doc_id)
+          LEFT JOIN ({_SQL_TERM.format(t=_OR3[1])}) s1 USING (doc_id)
+          LEFT JOIN ({_SQL_TERM.format(t=_OR3[2])}) s2 USING (doc_id)"""),
         "engine_page2": _engine_base_sql() + f"""
             SELECT rank, doc_id, score FROM (
               SELECT row_number() OVER (
