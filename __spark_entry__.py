@@ -468,6 +468,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # E5 minShouldMatch on the engine surface: 2-of-3 disjunction,
         # clause-ordered float32 sum fold
         "engine_mm": _engine_mm,
+        # E7 ReqOptSumScorer: MUST hot + SHOULD rare (optional score added
+        # where aligned); E6 ReqExclScorer: hot minus rare, score untouched
+        "engine_must_should": _engine_search_ranked(f"+{_HOT} {_RARE}", 10),
+        "engine_not": _engine_search_ranked(f"{_HOT} -{_RARE}", 10),
+        # S3/E14 delete + live-docs: tombstoned docs excluded from results
+        # while BM25 stats stay stale until merge (Lucene semantics) — the
+        # oracle keeps full-corpus stats and only filters the deleted ids
+        "engine_delete": _engine_delete,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -535,6 +543,48 @@ def _engine_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         (F.row_number().over(w) + 10).cast("long").alias("rank"),
         "doc_id", "score",
+    )
+
+
+_DELETED_IDS = tuple(range(10))
+_DELETED_CACHE: dict = {}
+
+
+def _engine_deleted_index(spark: SparkSession, sf_dir: str):
+    """A second index over the same corpus with doc ids 0..9 tombstoned —
+    exercises the real delete path (S3: doc-id-bucketed tombstone dataset,
+    loaded executor-side; E14 live-docs filtering).  Cached per sf_dir like
+    `_engine_index`; the delete is applied once and persists on disk."""
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _DELETED_CACHE:
+        return _DELETED_CACHE[key]
+    tag = hashlib.md5((key + "-del").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(spark, _docs_mapped(spark, sf_dir), idx_dir,
+                          num_segments=4)
+    if idx.deleted_doc_ids() is None:  # idempotent across reuses
+        idx.delete_docs(list(_DELETED_IDS))
+    idx.pin()
+    _DELETED_CACHE[key] = idx
+    return idx
+
+
+def _engine_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hot-term search over the tombstoned index, ranked."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_deleted_index(spark, sf_dir)
+    res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
     )
 
 
@@ -914,6 +964,19 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN ({_SQL_TERM.format(t=_OR3[0])}) s0 USING (doc_id)
           LEFT JOIN ({_SQL_TERM.format(t=_OR3[1])}) s1 USING (doc_id)
           LEFT JOIN ({_SQL_TERM.format(t=_OR3[2])}) s2 USING (doc_id)"""),
+        "engine_must_should": _engine_topk_sql(f"""
+          SELECT h.doc_id,
+                 CAST(h.score + COALESCE(r.score, CAST(0 AS FLOAT)) AS FLOAT)
+                   AS score
+          FROM ({_SQL_TERM.format(t=_HOT)}) h
+          LEFT JOIN ({_SQL_TERM.format(t=_RARE)}) r USING (doc_id)"""),
+        "engine_not": _engine_topk_sql(f"""
+          SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
+          WHERE doc_id NOT IN
+                (SELECT doc_id FROM tf WHERE term = '{_RARE}')"""),
+        "engine_delete": _engine_topk_sql(f"""
+          SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
+          WHERE doc_id NOT IN {_DELETED_IDS}"""),
         "engine_page2": _engine_base_sql() + f"""
             SELECT rank, doc_id, score FROM (
               SELECT row_number() OVER (
