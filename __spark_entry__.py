@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # while BM25 stats stay stale until merge (Lucene semantics) — the
         # oracle keeps full-corpus stats and only filters the deleted ids
         "engine_delete": _engine_delete,
+        # M2/M4 merge + reclaim: all segments merged into one, tombstones
+        # reclaimed — results must stay identical (same oracle as delete)
+        "engine_merge_reclaim": _engine_merge_reclaim,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -581,6 +584,31 @@ def _engine_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voyagr_spark.search import search
 
     idx = _engine_deleted_index(spark, sf_dir)
+    res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_merge_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2/M4: merge every live segment of the tombstoned index into one,
+    then search — top-10 must be identical to the pre-merge `engine_delete`
+    result (merge-preserves-results contract + delete reclaim).  The merge
+    runs once; a reloaded already-merged index skips it."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.merge import merge_segments
+    from voyagr_spark.search import search
+
+    idx = _engine_deleted_index(spark, sf_dir)
+    segs = idx.live_segments
+    if segs is None:
+        segs = sorted(
+            r["seg"] for r in idx.postings().select("seg").distinct().collect()
+        )
+    if len(segs) > 1:
+        merge_segments(idx, list(segs), new_seg=max(segs) + 1)
     res = search(idx, _HOT, k=10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
@@ -975,6 +1003,9 @@ def oracle_sql() -> dict[str, str]:
           WHERE doc_id NOT IN
                 (SELECT doc_id FROM tf WHERE term = '{_RARE}')"""),
         "engine_delete": _engine_topk_sql(f"""
+          SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
+          WHERE doc_id NOT IN {_DELETED_IDS}"""),
+        "engine_merge_reclaim": _engine_topk_sql(f"""
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN {_DELETED_IDS}"""),
         "engine_page2": _engine_base_sql() + f"""
