@@ -104,24 +104,42 @@ def _qlen_rows(max_len: int = 10**12) -> str:
     return ", ".join(rows)
 
 
-def _engine_base_sql() -> str:
+def _engine_base_sql(appended: tuple[str, ...] = ()) -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
     per-(term, doc) BM25 scores with quantized norms (bit parity with the
-    engine's numpy scorer; see cast discipline note above)."""
+    engine's numpy scorer; see cast discipline note above).
+
+    `appended` adds extra docs AFTER the base corpus with consecutive ids
+    (the NRT-append analog: append_batch continues ids from max_doc in
+    DOC_KEY order) — df/avgdl/N recompute over the union, matching the
+    engine's incremental LSM stats == full-recompute contract."""
     # cache[nb] = fl(1.2f * fl(0.25f + fl(fl(0.75f*qlen)/avgdl)))  (bm25.norm_cache)
     cache = (
         "CAST(CAST(1.2 AS FLOAT) * CAST(CAST(0.25 AS FLOAT) + "
         "CAST(CAST(CAST(0.75 AS FLOAT) * CAST(q.qlen AS FLOAT) AS FLOAT) "
         "/ cs.avgdl AS FLOAT) AS FLOAT) AS FLOAT)"
     )
+    extra = ""
+    if appended:
+        vals = ", ".join(
+            f"({i}, '{t}')" for i, t in enumerate(appended)
+        )
+        extra = (
+            "  UNION ALL\n"
+            "  SELECT (SELECT count(*) FROM documents) + v.i AS doc_id, v.t\n"
+            f"  FROM (VALUES {vals}) v(i, t)\n"
+        )
     return f"""
-WITH docmap AS (
+WITH docmap0 AS (
   SELECT row_number() OVER (
            ORDER BY source ASC, 'doc/' || CAST(doc_id AS VARCHAR) ASC,
                     md5(text) ASC) - 1 AS doc_id,
          text
   FROM documents
 ),
+docmap AS (
+  SELECT doc_id, text FROM docmap0
+{extra}),
 tok AS (
   SELECT doc_id, lower(t) AS term, p AS pos
   FROM (
@@ -479,6 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M2/M4 merge + reclaim: all segments merged into one, tombstones
         # reclaimed — results must stay identical (same oracle as delete)
         "engine_merge_reclaim": _engine_merge_reclaim,
+        # S7 NRT append: 3 docs appended via append_batch (ids continue from
+        # max_doc in DOC_KEY order; LSM stats delta) — df/avgdl/N shift for
+        # EVERY doc, so the whole ranking re-derives over the union
+        "engine_append": _engine_append,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -584,6 +606,60 @@ def _engine_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voyagr_spark.search import search
 
     idx = _engine_deleted_index(spark, sf_dir)
+    res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_APPEND_TEXTS = (
+    "batch dup fast key",
+    "batch batch vector",
+    "dup key key batch",
+)
+_APPEND_CACHE: dict = {}
+
+
+def _engine_appended_index(spark: SparkSession, sf_dir: str):
+    """A third index: base corpus + a 3-doc micro-batch through the real
+    `append_batch` path (S7: new segments, O(batch) LSM stats delta, atomic
+    meta swap).  Appended paths 'a' < 'b' < 'c' under one repo make the new
+    doc ids base+0/1/2 in DOC_KEY order — the oracle appends the same texts
+    at those ids."""
+    from voyagr_spark.indexer import Index, build_index
+    from voyagr_spark.streaming import append_batch
+
+    key = sf_dir.rstrip("/")
+    if key in _APPEND_CACHE:
+        return _APPEND_CACHE[key]
+    tag = hashlib.md5((key + "-app").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = _docs_mapped(spark, sf_dir)
+    base_n = docs.count()
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(spark, docs, idx_dir, num_segments=4)
+    if idx.max_doc == base_n:  # idempotent: a reloaded index already has them
+        batch = spark.createDataFrame(
+            [("stream-repo", p, f"c{i}", "en", t)
+             for i, (p, t) in enumerate(zip("abc", _APPEND_TEXTS))],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        append_batch(idx, batch, num_partitions=2)
+    idx.pin()
+    _APPEND_CACHE[key] = idx
+    return idx
+
+
+def _engine_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hot-term search over the appended index, ranked."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_appended_index(spark, sf_dir)
     res = search(idx, _HOT, k=10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
@@ -1008,6 +1084,13 @@ def oracle_sql() -> dict[str, str]:
         "engine_merge_reclaim": _engine_topk_sql(f"""
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN {_DELETED_IDS}"""),
+        "engine_append": _engine_base_sql(_APPEND_TEXTS) + f"""
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM ({_SQL_TERM.format(t=_HOT)})
+          ) WHERE rank <= 10""",
         "engine_page2": _engine_base_sql() + f"""
             SELECT rank, doc_id, score FROM (
               SELECT row_number() OVER (
