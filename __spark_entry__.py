@@ -104,7 +104,8 @@ def _qlen_rows(max_len: int = 10**12) -> str:
     return ", ".join(rows)
 
 
-def _engine_base_sql(appended: tuple[str, ...] = ()) -> str:
+def _engine_base_sql(appended: tuple[str, ...] = (),
+                     appended_sql: str = "") -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
     per-(term, doc) BM25 scores with quantized norms (bit parity with the
     engine's numpy scorer; see cast discipline note above).
@@ -129,6 +130,7 @@ def _engine_base_sql(appended: tuple[str, ...] = ()) -> str:
             "  SELECT (SELECT count(*) FROM documents) + v.i AS doc_id, v.t\n"
             f"  FROM (VALUES {vals}) v(i, t)\n"
         )
+    extra += appended_sql
     return f"""
 WITH docmap0 AS (
   SELECT row_number() OVER (
@@ -501,6 +503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # max_doc in DOC_KEY order; LSM stats delta) — df/avgdl/N shift for
         # EVERY doc, so the whole ranking re-derives over the union
         "engine_append": _engine_append,
+        # S2 update: upsert_batch re-submits base doc 3 (tombstone old id,
+        # append at id base_n) — oracle counts BOTH copies in the stale
+        # stats and filters the old id from results
+        "engine_upsert": _engine_upsert,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -660,6 +666,52 @@ def _engine_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voyagr_spark.search import search
 
     idx = _engine_appended_index(spark, sf_dir)
+    res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_UPSERT_DOC = 3  # base doc re-submitted through upsert_batch
+_UPSERT_CACHE: dict = {}
+
+
+def _engine_upserted_index(spark: SparkSession, sf_dir: str):
+    """A fourth index: base corpus, then base doc 3 re-submitted through the
+    real `upsert_batch` path (S2 updateDocument analog: delete-by-key
+    tombstones the old id, the row re-appends at id base_n)."""
+    from voyagr_spark.indexer import Index, build_index
+    from voyagr_spark.streaming import upsert_batch
+
+    key = sf_dir.rstrip("/")
+    if key in _UPSERT_CACHE:
+        return _UPSERT_CACHE[key]
+    tag = hashlib.md5((key + "-ups").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = _docs_mapped(spark, sf_dir)
+    base_n = docs.count()
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(spark, docs, idx_dir, num_segments=4)
+    if idx.max_doc == base_n:  # idempotent across reloads
+        row = docs.orderBy("repo", "path", "commit").limit(
+            _UPSERT_DOC + 1
+        ).collect()[_UPSERT_DOC]
+        upsert_batch(idx, spark.createDataFrame([row]), num_partitions=1)
+    idx.pin()
+    _UPSERT_CACHE[key] = idx
+    return idx
+
+
+def _engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hot-term search over the upserted index, ranked."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_upserted_index(spark, sf_dir)
     res = search(idx, _HOT, k=10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
@@ -1084,6 +1136,18 @@ def oracle_sql() -> dict[str, str]:
         "engine_merge_reclaim": _engine_topk_sql(f"""
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN {_DELETED_IDS}"""),
+        "engine_upsert": _engine_base_sql(appended_sql=(
+            "  UNION ALL\n"
+            "  SELECT (SELECT count(*) FROM documents) AS doc_id,\n"
+            f"         (SELECT text FROM docmap0 WHERE doc_id = {_UPSERT_DOC})\n"
+        )) + f"""
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM ({_SQL_TERM.format(t=_HOT)})
+            WHERE doc_id <> {_UPSERT_DOC}
+          ) WHERE rank <= 10""",
         "engine_append": _engine_base_sql(_APPEND_TEXTS) + f"""
           SELECT rank, doc_id, score FROM (
             SELECT row_number() OVER (
