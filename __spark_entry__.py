@@ -507,6 +507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # append at id base_n) — oracle counts BOTH copies in the stale
         # stats and filters the old id from results
         "engine_upsert": _engine_upsert,
+        # Solr /select flow: fq numeric range filtered BEFORE the top-k cut
+        # (E15 on the engine surface), fl projection
+        "engine_fq_select": _engine_fq_select,
+        # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
+        "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
         # gated on exact (tf, df, float64 score); the MLT search itself gated
         # bit-exactly via a clause-ordered float32 fold in the oracle
@@ -719,6 +724,32 @@ def _engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_fq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /select: q=hot, fq=doclen:[50 TO 200] (filter-before-rank),
+    fl=(doc_id, score, doclen), rows=10."""
+    from voyagr_spark.solr_api import solr_select
+
+    idx = _engine_index(spark, sf_dir)
+    return solr_select(
+        idx, _HOT, fq="doclen:[50 TO 200]",
+        fl=["doc_id", "score", "doclen"], rows=10,
+    )
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing every cell — must equal the brute-force baseline."""
+    import numpy as np
+
+    from voyagr_spark.pipeline import ivf_assign, ivf_topk, ivf_train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train_centroids(emb, n_centroids=8)
+    assigned = ivf_assign(emb, cents)
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qv = np.array(row["embedding"], dtype=np.float64)
+    return ivf_topk(assigned, cents, qv, k=10, nprobe=8, exclude_vec_id=0)
+
+
 def _engine_merge_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2/M4: merge every live segment of the tombstoned index into one,
     then search — top-10 must be identical to the pre-merge `engine_delete`
@@ -847,7 +878,7 @@ def oracle_sql() -> dict[str, str]:
     bm25 = (
         "SELECT doc_id, round(score, 4) AS score4 FROM scored WHERE term = '{t}'"
     )
-    return {
+    d = {
         "tokenize_tf": _BASE + "SELECT doc_id, term, tf FROM tf",
         "doclen": _BASE + "SELECT doc_id, doclen FROM dl",
         "term_stats": _BASE + "SELECT term, df, ttf FROM st",
@@ -1188,3 +1219,14 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rank <= 10""",
     }
+    # IVF at nprobe=all must reproduce the brute-force baseline exactly
+    d["ann_ivf_topk"] = d["ann_cosine_topk"]
+    d["engine_fq_select"] = _engine_base_sql() + f"""
+          SELECT doc_id, score, doclen FROM (
+            SELECT t.doc_id, t.score, dl.doclen,
+                   row_number() OVER (
+                     ORDER BY t.score DESC, t.doc_id ASC) AS rn
+            FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
+            WHERE dl.doclen BETWEEN 50 AND 200
+          ) WHERE rn <= 10"""
+    return d
