@@ -510,6 +510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Solr /select flow: fq numeric range filtered BEFORE the top-k cut
         # (E15 on the engine surface), fl projection
         "engine_fq_select": _engine_fq_select,
+        # P5 RegexpQuery with top-level alternation — the ADVICE r2 case
+        # where a bogus range prefilter silently dropped 'dup'; now
+        # range-free, regex-only filtering (full-term match semantics)
+        "engine_regexp_alt": _engine_search_ranked("/batch|dup/", 10),
         # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
         "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
@@ -1115,6 +1119,9 @@ def oracle_sql() -> dict[str, str]:
             f" LEFT JOIN ({_SQL_TERM.format(t=_RARE)}) d1 USING (doc_id)"
         ),
         "engine_prefix": _engine_topk_sql(_SQL_PREFIX),
+        "engine_regexp_alt": _engine_topk_sql("""
+          SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+          FROM tf WHERE regexp_full_match(term, 'batch|dup')"""),
         "engine_batch_topk": _engine_batch_sql(),
         "engine_count": _engine_base_sql() + f"""
             SELECT count(*)::BIGINT AS n_hits FROM (
