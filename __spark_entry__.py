@@ -105,7 +105,7 @@ def _qlen_rows(max_len: int = 10**12) -> str:
 
 
 def _engine_base_sql(appended: tuple[str, ...] = (),
-                     appended_sql: str = "") -> str:
+                     appended_sql: str = "", stop: bool = True) -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
     per-(term, doc) BM25 scores with quantized norms (bit parity with the
     engine's numpy scorer; see cast discipline note above).
@@ -131,6 +131,7 @@ def _engine_base_sql(appended: tuple[str, ...] = (),
             f"  FROM (VALUES {vals}) v(i, t)\n"
         )
     extra += appended_sql
+    stop_where = f" WHERE term NOT IN {_STOP_SQL}" if stop else ""
     return f"""
 WITH docmap0 AS (
   SELECT row_number() OVER (
@@ -151,7 +152,7 @@ tok AS (
     FROM docmap
   )
 ),
-terms AS (SELECT * FROM tok WHERE term NOT IN {_STOP_SQL}),
+terms AS (SELECT * FROM tok{stop_where}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::BIGINT AS doclen FROM terms GROUP BY doc_id),
 qlens(lo, hi, qlen) AS (VALUES {_qlen_rows()}),
@@ -514,6 +515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # where a bogus range prefilter silently dropped 'dup'; now
         # range-free, regex-only filtering (full-term match semantics)
         "engine_regexp_alt": _engine_search_ranked("/batch|dup/", 10),
+        # §2.8 pluggable analyzer: an index built with an empty stopword
+        # set (persisted in meta, applied at query parse too) — 'the'
+        # becomes searchable and every doclen/df/avgdl shifts
+        "engine_custom_analyzer": _engine_custom_analyzer,
         # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
         "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
@@ -722,6 +727,47 @@ def _engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _engine_upserted_index(spark, sf_dir)
     res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_NOSTOP_CACHE: dict = {}
+
+
+def _engine_nostop_index(spark: SparkSession, sf_dir: str):
+    """A fifth index built with a custom Analyzer (empty stopword set) —
+    the pluggable-analyzer surface end-to-end: the chain persists in meta
+    and applies to indexing AND query parsing."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _NOSTOP_CACHE:
+        return _NOSTOP_CACHE[key]
+    tag = hashlib.md5((key + "-nostop").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            analyzer=Analyzer(stopwords=frozenset()),
+        )
+    idx.pin()
+    _NOSTOP_CACHE[key] = idx
+    return idx
+
+
+def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 for 'the' on the no-stopword index, ranked."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_nostop_index(spark, sf_dir)
+    res = search(idx, "the", k=10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
@@ -1122,6 +1168,13 @@ def oracle_sql() -> dict[str, str]:
         "engine_regexp_alt": _engine_topk_sql("""
           SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
           FROM tf WHERE regexp_full_match(term, 'batch|dup')"""),
+        "engine_custom_analyzer": _engine_base_sql(stop=False) + """
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM (SELECT doc_id, score FROM fscored WHERE term = 'the')
+          ) WHERE rank <= 10""",
         "engine_batch_topk": _engine_batch_sql(),
         "engine_count": _engine_base_sql() + f"""
             SELECT count(*)::BIGINT AS n_hits FROM (
