@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range": lambda s, d: R.term_range_docs(s, d, "fast", "file"),
         "fuzzy_term": lambda s, d: R.fuzzy_term(s, d, "batcj", 2),
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
+        "cosine_pairs": lambda s, d: R.cosine_pairs(s, d, 0.4),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
         # engine-native path, DuckDB-gated bit-exactly: the oracle reproduces
@@ -1281,6 +1282,18 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF at nprobe=all must reproduce the brute-force baseline exactly
     d["ann_ivf_topk"] = d["ann_cosine_topk"]
+    d["cosine_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        z AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 unnest(a.v) AS x, unnest(b.v) AS y
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+                 AS cos4
+        FROM z GROUP BY vec_a, vec_b
+        HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
+               >= 0.4"""
     d["engine_fq_select"] = _engine_base_sql() + f"""
           SELECT doc_id, score, doclen FROM (
             SELECT t.doc_id, t.score, dl.doclen,

@@ -559,6 +559,37 @@ def ann_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "cos4"])
 
 
+def cosine_pairs(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
+    """q: exact embedding-cosine near-dup pairs (vec_a < vec_b, round(cos,4)
+    >= threshold) — the exactness baseline the LSH path
+    (`pipeline.embedding_near_dup_pairs`) is verified against.
+
+    Deliberately O(n^2): this is the VERIFY op for bounded samples; the
+    100 TB path is the hyperplane-LSH bucket join (candidates ~O(n)) with
+    this as the within-bucket verifier.  Dot/norms via F.aggregate +
+    F.zip_with — JVM-side, no Python."""
+    e = embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(F.aggregate(
+        F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    n2 = F.sqrt(F.aggregate(
+        F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+    return (
+        j.select("vec_a", "vec_b", F.round(dot / (n1 * n2), 4).alias("cos4"))
+        .filter(F.col("cos4") >= threshold)
+    )
+
+
 def suggest_term(spark, sf_dir, term: str, max_edits: int = 2, top: int = 5) -> DataFrame:
     """q: spellcheck suggestions — dictionary terms within max_edits of
     `term`, ranked (dist asc, df desc, term asc).  DirectSpellChecker
