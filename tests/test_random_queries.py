@@ -119,3 +119,81 @@ def test_random_query_sweep_rank_identical(built_index, oracle_index):
         if got != want:
             failures.append((q, got[:3], want[:3]))
     assert not failures, failures[:5]
+
+
+def _gen_queries_r3(oracle_index, n=60, seed=13):
+    """Round-3 surface: regexp alternation / optional quantifiers (the
+    ADVICE r2 bug class: literal prefixes that are NOT mandatory), plus
+    minShouldMatch-free disjunction mixes used by the paging/count checks."""
+    rng = np.random.default_rng(seed)
+    head, tail = _vocab(oracle_index, rng)
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    out = []
+    for i in range(n):
+        kind = int(rng.integers(0, 4))
+        if kind == 0:  # top-level alternation: no mandatory prefix at all
+            out.append(f"/{pick(head)}|{pick(tail)}/")
+        elif kind == 1:  # optional quantifier right after the literal run
+            t = pick(head)
+            if len(t) >= 3:
+                out.append("/" + t[:-1] + t[-1] + "?/")
+            else:
+                out.append(f"/{t}|{pick(tail)}/")
+        elif kind == 2:  # grouped alternation with a shared literal prefix
+            t = pick(head)
+            cut = max(1, len(t) // 2)
+            out.append("/" + t[:cut] + "(" + t[cut:] + "|zzz)/")
+        else:  # alternation under boolean composition
+            out.append(f"/{pick(head)}|{pick(head)}/ AND {pick(head)}")
+    return out
+
+
+def test_random_regexp_sweep_r3(built_index, oracle_index):
+    from voyagr_spark.search import search
+
+    failures = []
+    for q in _gen_queries_r3(oracle_index):
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in search(built_index, q, k=10).collect()
+        ]
+        want = [(d, s) for d, s in oracle_index.search(q, 10)]
+        if got != want:
+            failures.append((q, got[:3], want[:3]))
+    assert not failures, failures[:5]
+
+
+def test_random_paging_and_count_parity(built_index, oracle_index):
+    """searchAfter page 2 == oracle ranks 11..20; count == oracle count,
+    over randomized disjunctions (seed=17)."""
+    from voyagr_spark.search import count, search
+
+    rng = np.random.default_rng(17)
+    head, tail = _vocab(oracle_index, rng)
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    failures = []
+    for _ in range(15):
+        q = " OR ".join(pick(head) for _ in range(int(rng.integers(2, 4))))
+        want_all = oracle_index.search(q, 20)
+        got1 = search(built_index, q, k=10).collect()
+        if len(got1) == 10 and len(want_all) > 10:
+            last = got1[-1]
+            got2 = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in search(
+                    built_index, q, k=10,
+                    after=(float(last["score"]), int(last["doc_id"])),
+                ).collect()
+            ]
+            want2 = [(d, s) for d, s in want_all[10:20]]
+            if got2 != want2:
+                failures.append(("page2", q, got2[:3], want2[:3]))
+        if count(built_index, q) != oracle_index.count(q):
+            failures.append(("count", q))
+    assert not failures, failures[:5]
