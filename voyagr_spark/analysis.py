@@ -304,8 +304,8 @@ def _segment_ordinals(seg_ids: np.ndarray) -> np.ndarray:
 
 
 def analyze_flat_codes(
-    texts: pd.Series,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    texts: pd.Series, want_offsets: bool = False,
+):
     """Standard-chain batch analysis -> dictionary-coded flat arrays.
 
     Returns (codes int64[], uniques object[], positions int64[],
@@ -316,6 +316,15 @@ def analyze_flat_codes(
     surviving code.  Positions are pre-stop ordinals; doclens count
     survivors; ordering is (docidx asc, position asc) — identical to
     analyze_flat.
+
+    With want_offsets=True a sixth element (starts, ends, counts) is
+    appended: per-token character offsets PRE-stop (counts[i] = doc i's
+    pre-stop token count, indexable by position ordinal — the
+    IndexOptions ..._AND_OFFSETS analog).  Offsets come from the byte-class
+    kernel, so they cover fast-path (ASCII, <=255-char-token) docs only;
+    regex-fallback docs report counts=0 (offsets unavailable, callers fall
+    back to re-analysis).  Lowercasing is 1:1 for ASCII, so offsets into
+    the lowered text equal offsets into the original.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -323,7 +332,8 @@ def analyze_flat_codes(
     n = len(texts)
     z = np.zeros(0, dtype=np.int64)
     if n == 0:
-        return z, np.zeros(0, dtype=object), z, z, np.zeros(0, dtype=np.int64)
+        base = (z, np.zeros(0, dtype=object), z, z, np.zeros(0, dtype=np.int64))
+        return base + ((z, z, z),) if want_offsets else base
 
     low = texts.fillna("").str.lower()
     enc = low.str.encode("utf-8")
@@ -339,6 +349,14 @@ def analyze_flat_codes(
 
     # pre-stop positions: ordinal of the token run within its doc
     pos = _segment_ordinals(k_doc)
+
+    char_offsets = None
+    if want_offsets:
+        # per-token char offsets, pre-stop, fast-path docs only (kernel runs
+        # for slow docs are already excluded, so their counts land at 0)
+        o_starts = k_starts - doc_off[k_doc]
+        char_offsets = (o_starts, o_starts + k_len,
+                        np.bincount(k_doc, minlength=n).astype(np.int64))
 
     # ONE gather builds the token bytes; offsets = cumsum of run lengths
     if char_mask is None:
@@ -379,7 +397,8 @@ def analyze_flat_codes(
     doclens = np.bincount(f_doc, minlength=n).astype(np.int64)
 
     if not doc_slow.any():
-        return f_codes, uniques, f_pos, f_doc, doclens
+        base = (f_codes, uniques, f_pos, f_doc, doclens)
+        return base + (char_offsets,) if want_offsets else base
 
     # regex fallback for non-ASCII / overlong docs, merged back in doc order
     slow_idx = np.flatnonzero(doc_slow)
@@ -409,7 +428,8 @@ def analyze_flat_codes(
     m_codes[tgt_f], m_codes[tgt_s] = f_codes, s_codes
     m_pos[tgt_f], m_pos[tgt_s] = f_pos, s_pos
     m_doc[tgt_f], m_doc[tgt_s] = f_doc, s_docg
-    return m_codes, all_uniq, m_pos, m_doc, doclens
+    base = (m_codes, all_uniq, m_pos, m_doc, doclens)
+    return base + (char_offsets,) if want_offsets else base
 
 
 def doc_lengths(terms: pd.Series) -> np.ndarray:
@@ -552,15 +572,19 @@ class Analyzer:
         return flat.to_numpy()[keep_np], pos[keep_np], docidx[keep_np], doclens
 
     # -- whole batch -> dictionary-coded flat arrays (invert fast path)
-    def analyze_flat_codes(
-        self, texts: pd.Series
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def analyze_flat_codes(self, texts: pd.Series, want_offsets: bool = False):
         if self.is_standard:
-            return analyze_flat_codes(texts)
+            return analyze_flat_codes(texts, want_offsets=want_offsets)
         terms, pos, docidx, doclens = self.analyze_flat(texts)
         codes, uniques = pd.factorize(terms, sort=True)
-        return (codes.astype(np.int64), np.asarray(uniques, dtype=object),
+        base = (codes.astype(np.int64), np.asarray(uniques, dtype=object),
                 pos, docidx, doclens)
+        if not want_offsets:
+            return base
+        # custom chains run the generic (span-free) path: offsets
+        # unavailable, every doc reports count 0 (callers re-analyze)
+        z = np.zeros(0, dtype=np.int64)
+        return base + ((z, z, np.zeros(len(texts), dtype=np.int64)),)
 
 
 STANDARD_ANALYZER = Analyzer()

@@ -670,3 +670,70 @@ def decode_positions_flat(pos_blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray,
     base = np.concatenate(([0], csum[starts[1:] - 1])) if starts.size > 1 else np.array([0])
     abs_pos = csum - np.repeat(base, tfs)
     return abs_pos, doc_idx
+
+
+# ---------------------------------------------------------------------------
+# per-doc stored token offsets (the ..._AND_OFFSETS IndexOptions analog,
+# IndexOptions.java:36-53).  Lucene interleaves offsets with positions in the
+# postings (Lucene50PostingsWriter.java:253-301); the Spark-native
+# re-expression stores ONE offsets record per document on its kind=doc row,
+# indexed by pre-stop token ordinal — positions are pre-stop ordinals, so
+# offset_of[position] recovers exactly what the interleaved form gives, with
+# no postings-codec change and no merge rewrite (doc rows are merge-stable).
+# ---------------------------------------------------------------------------
+
+
+def encode_doc_offsets(
+    starts: np.ndarray, ends: np.ndarray, counts: np.ndarray
+) -> list[bytes | None]:
+    """Per-doc offset blobs from flat (start, end) char-offset arrays.
+
+    `counts[i]` = pre-stop token count of doc i (0 = offsets unavailable —
+    e.g. the non-ASCII regex fallback path — encoded as None).  Blob layout:
+    varint(n) ++ varint restarted-deltas of starts ++ same of ends; both
+    sequences are strictly increasing per doc, so this reuses the positions
+    delta form.  Fully vectorized: one varint pass per stream, per-doc byte
+    ranges from reduceat — no per-value Python.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    n_docs = counts.size
+    if int(counts.sum()) == 0:
+        return [None] * n_docs
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+
+    def _restart_deltas(flat: np.ndarray) -> np.ndarray:
+        d = np.empty_like(flat)
+        d[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=d[1:])
+        doc_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        nz = counts > 0
+        d[doc_first[nz]] = flat[doc_first[nz]]
+        return d
+
+    sblob, soff = varint_encode_with_offsets(
+        _restart_deltas(starts).astype(np.uint64))
+    eblob, eoff = varint_encode_with_offsets(
+        _restart_deltas(ends).astype(np.uint64))
+    hdr_blob, hoff = varint_encode_with_offsets(counts.astype(np.uint64))
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    mv_s, mv_e, mv_h = memoryview(sblob), memoryview(eblob), memoryview(hdr_blob)
+    out: list[bytes | None] = []
+    for i in range(n_docs):
+        if counts[i] == 0:
+            out.append(None)
+            continue
+        lo, hi = int(soff[bounds[i]]), int(soff[bounds[i + 1]])
+        elo, ehi = int(eoff[bounds[i]]), int(eoff[bounds[i + 1]])
+        out.append(bytes(mv_h[hoff[i]:hoff[i + 1]]) + bytes(mv_s[lo:hi])
+                   + bytes(mv_e[elo:ehi]))
+    return out
+
+
+def decode_doc_offsets(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_doc_offsets for one doc -> (starts, ends)."""
+    vals = varint_decode(blob)  # [n, start deltas..., end deltas...]
+    n = int(vals[0])
+    starts = np.cumsum(vals[1:1 + n].astype(np.int64))
+    ends = np.cumsum(vals[1 + n:1 + 2 * n].astype(np.int64))
+    return starts, ends

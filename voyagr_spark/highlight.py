@@ -125,3 +125,129 @@ def suggest(
         .limit(top)
     )
     return cand
+
+
+def highlight_offsets(
+    index,
+    results: DataFrame,
+    source: DataFrame,
+    query_or_text,
+    fragment_size: int = 100,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Offsets-based highlighting — the ..._AND_OFFSETS consumer
+    (IndexOptions.java:36-53; Lucene's UnifiedHighlighter OFFSETS_FROM_
+    POSTINGS strategy): match spans come from the INDEX — query-term
+    positions decoded from the top-k docs' postings, mapped to character
+    spans through the stored per-doc offset blobs — never from re-analyzing
+    the text.  Requires an index built with index_offsets=True; docs the
+    offsets writer skipped (regex-fallback path) fall back to re-analysis.
+
+    The top-k doc-id set is collected driver-side (k rows, the same pattern
+    as explain); the postings read keeps the term-IN parquet pushdown, so
+    only the query terms' rows are scanned."""
+    import numpy as np
+
+    from .codec import decode_doc_offsets
+    from .search import _group_rows
+
+    if not index.meta.get("offsets"):
+        raise ValueError("index was not built with index_offsets=True")
+    q = parse(query_or_text) if isinstance(query_or_text, str) else query_or_text
+    terms = sorted(query_terms(q))
+    want_ids = sorted(
+        int(r["doc_id"]) for r in results.select("doc_id").collect()
+    )
+    want_arr = list(want_ids)
+
+    rows = index.postings().filter(F.col("term").isin(list(terms)))
+
+    def _match_positions(pdf: pd.DataFrame) -> pd.DataFrame:
+        want = np.asarray(want_arr, dtype=np.int64)
+        out_d: list = []
+        out_p: list = []
+        for _t, tp in _group_rows(pdf).items():
+            d = tp.docs()
+            sel = np.isin(d, want)
+            if not sel.any():
+                continue
+            flat, pidx = tp.positions_flat()
+            keep = sel[pidx]
+            out_d.append(d[pidx[keep]])
+            out_p.append(flat[keep])
+        if not out_d:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_id": np.concatenate(out_d),
+                             "pos": np.concatenate(out_p)})
+
+    matches = (
+        rows.groupBy("seg")
+        .applyInPandas(_match_positions, "doc_id long, pos long")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("match_pos"))
+    )
+    offs = (
+        index.docstats()
+        .filter(F.col("doc_id").isin(want_ids))
+        .select("doc_id", "off_blob")
+    )
+    hydrated = index.hydrate(results, source).select("doc_id", "score", "content")
+    joined = hydrated.join(offs, "doc_id", "left").join(matches, "doc_id", "left")
+    tset = set(terms)
+
+    def _frag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frags = []
+            for content, blob, mpos in zip(
+                pdf["content"], pdf["off_blob"], pdf["match_pos"]
+            ):
+                if blob is None or mpos is None or len(mpos) == 0:
+                    # offsets unavailable (fallback-path doc) or no matches
+                    frags.append(
+                        _best_fragment(content, tset, fragment_size, pre, post)
+                    )
+                    continue
+                frags.append(_fragment_from_offsets(
+                    content or "", bytes(blob),
+                    np.asarray(mpos, dtype=np.int64),
+                    fragment_size, pre, post,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": pdf["score"],
+                                "fragment": frags})
+
+    return joined.mapInPandas(
+        _frag, "doc_id long, score float, fragment string"
+    )
+
+
+def _fragment_from_offsets(
+    content: str, blob: bytes, mpos, fragment_size: int, pre: str, post: str
+) -> str:
+    """Best fixed-size window by match count (earliest on ties — the same
+    grid and scoring as _best_fragment), spans straight from the stored
+    offsets; wrapped tokens truncate at the window edge exactly like the
+    re-analysis path (which only sees the window's slice)."""
+    import numpy as np
+
+    from .codec import decode_doc_offsets
+
+    st, en = decode_doc_offsets(blob)
+    mpos = mpos[mpos < st.size]
+    if mpos.size == 0:
+        return content[:fragment_size]
+    s_off, e_off = st[mpos], en[mpos]
+    win, cnts = np.unique(s_off // fragment_size, return_counts=True)
+    start = int(win[np.argmax(cnts)]) * fragment_size
+    frag_end = min(start + fragment_size, len(content))
+    out, last = [], start
+    for s_, e_ in zip(s_off.tolist(), e_off.tolist()):
+        if s_ < start or s_ >= frag_end:
+            continue
+        e_ = min(e_, frag_end)
+        out.append(content[last:s_])
+        out.append(pre + content[s_:e_] + post)
+        last = e_
+    out.append(content[last:frag_end])
+    return "".join(out)

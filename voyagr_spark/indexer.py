@@ -127,6 +127,10 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("commit", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("content_sha256", T.StringType()),
+        # optional stored token offsets (..._AND_OFFSETS analog; None unless
+        # the index was built with index_offsets=True): varint blob of the
+        # doc's pre-stop (start, end) char offsets, indexed by position
+        T.StructField("off_blob", T.BinaryType()),
     ]
 )
 
@@ -157,13 +161,14 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("commit", pa.string()),
         pa.field("lang", pa.string()),
         pa.field("content_sha256", pa.string()),
+        pa.field("off_blob", pa.binary()),
     ]
 )
 
 
 def invert_flush(
     seg: int, doc_ids: np.ndarray, contents: pd.Series, meta: pd.DataFrame,
-    analyzer: Analyzer | None = None,
+    analyzer: Analyzer | None = None, want_offsets: bool = False,
 ) -> pa.RecordBatch:
     """Invert one flush group into posting + per-doc rows (one Arrow batch).
 
@@ -172,10 +177,13 @@ def invert_flush(
     (term, doc, pos) -> run-length boundaries -> per-term delta+varint
     encoding with the 128-doc block directory (Lucene50PostingsWriter).
     """
-    codes_flat, uniques, flat_pos, flat_docidx, doclens = (
-        analyzer.analyze_flat_codes(contents) if analyzer is not None
-        else analyze_flat_codes(contents)
-    )
+    an = analyzer.analyze_flat_codes if analyzer is not None else analyze_flat_codes
+    if want_offsets:
+        codes_flat, uniques, flat_pos, flat_docidx, doclens, char_offs = an(
+            contents, want_offsets=True)
+    else:
+        codes_flat, uniques, flat_pos, flat_docidx, doclens = an(contents)
+        char_offs = None
     norm_bytes = encode_norm(doclens)
     dec_len = NORM_TABLE[norm_bytes]
 
@@ -198,7 +206,7 @@ def invert_flush(
         ):
             cols[k].append(v)
         for k in ("doc_id", "doclen", "norm_byte", "repo", "path",
-                  "commit", "lang", "content_sha256"):
+                  "commit", "lang", "content_sha256", "off_blob"):
             cols[k].append(None)
 
     total_tokens = int(doclens.sum())
@@ -309,6 +317,12 @@ def invert_flush(
     cols["norm_byte"].extend(norm_bytes.astype(np.int32).tolist())
     for k in ("repo", "path", "commit", "lang", "content_sha256"):
         cols[k].extend(meta[k].tolist())
+    if char_offs is not None:
+        from .codec import encode_doc_offsets
+
+        cols["off_blob"].extend(encode_doc_offsets(*char_offs))
+    else:
+        cols["off_blob"].extend([None] * n)
     for k in ("term", "first_doc", "df", "ttf", "max_tf", "min_len",
               "docs_blob", "tfs_blob", "pos_blob", "norms_blob",
               "block_max_doc", "block_max_tf", "block_min_len",
@@ -319,7 +333,8 @@ def invert_flush(
 
 
 def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
-                   pid_offset: int = 0, analyzer: Analyzer | None = None):
+                   pid_offset: int = 0, analyzer: Analyzer | None = None,
+                   want_offsets: bool = False):
     """mapInArrow kernel: stream batches, flush a segment every
     `docs_per_segment` rows.  seg id = (pid_offset+partition) << 20 | flush
     ordinal (pid_offset keeps streamed appends disjoint from build ids)."""
@@ -340,7 +355,8 @@ def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
             n = len(pdf)
             doc_ids = np.arange(next_id, next_id + n, dtype=np.int64)
             seg = (pid << 20) | flush_no
-            out = invert_flush(seg, doc_ids, pdf["content"], pdf, analyzer)
+            out = invert_flush(seg, doc_ids, pdf["content"], pdf, analyzer,
+                               want_offsets=want_offsets)
             next_id += n
             flush_no += 1
             buf, buffered = [], 0
@@ -372,6 +388,7 @@ def build_index(
     docs_per_segment: int = 100_000,
     resume: bool = False,
     analyzer: Analyzer | None = None,
+    index_offsets: bool = False,
 ) -> "Index":
     """Build the full index at index_dir; checkpoint-resumable per stage.
 
@@ -419,7 +436,8 @@ def build_index(
         offsets_p.write_text(json.dumps(offsets))
         (
             ranged.mapInArrow(
-                make_invert_fn(offsets, docs_per_segment, analyzer=analyzer),
+                make_invert_fn(offsets, docs_per_segment, analyzer=analyzer,
+                               want_offsets=index_offsets),
                 SEGMENT_SCHEMA,
             )
             .write.mode("overwrite")
@@ -484,6 +502,9 @@ def build_index(
             # dirs; readers union them, appends write O(batch) bytes, and
             # compaction collapses the list (VERDICT r2 "What's wrong #4")
             "stats_dirs": ["term_stats"],
+            # stored token offsets present on kind=doc rows (opt-in at build,
+            # like Lucene's per-field IndexOptions ..._AND_OFFSETS choice)
+            "offsets": bool(index_offsets),
         }
         if analyzer is not None and not analyzer.is_standard:
             # custom chain persists with the index so queries re-analyze

@@ -71,7 +71,8 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     # segment ids: (epoch-salted partition) << 20 | flush — disjoint per batch
     pid_base = STREAM_PARTITION_BASE + epoch * max(num_partitions, 1) * 2
     fn = make_invert_fn(offsets, docs_per_segment, pid_offset=pid_base,
-                        analyzer=index.analyzer)
+                        analyzer=index.analyzer,
+                        want_offsets=bool(index.meta.get("offsets")))
     seg_dir = index.dir / "segments"
     ranged.mapInArrow(fn, SEGMENT_SCHEMA).write.mode("append").partitionBy(
         "kind"
