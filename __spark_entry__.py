@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": lambda s, d: R.quality_stats(s, d),
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
+        "token_counts": lambda s, d: R.token_counts(s, d),
         "suggest_term": lambda s, d: R.suggest_term(s, d, "batcj", 2, 5),
         # §2.5 P5 multi-term family (relational form)
         "wildcard_term": lambda s, d: R.wildcard_term(s, d, "f%st"),
@@ -1088,6 +1089,15 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END::BIGINT AS n_ws,
+                   len(regexp_extract_all(
+                     text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+'
+                   ))::BIGINT AS n_bpe
+            FROM documents""",
         "dedup_pipeline": _BASE
         + """, sig AS (
               SELECT doc_id,

@@ -525,6 +525,31 @@ def langid_heuristic(spark, sf_dir) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: contraction suffixes, letter runs, short digit
+# runs, punctuation runs (the GPT-2 pattern's RE2-safe core — no lookahead,
+# leftmost-first alternation identical in Java regex and RE2)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+"
+
+
+def token_counts(spark, sf_dir) -> DataFrame:
+    """q: per-doc token counts for data-pipeline budgeting: whitespace-split
+    words and a BPE-ish subword-ish count (GPT-2-style pre-tokenizer core).
+    All JVM-side regex expressions — no Python in the path; at 100 TB this
+    is a single scan + map, no shuffle."""
+    d = documents(spark, sf_dir)
+    trimmed = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+        .alias("n_ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe"),
+    )
+
+
 def fingerprint(spark, sf_dir) -> DataFrame:
     """q: document fingerprint (content hash + sha256 row invariant)."""
     return documents(spark, sf_dir).select(
