@@ -521,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set (persisted in meta, applied at query parse too) — 'the'
         # becomes searchable and every doclen/df/avgdl shifts
         "engine_custom_analyzer": _engine_custom_analyzer,
+        # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
+        # over the index term dictionary (same oracle as the relational twin)
+        "engine_suggest": _engine_suggest,
         # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
         "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
@@ -773,6 +776,16 @@ def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """highlight.suggest over the engine index's term dictionary."""
+    from voyagr_spark.highlight import suggest
+
+    idx = _engine_index(spark, sf_dir)
+    return suggest(idx, "batcj", max_edits=2, top=5).select(
+        "term", "df", F.col("dist").cast("long").alias("dist")
     )
 
 
@@ -1304,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         FROM z GROUP BY vec_a, vec_b
         HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
                >= 0.4"""
+    d["engine_suggest"] = d["suggest_term"]
     d["engine_fq_select"] = _engine_base_sql() + f"""
           SELECT doc_id, score, doclen FROM (
             SELECT t.doc_id, t.score, dl.doclen,
