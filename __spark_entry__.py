@@ -524,6 +524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
         # over the index term dictionary (same oracle as the relational twin)
         "engine_suggest": _engine_suggest,
+        # K6 explain: the explanation's top value must be bit-identical to
+        # the score the scorer gives the rank-1 hit (oracle: rank-1 row)
+        "engine_explain": _engine_explain,
         # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
         "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
@@ -786,6 +789,21 @@ def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _engine_index(spark, sf_dir)
     return suggest(idx, "batcj", max_edits=2, top=5).select(
         "term", "df", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _engine_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explain() on the rank-1 hit of the hot AND rare query: the top-level
+    value must equal the scorer's float32 score bit-for-bit (K6 contract)."""
+    from voyagr_spark.search import explain, search
+
+    idx = _engine_index(spark, sf_dir)
+    q = f"{_HOT} AND {_RARE}"
+    top = search(idx, q, k=1).collect()[0]
+    ex = explain(idx, q, int(top["doc_id"]))
+    return spark.createDataFrame(
+        [(int(top["doc_id"]), float(ex["value"]), bool(ex["match"]))],
+        "doc_id long, score float, matched boolean",
     )
 
 
@@ -1318,6 +1336,12 @@ def oracle_sql() -> dict[str, str]:
         HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
                >= 0.4"""
     d["engine_suggest"] = d["suggest_term"]
+    d["engine_explain"] = _engine_base_sql() + f"""
+        SELECT doc_id, score, TRUE AS matched FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+                 doc_id, score
+          FROM ({_SQL_AND})
+        ) WHERE rn = 1"""
     d["engine_fq_select"] = _engine_base_sql() + f"""
           SELECT doc_id, score, doclen FROM (
             SELECT t.doc_id, t.score, dl.doclen,
