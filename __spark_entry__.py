@@ -527,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # K6 explain: the explanation's top value must be bit-identical to
         # the score the scorer gives the rank-1 hit (oracle: rank-1 row)
         "engine_explain": _engine_explain,
+        # S6 stored-field read: top-5 hydrated back to the source table —
+        # (doc_id, score, content) must match the oracle's docmap join
+        "engine_hydrate": _engine_hydrate,
         # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
         "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
@@ -804,6 +807,18 @@ def _engine_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(top["doc_id"]), float(ex["value"]), bool(ex["match"]))],
         "doc_id long, score float, matched boolean",
+    )
+
+
+def _engine_hydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: top-5 hot-term hits joined back to the source table (stored
+    fields live in the source, the index keeps only the docmap keys)."""
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(idx, _HOT, k=5)
+    return idx.hydrate(res, _docs_mapped(spark, sf_dir)).select(
+        "doc_id", "score", "content"
     )
 
 
@@ -1336,6 +1351,13 @@ def oracle_sql() -> dict[str, str]:
         HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
                >= 0.4"""
     d["engine_suggest"] = d["suggest_term"]
+    d["engine_hydrate"] = _engine_base_sql() + f"""
+        SELECT t.doc_id, t.score, dm.text AS content FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
+                 doc_id, score
+          FROM ({_SQL_TERM.format(t=_HOT)})
+        ) t JOIN docmap0 dm ON t.doc_id = dm.doc_id
+        WHERE t.rn <= 5"""
     d["engine_explain"] = _engine_base_sql() + f"""
         SELECT doc_id, score, TRUE AS matched FROM (
           SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn,
