@@ -130,6 +130,18 @@ def run(sf_dir: str, cpus: int, runs: int, out_dir: str | None = None) -> dict:
             qstats[name] = round(statistics.median(ls), 4)
             qstats[name + "_p95"] = round(ls[min(len(ls) - 1, int(0.95 * len(ls)))], 4)
 
+        # batched throughput: the whole query-class set in ONE job
+        # (search_many), min-of-3 — the serving-path QPS figure
+        from voyagr_spark.search import search_many
+
+        search_many(idx, dict(QUERY_CLASSES), k=10).collect()  # warm
+        batch_s = float("inf")
+        for _ in range(3):
+            t = time.time()
+            search_many(idx, dict(QUERY_CLASSES), k=10).collect()
+            batch_s = min(batch_s, time.time() - t)
+        qstats["batch_qps"] = round(len(QUERY_CLASSES) / batch_s, 2)
+
         total = build_s + sum(sum(ls) for ls in latencies.values())
         result = {
             "metric": "index-build + BM25 top-10 latency (voyagr_spark)",
