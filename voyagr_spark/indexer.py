@@ -187,27 +187,17 @@ def invert_flush(
     norm_bytes = encode_norm(doclens)
     dec_len = NORM_TABLE[norm_bytes]
 
-    cols: dict[str, list] = {name: [] for name in _ARROW_SCHEMA.names}
+    post: dict[str, pa.Array] = {}
 
-    def emit_posting(term, first_doc, df, ttf, max_tf, min_len, blobs, blocks):
-        cols["seg"].append(seg)
-        cols["kind"].append("posting")
-        cols["term"].append(term)
-        cols["first_doc"].append(first_doc)
-        cols["df"].append(df)
-        cols["ttf"].append(ttf)
-        cols["max_tf"].append(max_tf)
-        cols["min_len"].append(min_len)
-        for k, v in zip(("docs_blob", "tfs_blob", "pos_blob", "norms_blob"), blobs):
-            cols[k].append(v)
-        for k, v in zip(
-            ("block_max_doc", "block_max_tf", "block_min_len",
-             "block_doc_boff", "block_tf_boff"), blocks,
-        ):
-            cols[k].append(v)
-        for k in ("doc_id", "doclen", "norm_byte", "repo", "path",
-                  "commit", "lang", "content_sha256", "off_blob"):
-            cols[k].append(None)
+    def _bin_array(count: int, byte_offsets: np.ndarray, data: bytes) -> pa.Array:
+        """Zero-copy binary column: per-row blobs are CONSECUTIVE ranges of
+        one buffer, so the Arrow (offsets, data) layout needs no per-row
+        bytes objects at all."""
+        return pa.Array.from_buffers(
+            pa.binary(), count,
+            [None, pa.py_buffer(np.ascontiguousarray(byte_offsets, dtype=np.int32)),
+             pa.py_buffer(data)],
+        )
 
     total_tokens = int(doclens.sum())
     if total_tokens > 0:
@@ -240,8 +230,6 @@ def invert_flush(
         npairs = pair_term.size
         term_ends = np.concatenate((term_starts[1:], [npairs]))
         dfs = term_ends - term_starts
-        pair_tok_start = pair_starts
-        pair_tok_end = np.concatenate((pair_starts[1:], [c.size]))
 
         # ---- batch-wide encoding: one FOR pass per stream, then slice ----
         # (full 128 blocks bit-packed per width group, tails varint — the
@@ -284,52 +272,85 @@ def invert_flush(
             tfs_all.astype(np.uint64), block_start, block_count
         )
 
-        mv_docs, mv_tfs, mv_pos = (
-            memoryview(docs_bytes), memoryview(tfs_bytes), memoryview(pos_bytes),
-        )
+        # ---- columnar posting-row assembly: every blob column is a set of
+        # CONSECUTIVE byte ranges of one already-encoded buffer, so each
+        # becomes one zero-copy Arrow binary array (offsets = boundary
+        # gather) — no per-term Python loop, no per-term bytes objects ----
         term_strs = uniques[pair_term[term_starts]]
-        for ti in range(nterms):
-            s, e = term_starts[ti], term_ends[ti]
-            b0, b1 = bexcl[ti], bexcl[ti] + nblocks_t[ti]
-            dlo, dhi = int(doc_blk_off[b0]), int(doc_blk_off[b1])
-            tlo, thi = int(tf_blk_off[b0]), int(tf_blk_off[b1])
-            plo, phi = int(pos_off[pair_tok_start[s]]), int(pos_off[pair_tok_end[e - 1]])
-            emit_posting(
-                term_strs[ti],
-                int(first_doc[ti]),
-                int(dfs[ti]),
-                int(ttf[ti]),
-                int(max_tf[ti]),
-                float(min_len[ti]),
-                (bytes(mv_docs[dlo:dhi]), bytes(mv_tfs[tlo:thi]),
-                 bytes(mv_pos[plo:phi]), nb_bytes[s:e]),
-                (block_max_doc[b0:b1].tolist(), block_max_tf[b0:b1].tolist(),
-                 block_min_len[b0:b1].tolist(),
-                 (doc_blk_off[b0:b1 + 1] - dlo).tolist(),
-                 (tf_blk_off[b0:b1 + 1] - tlo).tolist()),
-            )
+        bexcl_ext = np.append(bexcl, total_blocks)
+        post["term"] = pa.array(term_strs, type=pa.string())
+        post["first_doc"] = pa.array(first_doc, type=pa.int64())
+        post["df"] = pa.array(dfs, type=pa.int64())
+        post["ttf"] = pa.array(ttf, type=pa.int64())
+        post["max_tf"] = pa.array(max_tf, type=pa.int64())
+        post["min_len"] = pa.array(min_len, type=pa.float32())
+        post["docs_blob"] = _bin_array(nterms, doc_blk_off[bexcl_ext], docs_bytes)
+        post["tfs_blob"] = _bin_array(nterms, tf_blk_off[bexcl_ext], tfs_bytes)
+        post["pos_blob"] = _bin_array(
+            nterms, pos_off[np.append(pair_starts[term_starts], c.size)], pos_bytes
+        )
+        post["norms_blob"] = _bin_array(
+            nterms, np.append(term_starts, npairs), nb_bytes
+        )
+        blk_off32 = bexcl_ext.astype(np.int32)
+        post["block_max_doc"] = pa.ListArray.from_arrays(
+            blk_off32, pa.array(block_max_doc, type=pa.int64()))
+        post["block_max_tf"] = pa.ListArray.from_arrays(
+            blk_off32, pa.array(block_max_tf, type=pa.int64()))
+        post["block_min_len"] = pa.ListArray.from_arrays(
+            blk_off32, pa.array(block_min_len, type=pa.float32()))
+        # per-term boff lists span blocks b0..b1 INCLUSIVE (len nblocks+1,
+        # term-relative): gather the shared boundaries per term
+        slot_counts = nblocks_t + 1
+        slot_off = np.concatenate(([0], np.cumsum(slot_counts)))
+        lo = np.repeat(np.arange(nterms), slot_counts)
+        j = np.arange(int(slot_off[-1])) - np.repeat(slot_off[:-1], slot_counts)
+        gblock = bexcl[lo] + j
+        slot_off32 = slot_off.astype(np.int32)
+        post["block_doc_boff"] = pa.ListArray.from_arrays(
+            slot_off32,
+            pa.array(doc_blk_off[gblock] - doc_blk_off[bexcl[lo]],
+                     type=pa.int64()))
+        post["block_tf_boff"] = pa.ListArray.from_arrays(
+            slot_off32,
+            pa.array(tf_blk_off[gblock] - tf_blk_off[bexcl[lo]],
+                     type=pa.int64()))
 
     n = doc_ids.size
-    cols["seg"].extend([seg] * n)
-    cols["kind"].extend(["doc"] * n)
-    cols["doc_id"].extend(doc_ids.tolist())
-    cols["doclen"].extend(doclens.tolist())
-    cols["norm_byte"].extend(norm_bytes.astype(np.int32).tolist())
-    for k in ("repo", "path", "commit", "lang", "content_sha256"):
-        cols[k].extend(meta[k].tolist())
+    nterms = len(post.get("term", ()))
     if char_offs is not None:
         from .codec import encode_doc_offsets
 
-        cols["off_blob"].extend(encode_doc_offsets(*char_offs))
+        off_blobs = encode_doc_offsets(*char_offs)
     else:
-        cols["off_blob"].extend([None] * n)
-    for k in ("term", "first_doc", "df", "ttf", "max_tf", "min_len",
-              "docs_blob", "tfs_blob", "pos_blob", "norms_blob",
-              "block_max_doc", "block_max_tf", "block_min_len",
-              "block_doc_boff", "block_tf_boff"):
-        cols[k].extend([None] * n)
+        off_blobs = [None] * n
+    doc_part: dict[str, pa.Array] = {
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "doclen": pa.array(doclens, type=pa.int64()),
+        "norm_byte": pa.array(norm_bytes.astype(np.int32), type=pa.int32()),
+        "off_blob": pa.array(off_blobs, type=pa.binary()),
+    }
+    for k in ("repo", "path", "commit", "lang", "content_sha256"):
+        doc_part[k] = pa.array(meta[k].to_numpy(), type=pa.string())
 
-    return pa.RecordBatch.from_pydict(cols, schema=_ARROW_SCHEMA)
+    arrays = []
+    for f in _ARROW_SCHEMA:
+        if f.name == "seg":
+            arrays.append(pa.array(
+                np.full(nterms + n, seg, dtype=np.int64), type=pa.int64()))
+        elif f.name == "kind":
+            arrays.append(pa.concat_arrays([
+                pa.array(["posting"] * nterms, type=pa.string()),
+                pa.array(["doc"] * n, type=pa.string())]))
+        elif f.name in post:
+            arrays.append(pa.concat_arrays(
+                [post[f.name], pa.nulls(n, type=f.type)]))
+        elif f.name in doc_part:
+            arrays.append(pa.concat_arrays(
+                [pa.nulls(nterms, type=f.type), doc_part[f.name]]))
+        else:  # posting column of a token-free flush: all null
+            arrays.append(pa.nulls(nterms + n, type=f.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
 
 
 def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
