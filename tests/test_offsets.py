@@ -161,3 +161,48 @@ def test_append_preserves_offsets(spark, offsets_index, corpus_pdf):
     st, en = decode_doc_offsets(bytes(row["off_blob"]))
     assert st.tolist() == [0, 5, 10, 16]
     assert en.tolist() == [4, 9, 15, 18]
+
+
+def test_offsets_codec_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from voyagr_spark.codec import decode_doc_offsets, encode_doc_offsets
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 10), st.integers(1, 8)),
+                min_size=0, max_size=30,
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    def roundtrip(doc_gaps):
+        starts_l, ends_l, counts = [], [], []
+        for gaps in doc_gaps:
+            pos = 0
+            s, e = [], []
+            for gap, length in gaps:
+                pos += gap
+                s.append(pos)
+                pos += length
+                e.append(pos)
+            starts_l.append(np.asarray(s, dtype=np.int64))
+            ends_l.append(np.asarray(e, dtype=np.int64))
+            counts.append(len(s))
+        flat_s = np.concatenate(starts_l) if starts_l else np.zeros(0)
+        flat_e = np.concatenate(ends_l) if ends_l else np.zeros(0)
+        blobs = encode_doc_offsets(flat_s, flat_e, np.asarray(counts))
+        k = 0
+        for i, c in enumerate(counts):
+            if c == 0:
+                assert blobs[i] is None
+                continue
+            ds, de = decode_doc_offsets(blobs[i])
+            assert np.array_equal(ds, flat_s[k:k + c])
+            assert np.array_equal(de, flat_e[k:k + c])
+            k += c
+
+    roundtrip()

@@ -193,6 +193,14 @@ def invert_flush(
         """Zero-copy binary column: per-row blobs are CONSECUTIVE ranges of
         one buffer, so the Arrow (offsets, data) layout needs no per-row
         bytes objects at all."""
+        # pa.binary() carries int32 offsets: a flush whose encoded stream
+        # exceeds 2 GB would wrap silently — fail loudly instead (the
+        # docs_per_segment knob bounds flush size well below this)
+        if len(data) >= (1 << 31):
+            raise ValueError(
+                "flush blob exceeds the 2 GB Arrow binary-offset limit; "
+                "lower docs_per_segment"
+            )
         return pa.Array.from_buffers(
             pa.binary(), count,
             [None, pa.py_buffer(np.ascontiguousarray(byte_offsets, dtype=np.int32)),
