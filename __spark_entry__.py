@@ -137,7 +137,7 @@ WITH docmap0 AS (
   SELECT row_number() OVER (
            ORDER BY source ASC, 'doc/' || CAST(doc_id AS VARCHAR) ASC,
                     md5(text) ASC) - 1 AS doc_id,
-         text
+         text, lang
   FROM documents
 ),
 docmap AS (
@@ -319,19 +319,35 @@ _SQL_MLT_TERMS = _SQL_MLT_CAND + "SELECT rank, term, tf, df, score FROM msel"
 # sum folded in CLAUSE order (= selection rank order) exactly like
 # search._union_scorer / _or_maxscore accumulate — list_reduce with a
 # per-step FLOAT cast reproduces each float32 rounding
-_SQL_MLT_SEARCH = _SQL_MLT_CAND + """,
+_SQL_MLT_FOLD = _SQL_MLT_CAND + """,
 mfold AS (
   SELECT f.doc_id,
          list_reduce(list(f.score ORDER BY m.rank),
                      (a, b) -> CAST(a + b AS FLOAT)) AS score
   FROM fscored f JOIN msel m USING (term)
   GROUP BY f.doc_id
-)
+)"""
+
+_SQL_MLT_SEARCH = _SQL_MLT_FOLD + """
 SELECT rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
          doc_id, score
   FROM mfold
 ) WHERE rank <= 10"""
+
+# KNN classification (KNearestNeighborClassifier.java:120-162): the MLT
+# top-10 voted by class; score = count / returned hits (k-correction net)
+_SQL_KNN = _SQL_MLT_FOLD + """,
+ktop AS (
+  SELECT doc_id FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+    FROM mfold
+  ) WHERE rank <= 10
+)
+SELECT dm.lang AS class_,
+       count(*) / CAST((SELECT count(*) FROM ktop) AS DOUBLE) AS score
+FROM ktop t JOIN docmap0 dm ON t.doc_id = dm.doc_id
+GROUP BY dm.lang"""
 
 
 # ---------------------------------------------------------------------------
@@ -537,6 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-exactly via a clause-ordered float32 fold in the oracle
         "mlt_terms": _mlt_terms_entry,
         "mlt_search": _mlt_search_entry,
+        # classification module (lucene/classification): KNN vote over the
+        # MLT top-10 and SimpleNaiveBayes add-1-smoothed per-class scores
+        "knn_classify": _knn_entry,
+        "nb_classify": _nb_entry,
     }
     return q
 
@@ -904,6 +924,27 @@ def _engine_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _knn_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN classification of the MLT seed doc by lang (class, score)."""
+    from voyagr_spark.classify import knn_classify
+
+    idx = _engine_index(spark, sf_dir)
+    return knn_classify(
+        idx, _docs_mapped(spark, sf_dir), _MLT_DOC, k=10
+    ).withColumnRenamed("class", "class_")
+
+
+_NB_DOC = 7  # raw documents.doc_id for the relational NB target
+
+
+def _nb_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.classify import naive_bayes_classify
+
+    return naive_bayes_classify(spark, sf_dir, _NB_DOC).withColumnRenamed(
+        "class", "class_"
     )
 
 
@@ -1318,6 +1359,25 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
             ) WHERE rn <= 10""",
         "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
+        "knn_classify": _engine_base_sql() + _SQL_KNN.format(d=_MLT_DOC),
+        "nb_classify": _BASE + f"""
+            , dcls AS (SELECT lang, count(*)::BIGINT AS dc
+                       FROM documents GROUP BY lang)
+            , tot AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                             (SELECT count(*) FROM tf)::DOUBLE
+                               / (SELECT count(*) FROM documents) AS avg_unique)
+            , tgt AS (SELECT term, tf FROM tf WHERE doc_id = {_NB_DOC})
+            , hits AS (SELECT t.term, d.lang, count(*)::BIGINT AS h
+                       FROM tf t JOIN documents d USING (doc_id)
+                       GROUP BY t.term, d.lang)
+            SELECT c.lang AS class_,
+                   round(ln(c.dc / tot.n)
+                         + sum(tgt.tf * ln((COALESCE(h.h, 0) + 1)
+                               / (tot.avg_unique * c.dc + tot.n))), 4)
+                     AS score4
+            FROM tgt CROSS JOIN dcls c CROSS JOIN tot
+            LEFT JOIN hits h ON h.term = tgt.term AND h.lang = c.lang
+            GROUP BY c.lang, c.dc, tot.n, tot.avg_unique""",
         "mlt_search": _engine_base_sql() + _SQL_MLT_SEARCH.format(d=_MLT_DOC),
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
