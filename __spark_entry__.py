@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MLT top-10 and SimpleNaiveBayes add-1-smoothed per-class scores
         "knn_classify": _knn_entry,
         "nb_classify": _nb_entry,
+        # prospective search (MemoryIndex.java:86-96 percolation): broadcast
+        # query set evaluated against the doc stream, one scan, no shuffle
+        "percolate": _percolate_entry,
     }
     return q
 
@@ -946,6 +949,23 @@ def _nb_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return naive_bayes_classify(spark, sf_dir, _NB_DOC).withColumnRenamed(
         "class", "class_"
     )
+
+
+_PERC_QUERIES = {
+    "p_and": f"{_HOT} AND {_RARE}",
+    "p_phrase": '"fast key"',
+    "p_prefix": "vec*",
+    "p_not": f"{_HOT} -{_RARE}",
+}
+
+
+def _percolate_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.percolator import percolate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return percolate(docs, _PERC_QUERIES)
 
 
 def _engine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,6 +1380,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10""",
         "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
         "knn_classify": _engine_base_sql() + _SQL_KNN.format(d=_MLT_DOC),
+        "percolate": _BASE + f"""
+            SELECT doc_id, 'p_and' AS query_id FROM (
+              SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}'
+              INTERSECT SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}')
+            UNION ALL
+            SELECT DISTINCT a.doc_id, 'p_phrase' AS query_id
+            FROM (SELECT doc_id, pos FROM terms WHERE term = 'fast') a
+            JOIN (SELECT doc_id, pos FROM terms WHERE term = 'key') b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            UNION ALL
+            SELECT DISTINCT doc_id, 'p_prefix' AS query_id
+            FROM tf WHERE term >= 'vec' AND term < 'ved'
+            UNION ALL
+            SELECT doc_id, 'p_not' AS query_id FROM (
+              SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}'
+              EXCEPT SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}')""",
         "nb_classify": _BASE + f"""
             , dcls AS (SELECT lang, count(*)::BIGINT AS dc
                        FROM documents GROUP BY lang)

@@ -1,0 +1,76 @@
+"""Prospective search / percolation (MemoryIndex.java:86-96 use case).
+
+Cross-checked against the segment engine: for every registered query, the
+docs the percolator flags must be exactly the docs the engine's scorer
+matches (match-only contract, scores are the engine's concern).
+"""
+
+import pytest
+
+
+QUERIES = {
+    "term": "file",
+    "and": "file AND handle",
+    "or": "file OR handle OR vector",
+    "not": "file -handle",
+    "phrase": '"public static"',
+    "sloppy": '"file handle"~3',
+    "prefix": "vec*",
+    "wild": "f?le",
+    "range": "[fast TO file]",
+    "fuzzy": "fole~1",
+    "grouped": "(file OR handle) AND parse",
+}
+
+
+def test_percolate_matches_engine(spark, built_index, corpus_pdf):
+    from voyagr_spark.percolator import percolate
+    from voyagr_spark.search import scores
+
+    docs = spark.createDataFrame(
+        corpus_pdf.assign(doc_id=range(len(corpus_pdf)))
+        [["doc_id", "content"]]
+    )
+    got = {}
+    res = percolate(docs, QUERIES, text_col="content").collect()
+    for r in res:
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # engine ground truth: docmap keys follow the same (repo,path,commit)
+    # order the fixture index assigned, so engine doc ids == row order ids
+    key_order = (
+        built_index.docmap()
+        .select("doc_id", "repo", "path", "commit")
+        .collect()
+    )
+    pdfk = corpus_pdf.assign(rowid=range(len(corpus_pdf))).set_index(
+        ["repo", "path", "commit"]
+    )["rowid"]
+    eng2row = {r["doc_id"]: int(pdfk.loc[(r["repo"], r["path"], r["commit"])])
+               for r in key_order}
+    for qid, qtext in QUERIES.items():
+        want = {eng2row[r["doc_id"]]
+                for r in scores(built_index, qtext).collect()}
+        assert got.get(qid, set()) == want, qid
+
+
+def test_percolate_unsupported_type_raises(spark):
+    import pandas as pd
+
+    from voyagr_spark.percolator import _matches
+
+    with pytest.raises(TypeError):
+        _matches(object(), {})
+
+
+def test_percolate_custom_analyzer(spark):
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.percolator import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "the quick fox"), (1, "a slow dog")],
+        "doc_id long, text string",
+    )
+    an = Analyzer(stopwords=frozenset())  # 'the' matches only with this chain
+    res = percolate(docs, {"q": "the"}, analyzer=an).collect()
+    assert [(r["doc_id"], r["query_id"]) for r in res] == [(0, "q")]
+    assert percolate(docs, {"q": "the"}).collect() == []  # standard chain
