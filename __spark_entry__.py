@@ -560,6 +560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prospective search (MemoryIndex.java:86-96 percolation): broadcast
         # query set evaluated against the doc stream, one scan, no shuffle
         "percolate": _percolate_entry,
+        # scored query-time join (lucene/join ScoreMode.java:23-43): child
+        # matches aggregate to parents with Max / Total child-score modes
+        "join_scored_max": lambda s, d: R.scored_join_parents(s, d, _HOT, "max"),
+        "join_scored_total": lambda s, d: R.scored_join_parents(
+            s, d, _HOT, "total"
+        ),
     }
     return q
 
@@ -1380,6 +1386,28 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10""",
         "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
         "knn_classify": _engine_base_sql() + _SQL_KNN.format(d=_MLT_DOC),
+        "join_scored_max": _BASE + f"""
+            SELECT source, score4, n_children FROM (
+              SELECT d.source, round(max(s.score), 4) AS score4,
+                     count(*)::BIGINT AS n_children,
+                     row_number() OVER (
+                       ORDER BY round(max(s.score), 4) DESC, d.source ASC
+                     ) AS rn
+              FROM scored s JOIN documents d USING (doc_id)
+              WHERE s.term = '{_HOT}'
+              GROUP BY d.source
+            ) WHERE rn <= 10""",
+        "join_scored_total": _BASE + f"""
+            SELECT source, score4, n_children FROM (
+              SELECT d.source, round(sum(s.score), 4) AS score4,
+                     count(*)::BIGINT AS n_children,
+                     row_number() OVER (
+                       ORDER BY round(sum(s.score), 4) DESC, d.source ASC
+                     ) AS rn
+              FROM scored s JOIN documents d USING (doc_id)
+              WHERE s.term = '{_HOT}'
+              GROUP BY d.source
+            ) WHERE rn <= 10""",
         "percolate": _BASE + f"""
             SELECT doc_id, 'p_and' AS query_id FROM (
               SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}'

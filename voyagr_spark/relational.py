@@ -745,6 +745,36 @@ def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
     ).select("doc_id", F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
 
 
+def scored_join_parents(spark, sf_dir, term: str, mode: str = "max",
+                        k: int = 10) -> DataFrame:
+    """q: SCORED query-time join — GlobalOrdinalsWithScoreQuery /
+    ToParentBlockJoin semantics (lucene/join ScoreMode.java:23-43): child
+    docs matching `term` aggregate up to their parent key (`source`) with
+    per-parent score = Max / Total(sum) / Avg of child BM25 scores; top-k
+    parents by (score desc, source asc).
+
+    Spark shape: one partial-aggregated groupBy on the (small) match set —
+    the big table is never shuffled; at 100 TB the children scan prunes by
+    term and the parent agg is map-side-combined."""
+    if mode not in ("max", "total", "avg"):
+        raise ValueError(f"unknown ScoreMode {mode!r}")
+    d = documents(spark, sf_dir).select("doc_id", "source")
+    s = (
+        _scored(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .join(d, "doc_id")
+    )
+    agg = {"max": F.max("score"), "total": F.sum("score"),
+           "avg": F.avg("score")}[mode]
+    return (
+        s.groupBy("source")
+        .agg(F.round(agg, 4).alias("score4"),
+             F.count("*").alias("n_children"))
+        .orderBy(F.desc("score4"), F.asc("source"))
+        .limit(k)
+    )
+
+
 def join_by_source(spark, sf_dir, term: str) -> DataFrame:
     """q: query-time join (JoinQParserPlugin / GlobalOrdinalsQuery analog,
     SURVEY §2.8): all docs whose `source` matches the source of ANY doc
