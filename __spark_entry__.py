@@ -459,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_pivot": lambda s, d: R.facet_pivot(s, d, _RARE, "lang", "source"),
         "stats_nchars": lambda s, d: R.stats_field(s, d, _HOT, "n_chars"),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
+        "group_topk": lambda s, d: R.group_topk(s, d, _HOT, 3),
+        "infix_suggest": lambda s, d: R.infix_suggest(s, d, "a", 10),
         "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
         "dedup_exact": lambda s, d: R.dedup_exact(s, d),
@@ -1386,6 +1388,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10""",
         "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
         "knn_classify": _engine_base_sql() + _SQL_KNN.format(d=_MLT_DOC),
+        "group_topk": _BASE + f"""
+            SELECT lang, grank, doc_id, score4 FROM (
+              SELECT d.lang, s.doc_id, round(s.score, 4) AS score4,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+                     )::BIGINT AS grank
+              FROM scored s JOIN documents d USING (doc_id)
+              WHERE s.term = '{_HOT}'
+            ) WHERE grank <= 3""",
+        "infix_suggest": _BASE + """
+            SELECT term, df FROM (
+              SELECT term, df,
+                     row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+              FROM st WHERE term LIKE '%a%'
+            ) WHERE rn <= 10""",
         "join_scored_max": _BASE + f"""
             SELECT source, score4, n_children FROM (
               SELECT d.source, round(max(s.score), 4) AS score4,

@@ -303,6 +303,37 @@ def group_top1(spark, sf_dir, term: str) -> DataFrame:
     )
 
 
+def group_topk(spark, sf_dir, term: str, k_per_group: int = 3) -> DataFrame:
+    """q: top-k docs per group (lucene/grouping TopGroups semantics —
+    TopGroupsCollector's per-group doc ranks): for each lang, the k best
+    matches of `term` by (score desc, doc_id asc), with the within-group
+    rank.  One window over the match set — group_top1 generalized."""
+    s = bm25_term(spark, sf_dir, term)
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score4"), F.asc("doc_id"))
+    return (
+        s.join(d, "doc_id")
+        .withColumn("grank", F.row_number().over(w).cast("long"))
+        .filter(F.col("grank") <= k_per_group)
+        .select("lang", "grank", "doc_id", "score4")
+    )
+
+
+def infix_suggest(spark, sf_dir, fragment: str, top: int = 10) -> DataFrame:
+    """q: infix completion (AnalyzingInfixSuggester.java:75-95 semantics —
+    suggestions whose ANALYZED form contains the typed fragment anywhere,
+    ranked by weight): dictionary terms containing `fragment`, weight = df,
+    ranked (df desc, term asc).  Term-stats scan + LIKE — all JVM-side."""
+    frag = fragment.lower()
+    return (
+        term_stats(spark, sf_dir)
+        .filter(F.col("term").contains(frag))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
+
+
 def wildcard_term(spark, sf_dir, pattern: str) -> DataFrame:
     """q: wildcard match over the dictionary (P5 WildcardQuery, relational
     form): docs containing >=1 term LIKE pattern, with the matching-term
