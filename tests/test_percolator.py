@@ -74,3 +74,39 @@ def test_percolate_custom_analyzer(spark):
     res = percolate(docs, {"q": "the"}, analyzer=an).collect()
     assert [(r["doc_id"], r["query_id"]) for r in res] == [(0, "q")]
     assert percolate(docs, {"q": "the"}).collect() == []  # standard chain
+
+
+def test_percolate_random_sweep_matches_engine(spark, built_index,
+                                               oracle_index, corpus_pdf):
+    """Randomized differential: the percolator's match set must equal the
+    engine's for generated queries across the full grammar (seeds 7/11,
+    the same generators as the rank-identical sweeps)."""
+    from test_random_queries import _gen_queries, _gen_queries_r2
+
+    from voyagr_spark.percolator import percolate
+    from voyagr_spark.search import scores
+
+    queries = {f"q{i}": q for i, q in enumerate(
+        _gen_queries(oracle_index, n=25, seed=7)
+        + _gen_queries_r2(oracle_index, n=15, seed=11)
+    )}
+    docs = spark.createDataFrame(
+        corpus_pdf.assign(doc_id=range(len(corpus_pdf)))
+        [["doc_id", "content"]]
+    )
+    got: dict = {qid: set() for qid in queries}
+    for r in percolate(docs, queries, text_col="content").collect():
+        got[r["query_id"]].add(r["doc_id"])
+    key_order = built_index.docmap().select(
+        "doc_id", "repo", "path", "commit").collect()
+    pdfk = corpus_pdf.assign(rowid=range(len(corpus_pdf))).set_index(
+        ["repo", "path", "commit"])["rowid"]
+    eng2row = {r["doc_id"]: int(pdfk.loc[(r["repo"], r["path"], r["commit"])])
+               for r in key_order}
+    failures = []
+    for qid, qtext in queries.items():
+        want = {eng2row[r["doc_id"]]
+                for r in scores(built_index, qtext).collect()}
+        if got[qid] != want:
+            failures.append((qtext, sorted(got[qid])[:5], sorted(want)[:5]))
+    assert not failures, failures[:3]
