@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voyagr_spark import relational as R
+from voyagr_spark import spatial as SP
 from voyagr_spark.analysis import ENGLISH_STOP_WORDS
 
 _STOP_SQL = "(" + ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS)) + ")"
@@ -567,6 +568,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_scored_max": lambda s, d: R.scored_join_parents(s, d, _HOT, "max"),
         "join_scored_total": lambda s, d: R.scored_join_parents(
             s, d, _HOT, "total"
+        ),
+        # spatial module (lucene/spatial, Spark-first): bbox range query,
+        # distance query (driver-side circle->bbox prefilter + exact
+        # haversine verify), nearest-k distance sort via distributed_topk,
+        # and the Solr-style bbox FILTER clause composed with BM25 ranking
+        "spatial_bbox": lambda s, d: SP.bbox_search(s, d, -10.0, 40.0, -60.0, 60.0),
+        "spatial_distance": lambda s, d: SP.distance_search(
+            s, d, 12.0, -30.0, 3000.0
+        ),
+        "spatial_nearest": lambda s, d: SP.nearest(s, d, 12.0, -30.0, 15),
+        "spatial_fq_bm25": lambda s, d: SP.bbox_filtered_bm25(
+            s, d, _HOT, -45.0, 45.0, -90.0, 90.0
         ),
     }
     return q
@@ -1492,6 +1505,45 @@ def oracle_sql() -> dict[str, str]:
         FROM z GROUP BY vec_a, vec_b
         HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4)
                >= 0.4"""
+    # spatial module: the oracle reproduces the synthetic point derivation
+    # (pure integer arithmetic, exact in binary64) and the SloppyMath
+    # haversine with the same round-to-4 discipline as the engine side
+    geo = """
+        WITH pts AS (
+          SELECT doc_id,
+                 ((doc_id*7919) % 18000)/100.0 - 90.0 AS lat,
+                 ((doc_id*104729) % 36000)/100.0 - 180.0 AS lon
+          FROM documents
+        )
+    """
+    hav = (
+        "round(2.0*6371.0087714*asin(sqrt("
+        "pow(sin((radians(lat)-radians({clat}))/2),2)"
+        "+cos(radians({clat}))*cos(radians(lat))"
+        "*pow(sin((radians(lon)-radians({clon}))/2),2))),4)"
+    ).format(clat=12.0, clon=-30.0)
+    d["spatial_bbox"] = geo + """
+        SELECT doc_id, lat, lon FROM pts
+        WHERE lat BETWEEN -10 AND 40 AND lon BETWEEN -60 AND 60"""
+    d["spatial_distance"] = geo + f"""
+        SELECT doc_id, lat, lon, {hav} AS dist_km FROM pts
+        WHERE {hav} <= 3000.0"""
+    d["spatial_nearest"] = geo + f"""
+        , dd AS (SELECT doc_id, {hav} AS dist_km FROM pts)
+        SELECT row_number() OVER (ORDER BY dist_km, doc_id)::BIGINT AS rank,
+               doc_id, dist_km
+        FROM dd ORDER BY dist_km, doc_id LIMIT 15"""
+    d["spatial_fq_bm25"] = _BASE + f"""
+        , pts AS (
+          SELECT doc_id,
+                 ((doc_id*7919) % 18000)/100.0 - 90.0 AS lat,
+                 ((doc_id*104729) % 36000)/100.0 - 180.0 AS lon
+          FROM documents
+        )
+        SELECT s.doc_id, round(s.score, 4) AS score4
+        FROM scored s JOIN pts USING (doc_id)
+        WHERE s.term = '{_HOT}'
+          AND pts.lat BETWEEN -45 AND 45 AND pts.lon BETWEEN -90 AND 90"""
     d["engine_suggest"] = d["suggest_term"]
     d["engine_hydrate"] = _engine_base_sql() + f"""
         SELECT t.doc_id, t.score, dm.text AS content FROM (
