@@ -424,6 +424,27 @@ def _engine_search_ranked(qtext: str, k: int = 10):
     return run
 
 
+def _engine_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 for the hot term served from a file-level replica of the
+    cached engine index (replicator.sync: copy missing write-once files,
+    publish the snapshot meta last).  Oracle: same SQL as engine_topk_hot —
+    replication must not change a single bit of any score."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.replicator import sync
+    from voyagr_spark.search import search
+
+    base = _engine_index(spark, sf_dir)
+    dst = str(base.dir) + "_replica"
+    sync(str(base.dir), dst)  # idempotent: only a new revision copies bytes
+    res = search(Index(spark, dst), _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (tokenize -> segments -> BM25 -> top-k) on sf0.001."""
     return _engine_search("fast AND key", k=10)(spark, "/root/testdata/sf0.001")
@@ -581,6 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_fq_bm25": lambda s, d: SP.bbox_filtered_bm25(
             s, d, _HOT, -45.0, 45.0, -90.0, 90.0
         ),
+        # replicator module (lucene/replicator): file-level revision sync,
+        # commit-last atomic publish — the top-k served from the REPLICA
+        # must be bit-identical to the oracle over the primary's corpus
+        "engine_replica": _engine_replica,
     }
     return q
 
@@ -1544,6 +1569,9 @@ def oracle_sql() -> dict[str, str]:
         FROM scored s JOIN pts USING (doc_id)
         WHERE s.term = '{_HOT}'
           AND pts.lat BETWEEN -45 AND 45 AND pts.lon BETWEEN -90 AND 90"""
+    # replication changes no bit of any score: the replica's top-k answers
+    # the primary's oracle verbatim
+    d["engine_replica"] = d["engine_topk_hot"]
     d["engine_suggest"] = d["suggest_term"]
     d["engine_hydrate"] = _engine_base_sql() + f"""
         SELECT t.doc_id, t.score, dm.text AS content FROM (
