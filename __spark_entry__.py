@@ -606,8 +606,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # commit-last atomic publish — the top-k served from the REPLICA
         # must be bit-identical to the oracle over the primary's corpus
         "engine_replica": _engine_replica,
+        # expressions module (lucene/expressions): the JS-like ranking
+        # expression compiles ONCE and renders to the same SQL tree on
+        # both sides (parity by construction); comparisons are 1.0/0.0
+        # doubles and ?: tests "!= 0", per JavascriptCompiler semantics
+        "expr_rank": lambda s, d: _expr_rank_entry(s, d),
+        "engine_expr_rescore": _engine_expr_rescore,
     }
     return q
+
+
+_EXPR = ("_score / sqrt(doclen + 1) "
+         "+ (n_chars > 200 ? 0.5 : 0.0) * ln(1 + n_chars)")
+_RESCORE_EXPR = "_score / sqrt(doclen + 1)"
+
+
+def _expr_rank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.expressions import expr_rank
+
+    return expr_rank(spark, sf_dir, _HOT, _EXPR, 15)
+
+
+def _engine_expr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExpressionRescorer path: engine top-50 for the hot term, second-pass
+    reorder by _RESCORE_EXPR (double over the float32 first-pass score +
+    engine doclen), top-10."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.expressions import rescore
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    first = search(idx, _HOT, k=50)
+    res = rescore(idx, first, _RESCORE_EXPR, k=10)
+    w = Window.orderBy(F.desc("expr_score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
+        F.round("expr_score", 4).alias("expr4"),
+    )
 
 
 _MLT_DOC = 7  # deterministic seed: engine doc id == oracle docmap row_number
@@ -1572,6 +1609,40 @@ def oracle_sql() -> dict[str, str]:
     # replication changes no bit of any score: the replica's top-k answers
     # the primary's oracle verbatim
     d["engine_replica"] = d["engine_topk_hot"]
+    # expressions module: the SAME compiled AST renders the oracle SQL —
+    # engine and oracle evaluate literally one expression tree
+    from voyagr_spark.expressions import compile_expr
+
+    _ex = compile_expr(_EXPR).sql(
+        {"_score": "s.score", "doclen": "s.doclen", "n_chars": "d.n_chars"}
+    )
+    d["expr_rank"] = _BASE + f"""
+        SELECT rank, doc_id, expr4 FROM (
+          SELECT row_number() OVER (ORDER BY expr4 DESC, doc_id ASC)::BIGINT
+                   AS rank,
+                 doc_id, expr4
+          FROM (
+            SELECT s.doc_id, round({_ex}, 4) AS expr4
+            FROM scored s JOIN documents d USING (doc_id)
+            WHERE s.term = '{_HOT}'
+          )
+        ) WHERE rank <= 15"""
+    _rex = compile_expr(_RESCORE_EXPR).sql(
+        {"_score": "fp.score", "doclen": "dl.doclen"}
+    )
+    d["engine_expr_rescore"] = _engine_base_sql() + f"""
+        , fp AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+          FROM ({_SQL_TERM.format(t=_HOT)})
+        )
+        SELECT rank, doc_id, score, expr4 FROM (
+          SELECT row_number() OVER (ORDER BY {_rex} DESC, fp.doc_id ASC)::BIGINT
+                   AS rank,
+                 fp.doc_id, fp.score, round({_rex}, 4) AS expr4
+          FROM fp JOIN dl USING (doc_id)
+          WHERE fp.rn <= 50
+        ) WHERE rank <= 10"""
     d["engine_suggest"] = d["suggest_term"]
     d["engine_hydrate"] = _engine_base_sql() + f"""
         SELECT t.doc_id, t.score, dm.text AS content FROM (
