@@ -612,8 +612,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doubles and ?: tests "!= 0", per JavascriptCompiler semantics
         "expr_rank": lambda s, d: _expr_rank_entry(s, d),
         "engine_expr_rescore": _engine_expr_rescore,
+        # span query family (lucene/core search/spans): SpanScorer freq =
+        # float32 fold of 1/(width+1) per produced span; the four gates
+        # cover SpanFirst (position cutoff), SpanOr (union), SpanNot
+        # (pre/post exclusion window), and SpanNear ordered slop=0 (the
+        # greedy NearSpansOrdered walk == adjacency on width-1 spans)
+        "engine_span_first": _engine_span(
+            lambda SP: SP.SpanFirstQuery(SP.SpanTermQuery(_HOT), 20)
+        ),
+        "engine_span_or": _engine_span(
+            lambda SP: SP.SpanOrQuery(
+                SP.SpanTermQuery("fast"), SP.SpanTermQuery("key")
+            )
+        ),
+        "engine_span_not": _engine_span(
+            lambda SP: SP.SpanNotQuery(
+                SP.SpanTermQuery(_HOT), SP.SpanTermQuery(_RARE), pre=2, post=2
+            )
+        ),
+        "engine_span_near": _engine_span(
+            lambda SP: SP.SpanNearQuery(
+                [SP.SpanTermQuery("fast"), SP.SpanTermQuery("key")],
+                slop=0, in_order=True,
+            )
+        ),
     }
     return q
+
+
+def _engine_span(build):
+    """Gate wrapper: run a span query through the full engine path."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from voyagr_spark import spans as SP
+        from voyagr_spark.search import search
+
+        idx = _engine_index(spark, sf_dir)
+        res = search(idx, build(SP), k=10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return res.select(
+            F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+        )
+
+    return run
 
 
 _EXPR = ("_score / sqrt(doclen + 1) "
@@ -1609,6 +1652,81 @@ def oracle_sql() -> dict[str, str]:
     # replication changes no bit of any score: the replica's top-k answers
     # the primary's oracle verbatim
     d["engine_replica"] = d["engine_topk_hot"]
+    # span family: freq per SpanScorer = float32 fold of fl(1/(width+1))
+    # over produced spans; width-1 spans contribute an exact 0.5 each, so
+    # count*0.5 reproduces the fold; the ordered-near matches on width-1
+    # pairs at slop=0 are exactly the adjacency occurrences, each width 2
+    # -> a genuine fl(1/3) fold via list_reduce.  Engine positions are
+    # pre-stop ordinals == the `terms` CTE's pos column.
+    span_score = (
+        "CAST(CAST({wv} * freq AS FLOAT) / CAST(freq + qn.cache AS FLOAT)"
+        " AS FLOAT)"
+    )
+    topk_wrap = """
+        SELECT rank, doc_id, score FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+                   AS rank, doc_id, score
+          FROM ({inner})
+        ) WHERE rank <= 10"""
+    d["engine_span_first"] = _engine_base_sql() + f"""
+        , sf AS (
+          SELECT doc_id, CAST(count(*) * 0.5 AS FLOAT) AS freq
+          FROM terms WHERE term = '{_HOT}' AND pos < 20
+          GROUP BY doc_id
+        )""" + topk_wrap.format(inner=f"""
+          SELECT sf.doc_id, {span_score.format(wv='w.wv')} AS score
+          FROM sf JOIN qn ON sf.doc_id = qn.doc_id
+          JOIN w ON w.term = '{_HOT}'""")
+    # SpanOr(fast, key): freq = 0.5*(tf_fast + tf_key) exact; idf = the
+    # float32 fold over the SORTED scoring terms (SpanWeight's TreeSet)
+    or_wv = (
+        "CAST(CAST("
+        "(SELECT idf FROM w WHERE term = 'fast')"
+        " + (SELECT idf FROM w WHERE term = 'key') AS FLOAT)"
+        " * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT) AS FLOAT)"
+    )
+    d["engine_span_or"] = _engine_base_sql() + """
+        , sor AS (
+          SELECT doc_id, CAST(sum(tf) * 0.5 AS FLOAT) AS freq
+          FROM tf WHERE term IN ('fast', 'key') GROUP BY doc_id
+        )""" + topk_wrap.format(inner=f"""
+          SELECT sor.doc_id, {span_score.format(wv=or_wv)} AS score
+          FROM sor JOIN qn ON sor.doc_id = qn.doc_id""")
+    # SpanNot(hot, rare, pre=2, post=2): drop hot occurrences with a rare
+    # occurrence in [p-2, p+2]; exclude side feeds NO idf (extractTerms)
+    d["engine_span_not"] = _engine_base_sql() + f"""
+        , sn AS (
+          SELECT t.doc_id, CAST(count(*) * 0.5 AS FLOAT) AS freq
+          FROM terms t
+          WHERE t.term = '{_HOT}' AND NOT EXISTS (
+            SELECT 1 FROM terms x
+            WHERE x.doc_id = t.doc_id AND x.term = '{_RARE}'
+              AND x.pos BETWEEN t.pos - 2 AND t.pos + 2)
+          GROUP BY t.doc_id
+        )""" + topk_wrap.format(inner=f"""
+          SELECT sn.doc_id, {span_score.format(wv='w.wv')} AS score
+          FROM sn JOIN qn ON sn.doc_id = qn.doc_id
+          JOIN w ON w.term = '{_HOT}'""")
+    # SpanNear([fast, key], slop=0, ordered): matches == adjacency pairs,
+    # width 2 -> non-exact fl(1/3) accumulated per match in float32
+    d["engine_span_near"] = _engine_base_sql() + """
+        , adj AS (
+          SELECT a.doc_id, count(*)::BIGINT AS n
+          FROM (SELECT doc_id, pos FROM terms WHERE term = 'fast') a
+          JOIN (SELECT doc_id, pos FROM terms WHERE term = 'key') b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY a.doc_id
+        ),
+        nf AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(range(n),
+                     x -> CAST(CAST(1 AS FLOAT) / CAST(3 AS FLOAT) AS FLOAT)),
+                   (acc, x) -> CAST(acc + x AS FLOAT)) AS freq
+          FROM adj
+        )""" + topk_wrap.format(inner=f"""
+          SELECT nf.doc_id, {span_score.format(wv=or_wv)} AS score
+          FROM nf JOIN qn ON nf.doc_id = qn.doc_id""")
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr

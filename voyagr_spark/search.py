@@ -100,6 +100,8 @@ def query_terms(q) -> set[str]:
         for sub in q.disjuncts:
             out |= query_terms(sub)
         return out
+    if hasattr(q, "all_terms"):  # span family (spans.SpanQuery)
+        return q.all_terms()
     return set()
 
 
@@ -494,6 +496,10 @@ def _clause_scorer(
         return _dismax_scorer(q, rows, plan, boost * q.boost)
     if isinstance(q, MatchNoDocsQuery):
         return _EMPTY
+    if hasattr(q, "doc_spans"):  # span family: SpanScorer bridge
+        from .spans import span_scorer
+
+        return span_scorer(q, rows, plan, boost * q.boost)
     raise TypeError(f"unsupported query {type(q)}")
 
 
@@ -1442,7 +1448,10 @@ def NORM_TABLE_LEN(nb: int) -> float:
 
 
 def _has_phrase(q) -> bool:
+    """True when executing q needs the pos_blob column (E11 two-phase)."""
     if isinstance(q, PhraseQuery):
+        return True
+    if hasattr(q, "doc_spans"):  # span family consumes positions
         return True
     if isinstance(q, BooleanQuery):
         return any(_has_phrase(s) for _, s in q.clauses)
