@@ -636,8 +636,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 slop=0, in_order=True,
             )
         ),
+        # surround query language (lucene/queryparser/surround): 'fast w
+        # key' parses to SpanNear(slop=0, ordered) — same oracle as the
+        # directly-constructed span gate
+        "engine_surround": _engine_surround,
     }
     return q
+
+
+def _engine_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+    from voyagr_spark.surround import parse_surround
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(idx, parse_surround("fast w key"), k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 def _engine_span(build):
@@ -1707,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT sn.doc_id, {span_score.format(wv='w.wv')} AS score
           FROM sn JOIN qn ON sn.doc_id = qn.doc_id
           JOIN w ON w.term = '{_HOT}'""")
+    # surround 'fast w key' == SpanNear([fast, key], slop=0, ordered)
     # SpanNear([fast, key], slop=0, ordered): matches == adjacency pairs,
     # width 2 -> non-exact fl(1/3) accumulated per match in float32
     d["engine_span_near"] = _engine_base_sql() + """
@@ -1727,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         )""" + topk_wrap.format(inner=f"""
           SELECT nf.doc_id, {span_score.format(wv=or_wv)} AS score
           FROM nf JOIN qn ON nf.doc_id = qn.doc_id""")
+    d["engine_surround"] = d["engine_span_near"]
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr
