@@ -483,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "group_topk": lambda s, d: R.group_topk(s, d, _HOT, 3),
         "infix_suggest": lambda s, d: R.infix_suggest(s, d, "a", 10),
+        "prefix_suggest": lambda s, d: R.prefix_suggest(s, d, "fi", 10),
+        "fuzzy_suggest": lambda s, d: R.fuzzy_suggest(s, d, "fi", 10),
         "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
         "dedup_exact": lambda s, d: R.dedup_exact(s, d),
@@ -1539,6 +1541,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT term, df,
                      row_number() OVER (ORDER BY df DESC, term ASC) AS rn
               FROM st WHERE term LIKE '%a%'
+            ) WHERE rn <= 10""",
+        "prefix_suggest": _BASE + """
+            SELECT term, df FROM (
+              SELECT term, df,
+                     row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+              FROM st WHERE term >= 'fi' AND term < 'fj'
+            ) WHERE rn <= 10""",
+        "fuzzy_suggest": _BASE + """
+            SELECT term, df FROM (
+              SELECT term, df,
+                     row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+              FROM st WHERE levenshtein(substring(term, 1, 2), 'fi') <= 1
             ) WHERE rn <= 10""",
         "join_scored_max": _BASE + f"""
             SELECT source, score4, n_children FROM (

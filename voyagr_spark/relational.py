@@ -334,6 +334,41 @@ def infix_suggest(spark, sf_dir, fragment: str, top: int = 10) -> DataFrame:
     )
 
 
+def prefix_suggest(spark, sf_dir, prefix: str, top: int = 10) -> DataFrame:
+    """q: weighted prefix completion (AnalyzingSuggester.java:77-115
+    semantics — completions of the analyzed prefix ranked by weight; the
+    FST-with-weight-outputs lookup re-expressed as a dictionary range
+    scan): terms starting with `prefix`, weight = df, ranked (df desc,
+    term asc).  The >=/< term-range predicate is the same pushdown shape
+    as P5 prefix expansion — row-group pruning on the sorted dictionary."""
+    p = prefix.lower()
+    upper = p[:-1] + chr(ord(p[-1]) + 1)
+    return (
+        term_stats(spark, sf_dir)
+        .filter((F.col("term") >= p) & (F.col("term") < upper))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def fuzzy_suggest(spark, sf_dir, typed: str, top: int = 10) -> DataFrame:
+    """q: fuzzy completion (FuzzySuggester.java:60-90 semantics — the
+    typed prefix may contain up to maxEdits=1 errors; completions ranked
+    by weight): terms whose same-length prefix is within levenshtein 1 of
+    the typed text, ranked (df desc, term asc).  Built-in levenshtein —
+    JVM-side, one dictionary scan."""
+    t = typed.lower()
+    return (
+        term_stats(spark, sf_dir)
+        .withColumn("pfx", F.substring("term", 1, len(t)))
+        .filter(F.levenshtein(F.col("pfx"), F.lit(t)) <= 1)
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
+
+
 def wildcard_term(spark, sf_dir, pattern: str) -> DataFrame:
     """q: wildcard match over the dictionary (P5 WildcardQuery, relational
     form): docs containing >=1 term LIKE pattern, with the matching-term
