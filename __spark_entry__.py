@@ -74,16 +74,16 @@ _OR3 = ["fast", "key", "vector"]
 # step function of doclen, inlined as a (lo, hi, qlen) boundary table.
 
 
-def _qlen_rows(max_len: int = 10**12) -> str:
-    """(lo, hi, qlen) VALUES rows: doclen range -> quantized decoded length."""
+def _norm_bands(max_len: int = 10**12) -> list[tuple[int, int, int]]:
+    """(lo, hi, byte) bands: doclen range -> shared byte315 norm byte."""
     import numpy as np
 
-    from voyagr_spark.smallfloat import NORM_TABLE, encode_norm
+    from voyagr_spark.smallfloat import encode_norm
 
     def byte_of(n: int) -> int:
         return int(encode_norm(np.array([n], dtype=np.int64))[0])
 
-    rows = []
+    bands = []
     lo = 1
     while lo <= max_len:
         b = byte_of(lo)
@@ -98,11 +98,32 @@ def _qlen_rows(max_len: int = 10**12) -> str:
                 lo2 = mid
             else:
                 hi2 = mid - 1
-        # CAST .. AS DOUBLE: a bare decimal literal parses as DECIMAL(28,15),
-        # whose FLOAT conversion is NOT the float32 the engine uses
-        rows.append(f"({lo}, {lo2}, CAST({float(NORM_TABLE[b])!r} AS DOUBLE))")
+        bands.append((lo, lo2, b))
         lo = lo2 + 1
-    return ", ".join(rows)
+    return bands
+
+
+def _qlen_rows(max_len: int = 10**12) -> str:
+    """(lo, hi, qlen) VALUES rows: doclen range -> quantized decoded length."""
+    from voyagr_spark.smallfloat import NORM_TABLE
+
+    # CAST .. AS DOUBLE: a bare decimal literal parses as DECIMAL(28,15),
+    # whose FLOAT conversion is NOT the float32 the engine uses
+    return ", ".join(
+        f"({lo}, {hi}, CAST({float(NORM_TABLE[b])!r} AS DOUBLE))"
+        for lo, hi, b in _norm_bands(max_len)
+    )
+
+
+def _nrmf_rows(max_len: int = 10**12) -> str:
+    """(lo, hi, f) VALUES rows: doclen range -> byte315ToFloat decode —
+    the ClassicSimilarity norm factor (DefaultSimilarity.java:96-99)."""
+    from voyagr_spark.classic import DECODE_TABLE
+
+    return ", ".join(
+        f"({lo}, {hi}, CAST({float(DECODE_TABLE[b])!r} AS DOUBLE))"
+        for lo, hi, b in _norm_bands(max_len)
+    )
 
 
 def _engine_base_sql(appended: tuple[str, ...] = (),
@@ -642,8 +663,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key' parses to SpanNear(slop=0, ordered) — same oracle as the
         # directly-constructed span gate
         "engine_surround": _engine_surround,
+        # pluggable ClassicSimilarity (TF-IDF, DefaultSimilarity.java):
+        # sqrt-tf, log-idf+1, queryNorm, byte315 norm factor, and the
+        # REAL coord factor on disjunctions — all bit-exact float32
+        "engine_classic_term": _engine_classic(_HOT),
+        "engine_classic_or": _engine_classic(" OR ".join(_OR3)),
+        "engine_classic_and": _engine_classic(f"{_HOT} AND {_RARE}"),
     }
     return q
+
+
+def _engine_classic(qtext: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from voyagr_spark.search import search
+
+        idx = _engine_index(spark, sf_dir)
+        res = search(idx, qtext, k=10, similarity="classic")
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return res.select(
+            F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+        )
+
+    return run
 
 
 def _engine_surround(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1761,6 +1804,75 @@ def oracle_sql() -> dict[str, str]:
           SELECT nf.doc_id, {span_score.format(wv=or_wv)} AS score
           FROM nf JOIN qn ON nf.doc_id = qn.doc_id""")
     d["engine_surround"] = d["engine_span_near"]
+    # ClassicSimilarity: the full TFIDFSimilarity weight chain rendered
+    # with per-op FLOAT casts (tf = fl(sqrt), idf = fl(ln(n/(df+1))+1),
+    # queryNorm = fl(1/sqrt(ssq)) with ssq the clause-ordered fl fold of
+    # qw^2, value = fl(fl(qw*qn)*idf), score = fl(fl(fl(tf)*value)*nrm),
+    # disjunctions coorded by fl(cnt/maxOverlap))
+    classic_pre = f"""
+        , nrmf(lo, hi, f) AS (VALUES {_nrmf_rows()})
+        , cn AS (SELECT dl.doc_id, CAST(q.f AS FLOAT) AS nrm
+                 FROM dl JOIN nrmf q ON dl.doclen BETWEEN q.lo AND q.hi)
+        , cidf AS (SELECT st.term,
+                          CAST(ln(CAST(cs.n AS DOUBLE) / (st.df + 1)) + 1.0
+                               AS FLOAT) AS v
+                   FROM st CROSS JOIN cs)
+    """
+
+    def _cl_score(term: str, value: str) -> str:
+        return f"""
+          SELECT tf.doc_id,
+                 CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT)
+                           * {value} AS FLOAT) * cn.nrm AS FLOAT) AS s
+          FROM tf JOIN cn ON tf.doc_id = cn.doc_id CROSS JOIN vals
+          WHERE tf.term = '{term}'"""
+
+    def _cl_vals(terms: list[str]) -> str:
+        """qn over the clause-ordered fl fold of qw^2; one value per term."""
+        srcs = ", ".join(
+            f"(SELECT v FROM cidf WHERE term = '{t}') w{i}"
+            for i, t in enumerate(terms)
+        )
+        ssq = f"CAST(w0.v * w0.v AS FLOAT)"
+        for i in range(1, len(terms)):
+            ssq = f"CAST({ssq} + CAST(w{i}.v * w{i}.v AS FLOAT) AS FLOAT)"
+        vals = ", ".join(
+            f"CAST(CAST(w{i}.v * qn_.qn AS FLOAT) * w{i}.v AS FLOAT) AS v{i}"
+            for i in range(len(terms))
+        )
+        return f"""
+        , qn_ AS (SELECT CAST(1.0 / sqrt(CAST({ssq} AS DOUBLE)) AS FLOAT)
+                    AS qn FROM {srcs})
+        , vals AS (SELECT {vals} FROM {srcs}, qn_)"""
+
+    d["engine_classic_term"] = _engine_base_sql() + classic_pre \
+        + _cl_vals([_HOT]) + topk_wrap.format(inner=f"""
+          SELECT doc_id, s AS score FROM ({_cl_score(_HOT, 'vals.v0')})""")
+    d["engine_classic_and"] = _engine_base_sql() + classic_pre \
+        + _cl_vals([_HOT, _RARE]) + f"""
+        , sa AS ({_cl_score(_HOT, 'vals.v0')})
+        , sb AS ({_cl_score(_RARE, 'vals.v1')})""" + topk_wrap.format(inner="""
+          SELECT a.doc_id, CAST(a.s + b.s AS FLOAT) AS score
+          FROM sa a JOIN sb b ON a.doc_id = b.doc_id""")
+    _z = "CAST(0 AS FLOAT)"
+    d["engine_classic_or"] = _engine_base_sql() + classic_pre \
+        + _cl_vals(_OR3) + f"""
+        , s0 AS ({_cl_score(_OR3[0], 'vals.v0')})
+        , s1 AS ({_cl_score(_OR3[1], 'vals.v1')})
+        , s2 AS ({_cl_score(_OR3[2], 'vals.v2')})
+        , u AS (SELECT doc_id FROM s0 UNION
+                SELECT doc_id FROM s1 UNION SELECT doc_id FROM s2)""" \
+        + topk_wrap.format(inner=f"""
+          SELECT u.doc_id,
+                 CAST(CAST(CAST(COALESCE(s0.s, {_z}) + COALESCE(s1.s, {_z})
+                           AS FLOAT) + COALESCE(s2.s, {_z}) AS FLOAT)
+                      * CAST(CAST((s0.s IS NOT NULL)::INT
+                                  + (s1.s IS NOT NULL)::INT
+                                  + (s2.s IS NOT NULL)::INT AS FLOAT)
+                             / CAST(3 AS FLOAT) AS FLOAT) AS FLOAT) AS score
+          FROM u LEFT JOIN s0 ON u.doc_id = s0.doc_id
+                 LEFT JOIN s1 ON u.doc_id = s1.doc_id
+                 LEFT JOIN s2 ON u.doc_id = s2.doc_id""")
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr

@@ -83,6 +83,11 @@ class QueryPlan:
     tombstones: tuple[str, int] | None = None
     k1: np.float32 = bm25.K1  # custom similarity (BM25Similarity.java:46-58)
     b: np.float32 = bm25.B
+    # pluggable Similarity (IndexSearcher.setSimilarity): "bm25" (default)
+    # or "classic" (TF-IDF, classic.py); classic_value holds the per-term
+    # post-queryNorm weight chain (TFIDFSimilarity.IDFStats.value)
+    sim: str = "bm25"
+    classic_value: dict | None = None
 
 
 def query_terms(q) -> set[str]:
@@ -451,10 +456,15 @@ def _term_weight(plan: QueryPlan, term: str, boost: float = 1.0) -> np.float32:
 
 
 def _score_posting(
-    pr: PostingRow, idx: np.ndarray, wv: np.float32, plan: QueryPlan
+    pr: PostingRow, idx: np.ndarray, wv: np.float32, plan: QueryPlan,
+    term: str | None = None,
 ) -> np.ndarray:
     tfs = pr.tfs()[idx]
     norms = pr.norms()[idx]
+    if plan.sim == "classic":
+        from . import classic
+
+        return classic.score_term(tfs, norms, plan.classic_value[term])
     return bm25.score(tfs, norms, plan.cache, wv)
 
 
@@ -473,7 +483,7 @@ def _clause_scorer(
         docs = pr.docs()
         scores = _score_posting(
             pr, np.arange(docs.size),
-            _term_weight(plan, q.term, boost * q.boost), plan,
+            _term_weight(plan, q.term, boost * q.boost), plan, term=q.term,
         )
         return docs, scores
     if isinstance(q, PhraseQuery):
@@ -575,8 +585,10 @@ def _bool_scorer(
                 scores += _score_posting(
                     rows[m.term], idxmap[m.term],
                     _term_weight(plan, m.term, boost * m.boost), plan,
+                    term=m.term,
                 )
             scores = scores.astype(np.float32)
+            # Classic coord(m, maxCoord) == 1 for a pure conjunction
         else:
             docs, scores = None, None
             for m in must:
@@ -633,6 +645,15 @@ def _union_scorer(should, rows, plan, min_should_match: int, boost: float = 1.0)
         pos = np.searchsorted(docs, d)
         scores32[pos] = (scores32[pos] + s).astype(np.float32)
         counts[pos] += 1
+    if plan.sim == "classic":
+        # coord factor: fl(sum) * fl(overlap / maxOverlap), maxOverlap =
+        # clause count (DisjunctionSumScorer.java:49, coords table built
+        # over maxCoord in BooleanWeight.java:64-78)
+        from . import classic
+
+        scores32 = (scores32 * classic.coord(counts, len(should))).astype(
+            np.float32
+        )
     if min_should_match > 1:
         keep = counts >= min_should_match
         docs, scores32 = docs[keep], scores32[keep]
@@ -886,12 +907,15 @@ def make_plan(
     index, query, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
     k1: float = None, b: float = None,
+    similarity: str = "bm25",
 ) -> QueryPlan:
     """Bind global stats on the driver (createNormalizedWeight analog).
 
     k1/b override the BM25 constants per query — the custom-similarity
     surface (BM25Similarity.java:46-58 constructor args); defaults keep the
-    reference's 1.2/0.75 and bit parity."""
+    reference's 1.2/0.75 and bit parity.  similarity="classic" swaps in
+    the TF-IDF chain (classic.py) on the flat term/boolean subset —
+    pruning is BM25-shaped, so classic plans run unpruned."""
     query = rewrite(query, index)
     terms = sorted(query_terms(query))
     stats = index.term_dfs(terms) if terms else {}
@@ -901,9 +925,44 @@ def make_plan(
     tombs = index.tombstone_ref() if hasattr(index, "tombstone_ref") else None
     k1f = bm25.K1 if k1 is None else np.float32(k1)
     bf = bm25.B if b is None else np.float32(b)
+    sim, cvalues = "bm25", None
+    if similarity == "classic":
+        from . import classic
+
+        clause_terms, boosts = _classic_flat_terms(query)
+        cvalues = classic.term_values(clause_terms, stats, max_doc, boosts)
+        sim, prune = "classic", False
+    elif similarity != "bm25":
+        raise ValueError(f"unknown similarity {similarity!r}")
     return QueryPlan(
         query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl, k1f, bf),
         avgdl=avgdl, prune=prune, after=after, tombstones=tombs, k1=k1f, b=bf,
+        sim=sim, classic_value=cvalues,
+    )
+
+
+def _classic_flat_terms(q) -> tuple[list[str], dict[str, float]]:
+    """The Classic-similarity query subset: TermQuery, or a flat
+    BooleanQuery over TermQuery leaves that is pure-SHOULD or pure-MUST
+    (+ MUST_NOT).  Returns scoring terms in CLAUSE order (the
+    sumOfSquaredWeights accumulation order, BooleanWeight.java:94-107)
+    with per-term boosts; anything else raises."""
+    if isinstance(q, TermQuery):
+        return [q.term], {q.term: q.boost}
+    if isinstance(q, BooleanQuery):
+        scoring = [(o, s) for o, s in q.clauses if o != MUST_NOT]
+        occurs = {o for o, _ in scoring}
+        if (
+            len(occurs) == 1
+            and all(isinstance(s, TermQuery) for _, s in scoring)
+            and all(isinstance(s, TermQuery)
+                    for o, s in q.clauses if o == MUST_NOT)
+        ):
+            terms = [s.term for _, s in scoring]
+            return terms, {s.term: s.boost for _, s in scoring}
+    raise ValueError(
+        "classic similarity covers TermQuery and flat pure-SHOULD/pure-MUST "
+        "boolean queries over terms (see classic.py docstring)"
     )
 
 
@@ -1030,6 +1089,7 @@ def search(
     after: tuple[float, int] | None = None,
     k1: float = None, b: float = None,
     use_cache: bool = False,
+    similarity: str = "bm25",
 ) -> DataFrame:
     """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical.
 
@@ -1055,13 +1115,14 @@ def search(
 
             cache = index._result_cache = OrderedDict()
         cache_key = (
-            repr(q), k, prune, after, k1, b, _index_version(index),
+            repr(q), k, prune, after, k1, b, similarity, _index_version(index),
         )
         hit = cache.get(cache_key)
         if hit is not None:
             cache.move_to_end(cache_key)  # LRU touch (LRUQueryCache.java)
             return index.spark.createDataFrame(hit, RESULT_SCHEMA)
-    plan = make_plan(index, q, k, prune, after, k1=k1, b=b)
+    plan = make_plan(index, q, k, prune, after, k1=k1, b=b,
+                     similarity=similarity)
     q = plan.query  # post-rewrite (multi-term expansion)
     terms = sorted(query_terms(q))
     multis = query_multis(q)
