@@ -161,6 +161,25 @@ def main() -> None:
     finally:
         idx.unpin()
 
+    # 9. spatial distance query: circle->bbox prefilter + exact haversine
+    # verify — every expression native Catalyst (zero Python, zero shuffle)
+    from voyagr_spark import spatial as SPA
+
+    p = _plan(
+        SPA.distance_search(spark, "/root/testdata/sf0.001", 12.0, -30.0,
+                            3000.0)
+    )
+    sp_checks = [
+        ("no Python evaluation (trig verify is JVM-side)",
+         "EvalPython" not in p and "ArrowEval" not in p),
+        ("zero shuffles (scan -> filter -> project)", "Exchange" not in p),
+    ]
+    sections.append((
+        "spatial distance query (bbox prefilter + haversine verify)",
+        _excerpt(p, ["Filter", "Scan parquet"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in sp_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
