@@ -197,3 +197,67 @@ def test_random_paging_and_count_parity(built_index, oracle_index):
         if count(built_index, q) != oracle_index.count(q):
             failures.append(("count", q))
     assert not failures, failures[:5]
+
+
+def _gen_span_queries(oracle_index, n=60, seed=23):
+    """Random span trees: term / or / near(ordered|unordered, slop 0-5) /
+    not(pre,post) / first — depth <= 2, drawn from hot+tail vocabulary."""
+    from voyagr_spark.spans import (
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    rng = np.random.default_rng(seed)
+    head, tail = _vocab(oracle_index, rng)
+    pool = head + tail + ["zzqx"]
+
+    def pick():
+        return pool[int(rng.integers(0, len(pool)))]
+
+    def leaf():
+        if rng.random() < 0.25:
+            return SpanOrQuery(SpanTermQuery(pick()), SpanTermQuery(pick()))
+        return SpanTermQuery(pick())
+
+    out = []
+    for _ in range(n):
+        kind = int(rng.integers(0, 5))
+        if kind == 0:
+            out.append(leaf())
+        elif kind == 1:
+            nclauses = int(rng.integers(2, 4))
+            out.append(SpanNearQuery(
+                [leaf() for _ in range(nclauses)],
+                slop=int(rng.integers(0, 6)),
+                in_order=bool(rng.integers(0, 2)),
+            ))
+        elif kind == 2:
+            out.append(SpanNotQuery(
+                leaf(), SpanTermQuery(pick()),
+                pre=int(rng.integers(0, 3)), post=int(rng.integers(0, 3)),
+            ))
+        elif kind == 3:
+            out.append(SpanFirstQuery(leaf(), int(rng.integers(3, 40))))
+        else:
+            out.append(SpanNearQuery(
+                [SpanNearQuery([leaf(), leaf()], slop=int(rng.integers(0, 3)),
+                               in_order=True), leaf()],
+                slop=int(rng.integers(0, 4)), in_order=bool(rng.integers(0, 2)),
+            ))
+    return out
+
+
+def test_random_span_sweep_rank_identical(built_index, oracle_index):
+    """r3 span family: 60 generated span trees, engine vs oracle — ids AND
+    float32 scores rank-identical (the engine side exercises the full
+    posting/position decode path; the oracle scores from raw postings)."""
+    from voyagr_spark.search import search
+
+    for q in _gen_span_queries(oracle_index):
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in search(built_index, q, k=10).collect()]
+        want = [(d, s) for d, s in oracle_index.search(q, 10)]
+        assert got == want, repr(q)

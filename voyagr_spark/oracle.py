@@ -156,6 +156,8 @@ class OracleIndex:
             return self._multi(q.matches, boost * q.boost)
         if isinstance(q, FuzzyQuery):
             return self._bool(self._fuzzy_rewrite(q), cache, boost)
+        if hasattr(q, "doc_spans"):  # span family (spans.SpanQuery)
+            return self._spans(q, cache, boost * getattr(q, "boost", 1.0))
         if isinstance(q, ConstScoreTerms):
             out: dict[int, np.float32] = {}
             for t in q.terms:
@@ -248,6 +250,42 @@ class OracleIndex:
             for d in self._clause(mn, cache, boost):
                 res.pop(d, None)
         return res
+
+    def _spans(self, q, cache, boost: float = 1.0) -> dict[int, np.float32]:
+        """SpanScorer semantics from the oracle's OWN postings: freq =
+        float32 fold of 1/(width+1) per produced span, BM25 with the
+        summed idf of the sorted scoring terms.  The span-match algebra is
+        shared with the engine (spans.py — golden-tested against the
+        reference algorithms); the position data and score chain here are
+        oracle-native, so the differential still exercises the engine's
+        full decode path."""
+        data: dict[str, tuple | None] = {}
+        for t in q.all_terms():
+            per_doc = self.postings.get(t)
+            if not per_doc:
+                data[t] = None
+                continue
+            docs = np.array(sorted(per_doc), dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(per_doc[int(d)], dtype=np.int64) for d in docs]
+            )
+            off = np.concatenate(
+                ([0], np.cumsum([len(per_doc[int(d)]) for d in docs]))
+            )
+            data[t] = (docs, flat, off, None)
+        idf = np.float32(0.0)
+        for t in sorted(q.scoring_terms()):
+            idf = np.float32(idf + self._idf(t))
+        wv = bm25.weight_value(idf, boost=boost)
+        out: dict[int, np.float32] = {}
+        one = np.float32(1.0)
+        for d in q.candidates(data):
+            f = np.float32(0.0)
+            for s, e in q.doc_spans(int(d), data):
+                f = np.float32(f + one / np.float32(e - s + 1))
+            if f > 0:
+                out[int(d)] = self._score_doc(int(d), f, wv, cache)
+        return out
 
     def _phrase(
         self, q: PhraseQuery, cache, boost: float = 1.0
