@@ -35,6 +35,14 @@ def test_cli_build_search_count(tmp_path, corpus_pdf):
     assert all("doc_id" in h and "score" in h for h in hits)
     cnt = run_cli("count", "--index", str(idx), "--query", "file")
     assert cnt[0]["count"] > 0
+    # surround syntax (span near) and classic similarity flags
+    srd = run_cli("search", "--index", str(idx), "--syntax", "surround",
+                  "--query", "parse w query", "--k", "5")
+    assert srd and all("doc_id" in h for h in srd)
+    cls = run_cli("search", "--index", str(idx), "--similarity", "classic",
+                  "--query", "file", "--k", "5")
+    bm = run_cli("search", "--index", str(idx), "--query", "file", "--k", "5")
+    assert cls and [h["score"] for h in cls] != [h["score"] for h in bm]
     # resume is a no-op on a completed index
     again = run_cli("build", "--input", str(src), "--index", str(idx),
                     "--partitions", "2", "--resume")

@@ -57,7 +57,13 @@ def cmd_search(args) -> None:
     spark = _spark()
     idx = Index(spark, args.index)
     after = tuple(json.loads(args.after)) if args.after else None
-    rows = search(idx, args.query, k=args.k, after=after).collect()
+    q = args.query
+    if getattr(args, "syntax", "classic") == "surround":
+        from voyagr_spark.surround import parse_surround
+
+        q = parse_surround(q)
+    rows = search(idx, q, k=args.k, after=after,
+                  similarity=getattr(args, "similarity", "bm25")).collect()
     for r in rows:
         print(json.dumps({"doc_id": r["doc_id"], "score": float(r["score"])}))
 
@@ -138,6 +144,13 @@ def main(argv=None) -> None:
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--after", default=None, help='JSON "[score, doc_id]" cursor')
+    s.add_argument("--syntax", choices=["classic", "surround"],
+                   default="classic",
+                   help="query language: classic parser or surround (W/N "
+                        "span operators)")
+    s.add_argument("--similarity", choices=["bm25", "classic"],
+                   default="bm25",
+                   help="scoring similarity (classic = TF-IDF)")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser("count")
