@@ -110,3 +110,59 @@ def test_percolate_random_sweep_matches_engine(spark, built_index,
         if got[qid] != want:
             failures.append((qtext, sorted(got[qid])[:5], sorted(want)[:5]))
     assert not failures, failures[:3]
+
+
+def test_percolate_spans_match_engine(spark, built_index, corpus_pdf):
+    """Span queries percolate (transient per-doc positions = MemoryIndex):
+    match sets identical to the live engine's, incl. surround strings."""
+    from voyagr_spark.percolator import percolate
+    from voyagr_spark.search import search
+    from voyagr_spark.spans import (
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+    from voyagr_spark.surround import parse_surround
+
+    span_qs = {
+        "s_near": SpanNearQuery(
+            [SpanTermQuery("parse"), SpanTermQuery("query")],
+            slop=0, in_order=True),
+        "s_unord": SpanNearQuery(
+            [SpanTermQuery("file"), SpanTermQuery("open")],
+            slop=4, in_order=False),
+        "s_first": SpanFirstQuery(SpanTermQuery("file"), 12),
+        "s_not": SpanNotQuery(SpanTermQuery("file"), SpanTermQuery("open"),
+                              pre=2, post=2),
+        "s_or_near": SpanNearQuery(
+            [SpanOrQuery(SpanTermQuery("open"), SpanTermQuery("merge")),
+             SpanTermQuery("file")], slop=3, in_order=False),
+        "s_surround": "file 3n open",  # surround string -> span tree
+    }
+    docs = spark.createDataFrame(
+        corpus_pdf.assign(doc_id=range(len(corpus_pdf)))
+        [["doc_id", "content"]]
+    )
+    got = {}
+    res = percolate(docs, span_qs, text_col="content",
+                    syntax="surround").collect()
+    for r in res:
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    key_order = (
+        built_index.docmap()
+        .select("doc_id", "repo", "path", "commit")
+        .collect()
+    )
+    pdfk = corpus_pdf.assign(rowid=range(len(corpus_pdf))).set_index(
+        ["repo", "path", "commit"]
+    )["rowid"]
+    eng2row = {r["doc_id"]: int(pdfk.loc[(r["repo"], r["path"], r["commit"])])
+               for r in key_order}
+    for qid, q in span_qs.items():
+        qq = parse_surround(q) if isinstance(q, str) else q
+        want = {eng2row[r["doc_id"]]
+                for r in search(built_index, qq, k=10**6).collect()}
+        assert got.get(qid, set()) == want, qid
+        assert want, qid  # every form matches something in the fixture

@@ -136,6 +136,20 @@ def _matches(q, tpos: dict[str, list[int]]) -> bool:
             and _levenshtein_within(t, q.term, q.max_edits)
             for t in tpos
         )
+    if hasattr(q, "doc_spans"):  # span family: the doc's own positions ARE
+        # the transient MemoryIndex; match iff any span is produced
+        data: dict[str, tuple | None] = {}
+        for t in q.all_terms():
+            ps = tpos.get(t)
+            data[t] = None if ps is None else (
+                np.zeros(1, dtype=np.int64),
+                np.asarray(ps, dtype=np.int64),
+                np.array([0, len(ps)], dtype=np.int64),
+                None,
+            )
+        if q.candidates(data).size == 0:
+            return False
+        return bool(q.doc_spans(0, data))
     raise TypeError(f"percolator: unsupported query {type(q)}")
 
 
@@ -145,13 +159,25 @@ def percolate(
     id_col: str = "doc_id",
     text_col: str = "text",
     analyzer: Analyzer | None = None,
+    syntax: str = "classic",
 ) -> DataFrame:
     """-> DataFrame(doc_id, query_id): which registered queries match each
-    document.  `queries` maps query_id -> query string (engine syntax);
-    parsing happens once, the parsed set is captured in the task closure
+    document.  `queries` maps query_id -> query string (engine syntax; a
+    pre-built query object — e.g. a span tree — passes through unparsed);
+    `syntax="surround"` parses strings with the W/N span language instead.
+    Parsing happens once, the parsed set is captured in the task closure
     (broadcast-sized: a saved-search table, not a corpus)."""
-    parsed = {qid: parse(qtext, analyzer=analyzer)
-              for qid, qtext in queries.items()}
+
+    def _parse(qtext):
+        if not isinstance(qtext, str):
+            return qtext
+        if syntax == "surround":
+            from .surround import parse_surround
+
+            return parse_surround(qtext)
+        return parse(qtext, analyzer=analyzer)
+
+    parsed = {qid: _parse(qtext) for qid, qtext in queries.items()}
     items = sorted(parsed.items())
 
     def _analyzed(texts: pd.Series):
