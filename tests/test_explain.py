@@ -46,3 +46,30 @@ def test_explain_structure(built_index):
 def test_explain_missing_doc(built_index):
     ex = explain(built_index, "file", 10_000_000)
     assert ex["match"] is False
+
+
+def test_explain_span_query(built_index):
+    from voyagr_spark.search import explain, search
+    from voyagr_spark.spans import SpanNearQuery, SpanTermQuery
+
+    q = SpanNearQuery([SpanTermQuery("parse"), SpanTermQuery("query")],
+                      slop=0, in_order=True)
+    top = search(built_index, q, k=1).collect()[0]
+    ex = explain(built_index, q, int(top["doc_id"]))
+    assert ex["match"] is True
+    # top value is the scorer's own float32 score, bit-identical
+    import numpy as np
+    assert np.float32(ex["value"]) == np.float32(top["score"])
+    descs = " ".join(d["description"] for d in ex["details"])
+    assert "numMatches" in descs and "sloppyFreq" in descs
+
+
+def test_explain_classic_similarity(built_index):
+    from voyagr_spark.search import explain, search
+
+    top = search(built_index, "file", k=1, similarity="classic").collect()[0]
+    ex = explain(built_index, "file", int(top["doc_id"]),
+                 similarity="classic")
+    import numpy as np
+    assert ex["match"] is True
+    assert np.float32(ex["value"]) == np.float32(top["score"])

@@ -1355,7 +1355,8 @@ def count(index, query_or_text) -> int:
     return int(count_df(index, query_or_text).collect()[0][0])
 
 
-def explain(index, query_or_text, doc_id: int) -> dict:
+def explain(index, query_or_text, doc_id: int,
+            similarity: str = "bm25") -> dict:
     """K6: Explanation tree for one (query, doc) — IndexSearcher.explain
     (IndexSearcher.java:669-684) + BM25Similarity.explainScore
     (BM25Similarity.java:266-287) analog.
@@ -1368,7 +1369,7 @@ def explain(index, query_or_text, doc_id: int) -> dict:
     """
     q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
          if isinstance(query_or_text, str) else query_or_text)
-    plan = make_plan(index, q, k=1, prune=False)
+    plan = make_plan(index, q, k=1, prune=False, similarity=similarity)
     q = plan.query
     terms = sorted(query_terms(q))
     multis = query_multis(q)
@@ -1499,6 +1500,28 @@ def _explain_details(q, rows, plan: QueryPlan, doc: int) -> list[dict]:
                 "description": _describe(sub),
             })
         return out
+    if hasattr(q, "doc_spans"):  # span family: produced spans + freq fold
+        data: dict[str, tuple | None] = {}
+        for t in q.all_terms():
+            pr = rows.get(t)
+            if pr is None:
+                data[t] = None
+            else:
+                flat, _di = pr.positions_flat()
+                off = np.concatenate(([0], np.cumsum(pr.tfs())))
+                data[t] = (pr.docs(), flat, off, pr.norms())
+        spans_list = q.doc_spans(doc, data)
+        f = np.float32(0.0)
+        for s_, e_ in spans_list:
+            f = np.float32(f + np.float32(1.0) / np.float32(e_ - s_ + 1))
+        return [
+            {"value": float(len(spans_list)),
+             "description": f"numMatches, spans {spans_list[:8]!r}"},
+            {"value": float(f),
+             "description": "sloppyFreq, sum of 1/(width+1) per span"},
+            {"value": float(_sum_idfs(plan, sorted(q.scoring_terms()))),
+             "description": "idf, sum over scoring terms"},
+        ]
     return []
 
 
