@@ -399,6 +399,64 @@ def _near_unordered(subs: list[list[tuple[int, int]]], slop: int):
 # ---------------------------------------------------------------------------
 
 
+def _fast_freqs(q, cand: np.ndarray, data: dict) -> np.ndarray | None:
+    """Vectorized freq for the width-1 span shapes — a hot SpanTerm can
+    match every doc of a hot term, and a per-doc Python walk there is the
+    exact anti-pattern the engine avoids everywhere else.  Width-1 spans
+    contribute fl(1/2) each and k halves sum exactly, so freq is a single
+    numpy expression:
+
+    * SpanTerm           -> 0.5 * tf
+    * SpanOr(terms...)   -> 0.5 * sum of the clause tfs present
+    * SpanFirst(term, n) -> 0.5 * |positions < n|   (end = pos+1 <= n)
+
+    Returns None for every other shape (near/not/nested: the greedy walk
+    is the semantics, it stays per-survivor)."""
+    half = np.float32(0.5)
+
+    def _tf_of(term: str) -> np.ndarray:
+        got = data.get(term)
+        if got is None:
+            return np.zeros(cand.size, dtype=np.int64)
+        docs, _flat, off, _n = got
+        j = np.searchsorted(docs, cand)
+        jc = np.minimum(j, docs.size - 1)
+        hit = docs[jc] == cand
+        tfs = (off[jc + 1] - off[jc]) * hit
+        return tfs.astype(np.int64)
+
+    if isinstance(q, SpanTermQuery):
+        return (_tf_of(q.term).astype(np.float32) * half).astype(np.float32)
+    if isinstance(q, SpanOrQuery) and all(
+        isinstance(c, SpanTermQuery) for c in q.clauses
+    ):
+        total = np.zeros(cand.size, dtype=np.int64)
+        for c in q.clauses:
+            total += _tf_of(c.term)
+        return (total.astype(np.float32) * half).astype(np.float32)
+    if (
+        isinstance(q, SpanPositionRangeQuery)
+        and isinstance(q.match, SpanTermQuery)
+        and q.start == 0
+    ):
+        got = data.get(q.match.term)
+        if got is None:
+            return np.zeros(cand.size, dtype=np.float32)
+        docs, flat, off, _n = got
+        # accept iff span end = pos+1 <= q.end, i.e. pos < q.end; one
+        # segmented count over the flat position stream (every doc in
+        # `docs` has >= 1 position, so off[:-1] is strictly increasing)
+        counts_all = np.add.reduceat(
+            (flat < q.end).astype(np.int64), off[:-1]
+        )
+        j = np.searchsorted(docs, cand)
+        jc = np.minimum(j, docs.size - 1)
+        hit = docs[jc] == cand
+        counts = counts_all[jc] * hit
+        return (counts.astype(np.float32) * half).astype(np.float32)
+    return None
+
+
 def span_scorer(q: SpanQuery, rows: dict, plan, boost: float = 1.0):
     """One segment: (sorted doc ids, float32 scores) for a span query.
 
@@ -421,13 +479,15 @@ def span_scorer(q: SpanQuery, rows: dict, plan, boost: float = 1.0):
     cand = q.candidates(data)
     if cand.size == 0:
         return _EMPTY
-    freqs = np.zeros(cand.size, dtype=np.float32)
-    one = np.float32(1.0)
-    for i in range(cand.size):
-        f = np.float32(0.0)
-        for s, e in q.doc_spans(int(cand[i]), data):
-            f = np.float32(f + one / np.float32(e - s + 1))
-        freqs[i] = f
+    freqs = _fast_freqs(q, cand, data)
+    if freqs is None:  # generic per-survivor walk (near/not/nested forms)
+        freqs = np.zeros(cand.size, dtype=np.float32)
+        one = np.float32(1.0)
+        for i in range(cand.size):
+            f = np.float32(0.0)
+            for s, e in q.doc_spans(int(cand[i]), data):
+                f = np.float32(f + one / np.float32(e - s + 1))
+            freqs[i] = f
     m = freqs > 0
     if not m.any():
         return _EMPTY
