@@ -506,6 +506,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": lambda s, d: R.infix_suggest(s, d, "a", 10),
         "prefix_suggest": lambda s, d: R.prefix_suggest(s, d, "fi", 10),
         "fuzzy_suggest": lambda s, d: R.fuzzy_suggest(s, d, "fi", 10),
+        # lucene/facet: drill-sideways (per-dim counts with the OTHER
+        # dims' filters applied) + hierarchical taxonomy path counts
+        "drill_sideways": lambda s, d: R.drill_sideways(
+            s, d, _HOT, {"lang": "en", "source": "src0"}
+        ),
+        "facet_hierarchy": lambda s, d: R.facet_hierarchy(s, d, _HOT),
         "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
         "dedup_exact": lambda s, d: R.dedup_exact(s, d),
@@ -1591,6 +1597,28 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY df DESC, term ASC) AS rn
               FROM st WHERE term >= 'fi' AND term < 'fj'
             ) WHERE rn <= 10""",
+        "drill_sideways": _BASE + f"""
+            , base AS (
+              SELECT DISTINCT tf.doc_id, d.lang, d.source
+              FROM tf JOIN documents d USING (doc_id)
+              WHERE tf.term = '{_HOT}'
+            )
+            SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS cnt
+            FROM base WHERE source = 'src0' GROUP BY lang
+            UNION ALL
+            SELECT 'source' AS dim, source AS value, count(*)::BIGINT AS cnt
+            FROM base WHERE lang = 'en' GROUP BY source""",
+        "facet_hierarchy": _BASE + f"""
+            , base AS (
+              SELECT DISTINCT tf.doc_id, d.lang, d.source
+              FROM tf JOIN documents d USING (doc_id)
+              WHERE tf.term = '{_HOT}'
+            )
+            SELECT source AS path, count(*)::BIGINT AS cnt
+            FROM base GROUP BY source
+            UNION ALL
+            SELECT source || '/' || lang AS path, count(*)::BIGINT AS cnt
+            FROM base GROUP BY source, lang""",
         "fuzzy_suggest": _BASE + """
             SELECT term, df FROM (
               SELECT term, df,

@@ -334,6 +334,60 @@ def infix_suggest(spark, sf_dir, fragment: str, top: int = 10) -> DataFrame:
     )
 
 
+def drill_sideways(
+    spark, sf_dir, term: str, dims: dict[str, str]
+) -> DataFrame:
+    """q: DrillSideways faceting (lucene/facet DrillSideways.java:49-64):
+    for each drill-down dimension, facet counts are computed with every
+    OTHER dimension's filter applied but NOT its own — the "what would I
+    get by switching this value" panel next to fully-filtered hits.
+
+    One matching-doc set (term match ∪ dim columns), then one small
+    groupBy per dimension (len(dims) passes over the same cached-sized
+    match projection — dims are a UI-sized handful, never data-sized).
+    Returns (dim, value, count) rows for all dimensions."""
+    base = (
+        terms_tf(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .select("doc_id")
+        .join(documents(spark, sf_dir).select("doc_id", *dims), "doc_id")
+    )
+    out = None
+    for dim in sorted(dims):
+        others = base
+        for other, val in dims.items():
+            if other != dim:
+                others = others.filter(F.col(other) == val)
+        part = (
+            others.groupBy(F.col(dim).alias("value"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(dim).alias("dim"), "value", "cnt")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def facet_hierarchy(spark, sf_dir, term: str) -> DataFrame:
+    """q: hierarchical path facets (lucene/facet taxonomy counts,
+    FastTaxonomyFacetCounts.java: every PREFIX of a doc's path ordinal is
+    counted): counts at "source" and "source/lang" levels for one term's
+    matches, as (path, cnt) rows."""
+    base = (
+        terms_tf(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .select("doc_id")
+        .join(documents(spark, sf_dir).select("doc_id", "source", "lang"),
+              "doc_id")
+    )
+    l1 = base.groupBy(F.col("source").alias("path")).agg(
+        F.count("*").alias("cnt")
+    )
+    l2 = base.groupBy(
+        F.concat_ws("/", "source", "lang").alias("path")
+    ).agg(F.count("*").alias("cnt"))
+    return l1.unionByName(l2)
+
+
 def prefix_suggest(spark, sf_dir, prefix: str, top: int = 10) -> DataFrame:
     """q: weighted prefix completion (AnalyzingSuggester.java:77-115
     semantics — completions of the analyzed prefix ranked by weight; the
