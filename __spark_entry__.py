@@ -531,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_range": lambda s, d: R.term_range_docs(s, d, "fast", "file"),
         "fuzzy_term": lambda s, d: R.fuzzy_term(s, d, "batcj", 2),
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
+        "ann_sq8_topk": lambda s, d: R.sq8_ann_topk(s, d, 0, 10),
         "cosine_pairs": lambda s, d: R.cosine_pairs(s, d, 0.4),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
@@ -1701,6 +1702,30 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF at nprobe=all must reproduce the brute-force baseline exactly
     d["ann_ivf_topk"] = d["ann_cosine_topk"]
+    # SQ8: integer dot product of unit-normalized int8 quantizations —
+    # exact integer math on both engines (floor(v+0.5) rounding; the
+    # double normalize chain is the same op sequence as the Spark side)
+    d["ann_sq8_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM e),
+        qz AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CASE WHEN nrm = 0 THEN 0
+                   ELSE CAST(floor(x / nrm * 127.0 + 0.5) AS BIGINT) END) AS q
+          FROM n),
+        z AS (
+          SELECT e.vec_id, unnest(e.q) AS x, unnest(qv.q) AS y
+          FROM qz e CROSS JOIN (SELECT q FROM qz WHERE vec_id = 0) qv
+          WHERE e.vec_id <> 0),
+        s AS (SELECT vec_id, sum(x * y)::BIGINT AS qdot FROM z GROUP BY vec_id)
+        SELECT * FROM (
+          SELECT row_number() OVER (ORDER BY qdot DESC, vec_id ASC)::BIGINT
+                   AS rank, vec_id, qdot
+          FROM s
+        ) WHERE rank <= 10"""
     d["cosine_pairs"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         z AS (

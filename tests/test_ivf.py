@@ -66,3 +66,29 @@ def test_train_deterministic(emb):
     a = ivf_train_centroids(emb, n_centroids=NC, iters=3, seed=42)
     b = ivf_train_centroids(emb, n_centroids=NC, iters=3, seed=42)
     assert np.allclose(a, b)
+
+
+def test_sq8_quantized_recall_vs_exact(spark):
+    """SQ8 first pass: quantized top-10 recalls most of the exact cosine
+    top-10 (64-dim unit vectors, int8 -> worst-case quantization error per
+    dim ~0.004).  Deterministic data -> pinned floor."""
+    from voyagr_spark.relational import ann_topk, sq8_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = [r["vec_id"] for r in ann_topk(spark, sf, 0, 10).collect()]
+    sq8 = [r["vec_id"] for r in sq8_ann_topk(spark, sf, 0, 10).collect()]
+    recall = len(set(exact) & set(sq8)) / 10.0
+    assert recall >= 0.8, (recall, exact, sq8)
+
+
+def test_sq8_signature_range(spark):
+    import numpy as np
+
+    from voyagr_spark.relational import sq8_signatures
+
+    rows = sq8_signatures(spark, "/root/testdata/sf0.001").collect()
+    qs = np.array([r["q"] for r in rows])
+    assert qs.min() >= -127 and qs.max() <= 127
+    # unit-normalized: the quantized norm is close to 127
+    norms = np.sqrt((qs.astype(np.float64) ** 2).sum(axis=1))
+    assert abs(norms - 127).max() < 2.0

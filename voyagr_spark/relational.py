@@ -704,6 +704,51 @@ def ann_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "cos4"])
 
 
+def sq8_signatures(spark, sf_dir) -> DataFrame:
+    """(vec_id, q): int8 scalar quantization of the UNIT-normalized
+    embedding — q_i = floor(x_i/||x|| * 127 + 0.5), the standard SQ8 form
+    (4x memory vs float32; the quantized int dot product approximates
+    cosine directly).  All JVM array expressions; floor(v+0.5) rounding is
+    engine-portable (round() half-even vs half-away is not)."""
+    e = embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    ))
+    e = e.withColumn("nrm", nrm)
+    q = F.transform(
+        "v",
+        lambda x: F.when(F.col("nrm") == 0.0, F.lit(0)).otherwise(
+            F.floor(x / F.col("nrm") * F.lit(127.0) + F.lit(0.5))
+        ).cast("long"),
+    )
+    return e.select("vec_id", q.alias("q"))
+
+
+def sq8_ann_topk(spark, sf_dir, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """q: top-k by the exact INTEGER dot product of SQ8 signatures — the
+    quantized first pass of a quantize-then-rescore ANN pipeline.  At
+    100 TB the signatures are 4x smaller than the float vectors, the dot
+    product is integer SIMD, and the float rescoring touches only the
+    candidate pool (rescoring recall is pinned in tests; this surface
+    gates the quantized ranking itself, which is exact integer math on
+    both engines)."""
+    s = sq8_signatures(spark, sf_dir)
+    qv = s.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq")
+    )
+    j = s.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(qv))
+    qdot = F.aggregate(
+        F.zip_with("q", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("vec_id", qdot.alias("qdot"))
+    by = [("qdot", False), ("vec_id", True)]
+    return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "qdot"])
+
+
 def cosine_pairs(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
     """q: exact embedding-cosine near-dup pairs (vec_a < vec_b, round(cos,4)
     >= threshold) — the exactness baseline the LSH path
