@@ -470,6 +470,10 @@ class Analyzer:
     lowercase: bool = True
     stopwords: frozenset = field(default=ENGLISH_STOP_WORDS)
     max_token_length: int = MAX_TOKEN_LENGTH
+    #: None or "porter" — PorterStemFilter analog, applied AFTER the stop
+    #: filter (the EnglishAnalyzer chain order); stems only the factorized
+    #: unique terms per batch, so the cost is vocabulary-sized
+    stem: str | None = None
 
     @property
     def is_standard(self) -> bool:
@@ -478,6 +482,7 @@ class Analyzer:
             and self.lowercase
             and self.stopwords == ENGLISH_STOP_WORDS
             and self.max_token_length == MAX_TOKEN_LENGTH
+            and self.stem is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -487,6 +492,7 @@ class Analyzer:
             "lowercase": self.lowercase,
             "stopwords": sorted(self.stopwords),
             "max_token_length": self.max_token_length,
+            "stem": self.stem,
         }
 
     @staticmethod
@@ -498,6 +504,7 @@ class Analyzer:
             lowercase=bool(d["lowercase"]),
             stopwords=frozenset(d["stopwords"]),
             max_token_length=int(d["max_token_length"]),
+            stem=d.get("stem"),  # absent in pre-stemmer metas
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -512,6 +519,10 @@ class Analyzer:
                 continue
             terms.append(t)
             positions.append(pos)
+        if self.stem == "porter":
+            from .porter import stem as _pstem
+
+            terms = [_pstem(t) for t in terms]
         return terms, positions
 
     def _chunk(self, tokens: list[str]) -> list[str]:
@@ -569,7 +580,16 @@ class Analyzer:
         keep_np = keep.to_numpy()
         doclens = np.zeros(len(texts), dtype=np.int64)
         np.add.at(doclens, docidx[keep_np], 1)
-        return flat.to_numpy()[keep_np], pos[keep_np], docidx[keep_np], doclens
+        out_terms = flat.to_numpy()[keep_np]
+        if self.stem == "porter":
+            # stem the batch VOCABULARY once, map back by code — keeps the
+            # scalar stemmer off the token-stream hot path
+            from .porter import stem as _pstem
+
+            codes, uniq = pd.factorize(out_terms)
+            stemmed = np.array([_pstem(u) for u in uniq], dtype=object)
+            out_terms = stemmed[codes]
+        return out_terms, pos[keep_np], docidx[keep_np], doclens
 
     # -- whole batch -> dictionary-coded flat arrays (invert fast path)
     def analyze_flat_codes(self, texts: pd.Series, want_offsets: bool = False):
