@@ -52,7 +52,7 @@ class SpanQuery:
 
     def all_terms(self) -> set[str]:
         """Terms whose postings the segment UDF must fetch."""
-        raise NotImplementedError
+        raise TypeError("SpanQuery is abstract; use a concrete span type")
 
     def scoring_terms(self) -> set[str]:
         """Terms feeding the SimWeight (extractTerms contract: SpanNot
@@ -62,12 +62,12 @@ class SpanQuery:
     def candidates(self, data: dict) -> np.ndarray:
         """Doc-level approximation (the conjunction/disjunction the spans
         iterator advances on) — sorted doc ids."""
-        raise NotImplementedError
+        raise TypeError("SpanQuery is abstract; use a concrete span type")
 
     def doc_spans(self, doc: int, data: dict) -> list[tuple[int, int]]:
         """Materialized (start, end) spans for one doc, in the order the
         reference iterator would produce them."""
-        raise NotImplementedError
+        raise TypeError("SpanQuery is abstract; use a concrete span type")
 
 
 def _positions(data: dict, term: str, doc: int) -> np.ndarray:
