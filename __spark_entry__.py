@@ -466,6 +466,45 @@ def _engine_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_window(res: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries/CommonTermsQuery.java: df-classified split at rewrite time.
+
+    With cutoff 0.5, hot 'batch'/'fast' (df ~0.8N) land on the optional
+    high-frequency side and rare 'dup' (df 0.05N) is the required driver —
+    the engine never iterates a hot posting list except where 'dup'
+    already matched.  Rewrite: BQ[(SHOULD, BQ[batch, fast]), (MUST, dup)]."""
+    from voyagr_spark.parser import CommonTermsQuery
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    q = CommonTermsQuery(
+        (_HOT, "fast", _RARE),
+        high_freq_occur="SHOULD", low_freq_occur="MUST",
+        max_term_frequency=0.5,
+    )
+    return _rank_window(search(idx, q, k=10))
+
+
+def _engine_simpleqp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queryparser/simple SimpleQueryParser: 'batch + dup | fast' parses
+    right-to-left (javadoc :64-68) to OR(AND(batch, dup), fast)."""
+    from voyagr_spark.search import search
+    from voyagr_spark.simpleqp import parse_simple
+
+    idx = _engine_index(spark, sf_dir)
+    q = parse_simple(f"{_HOT} + {_RARE} | fast")
+    return _rank_window(search(idx, q, k=10))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (tokenize -> segments -> BM25 -> top-k) on sf0.001."""
     return _engine_search("fast AND key", k=10)(spark, "/root/testdata/sf0.001")
@@ -587,6 +626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # where a bogus range prefilter silently dropped 'dup'; now
         # range-free, regex-only filtering (full-term match semantics)
         "engine_regexp_alt": _engine_search_ranked("/batch|dup/", 10),
+        # queries/CommonTermsQuery: df-classified high/low split — hot
+        # terms ride the optional side, rare 'dup' drives iteration
+        "engine_common_terms": _engine_common_terms,
+        # queryparser/simple: never-throws grammar, right-to-left ops —
+        # 'batch + dup | fast' == OR(AND(batch, dup), fast)
+        "engine_simpleqp": _engine_simpleqp,
         # §2.8 pluggable analyzer: an index built with an empty stopword
         # set (persisted in meta, applied at query parse too) — 'the'
         # becomes searchable and every doclen/df/avgdl shifts
@@ -1535,6 +1580,30 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN
                 (SELECT doc_id FROM tf WHERE term = '{_RARE}')"""),
+        "engine_common_terms": _engine_topk_sql(f"""
+          SELECT d.doc_id,
+                 CAST(d.score + COALESCE(h.score, CAST(0 AS FLOAT)) AS FLOAT)
+                   AS score
+          FROM ({_SQL_TERM.format(t=_RARE)}) d
+          LEFT JOIN (
+            SELECT u.doc_id,
+                   CAST(COALESCE(b.score, CAST(0 AS FLOAT))
+                        + COALESCE(f.score, CAST(0 AS FLOAT)) AS FLOAT)
+                     AS score
+            FROM (SELECT DISTINCT doc_id FROM fscored
+                  WHERE term IN ('{_HOT}', 'fast')) u
+            LEFT JOIN ({_SQL_TERM.format(t=_HOT)}) b USING (doc_id)
+            LEFT JOIN ({_SQL_TERM.format(t='fast')}) f USING (doc_id)
+          ) h USING (doc_id)"""),
+        "engine_simpleqp": _engine_topk_sql(f"""
+          SELECT u.doc_id,
+                 CAST(COALESCE(ab.score, CAST(0 AS FLOAT))
+                      + COALESCE(f.score, CAST(0 AS FLOAT)) AS FLOAT) AS score
+          FROM (SELECT doc_id FROM ({_SQL_AND})
+                UNION
+                SELECT doc_id FROM ({_SQL_TERM.format(t='fast')})) u
+          LEFT JOIN ({_SQL_AND}) ab USING (doc_id)
+          LEFT JOIN ({_SQL_TERM.format(t='fast')}) f USING (doc_id)"""),
         "engine_delete": _engine_topk_sql(f"""
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN {_DELETED_IDS}"""),

@@ -21,6 +21,7 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    CommonTermsQuery,
     ConstScoreMulti,
     ConstScoreTerms,
     DisjunctionMaxQuery,
@@ -178,7 +179,62 @@ class OracleIndex:
             }
         if isinstance(q, MatchNoDocsQuery):
             return {}
+        if isinstance(q, CommonTermsQuery):
+            return self._clause(self._common_terms_rewrite(q), cache, boost)
         raise TypeError(type(q))
+
+    def _common_terms_rewrite(self, q: CommonTermsQuery):
+        """Independent CommonTermsQuery.buildQuery (CommonTermsQuery.java:
+        185-233) over the oracle's OWN document frequencies."""
+        if not q.terms:
+            return MatchNoDocsQuery("empty CommonTermsQuery")
+        if len(q.terms) == 1:
+            return TermQuery(q.terms[0], boost=q.boost)
+        cutoff = int(
+            np.ceil(np.float32(q.max_term_frequency) * np.float32(self.max_doc))
+        )
+
+        def _msm(value: float, n: int) -> int:
+            if value >= 1.0 or value == 0.0:
+                return int(value)
+            return int(np.floor(value * n + 0.5))
+
+        low, high = [], []
+        for t in q.terms:
+            df = len(self.postings.get(t, {}))
+            is_high = df > 0 and (
+                (q.max_term_frequency >= 1.0 and df > q.max_term_frequency)
+                or df > cutoff
+            )
+            (high if is_high else low).append(t)
+        low_cl = [(q.low_freq_occur, TermQuery(t)) for t in low]
+        high_cl = [(q.high_freq_occur, TermQuery(t)) for t in high]
+        low_msm = (
+            _msm(q.low_freq_msm, len(low_cl))
+            if q.low_freq_occur == SHOULD and low_cl else 0
+        )
+        high_msm = (
+            _msm(q.high_freq_msm, len(high_cl))
+            if q.high_freq_occur == SHOULD and high_cl else 0
+        )
+
+        def side(cl, msm, boost):
+            if len(cl) == 1 and msm <= 1:
+                t = cl[0][1]
+                return TermQuery(t.term, boost=t.boost * boost)
+            return BooleanQuery(tuple(cl), msm, boost)
+
+        if not low_cl:
+            if high_msm == 0 and q.high_freq_occur != MUST:
+                high_cl = [(MUST, s) for _, s in high_cl]
+            return side(high_cl, high_msm, q.boost)
+        if not high_cl:
+            return side(low_cl, low_msm, q.boost)
+        return BooleanQuery(
+            ((SHOULD, side(high_cl, high_msm, 1.0)),
+             (MUST, side(low_cl, low_msm, 1.0))),
+            0, q.boost,
+        )
 
     def _multi(self, pred, boost: float) -> dict[int, np.float32]:
         """Constant-score union of all dictionary terms matching `pred`."""

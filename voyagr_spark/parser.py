@@ -179,6 +179,44 @@ class ConstScoreMulti:
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery:
+    """High/low-frequency split query (queries/CommonTermsQuery.java:64-233).
+
+    At rewrite time each term is classified by its ACTUAL document
+    frequency: df > max_term_frequency (absolute when >= 1, else a
+    fraction of maxDoc, ceil'd — CommonTermsQuery.java:196-198) sends the
+    term to the high-frequency sub-query, otherwise low-frequency.  The
+    rewritten form is BooleanQuery[(SHOULD, highFreq), (MUST, lowFreq)]
+    (buildQuery :228-231), so common terms only contribute score when a
+    low-frequency term already matched — the engine never drives an
+    iteration off a stopword-sized posting list.  Edge cases kept exact:
+    all-high -> the high side alone, SHOULD clauses promoted to MUST
+    unless an MSM is set (:211-222); all-low -> the low side alone
+    (:223-226); 1 term total -> plain TermQuery (:155-159).  MUST_NOT
+    occurs are rejected at construction (:121-128)."""
+
+    terms: tuple[str, ...]
+    high_freq_occur: str = SHOULD
+    low_freq_occur: str = SHOULD
+    max_term_frequency: float = 0.01
+    low_freq_msm: float = 0.0
+    high_freq_msm: float = 0.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if MUST_NOT in (self.high_freq_occur, self.low_freq_occur):
+            raise ValueError(
+                "highFreqOccur/lowFreqOccur should be MUST or SHOULD "
+                "but was MUST_NOT (CommonTermsQuery.java:121-128)"
+            )
+        if len(self.terms) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"{len(self.terms)} terms exceed maxClauseCount="
+                f"{MAX_CLAUSE_COUNT}"
+            )
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery:
     """Per-doc max over disjuncts + tie * (sum of the others)
     (DisjunctionMaxQuery.java:46-60)."""

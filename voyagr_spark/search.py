@@ -45,6 +45,7 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    CommonTermsQuery,
     ConstScoreMulti,
     ConstScoreTerms,
     DisjunctionMaxQuery,
@@ -220,6 +221,8 @@ def rewrite(q, index):
         )
     if isinstance(q, FuzzyQuery):
         return _rewrite_fuzzy(q, index)
+    if isinstance(q, CommonTermsQuery):
+        return _rewrite_common_terms(q, index)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             tuple((o, rewrite(s, index)) for o, s in q.clauses),
@@ -230,6 +233,80 @@ def rewrite(q, index):
             tuple(rewrite(s, index) for s in q.disjuncts), q.tie, q.boost
         )
     return q
+
+
+def _ctq_msm(value: float, num_optional: int) -> int:
+    """CommonTermsQuery.minNrShouldMatch (CommonTermsQuery.java:175-180):
+    >=1 or ==0 -> the integer itself, a fraction -> Math.round(f * n)."""
+    if value >= 1.0 or value == 0.0:
+        return int(value)
+    return int(np.floor(value * num_optional + 0.5))  # Java Math.round
+
+
+def _rewrite_common_terms(q: CommonTermsQuery, index) -> object:
+    """CommonTermsQuery.rewrite + buildQuery (CommonTermsQuery.java:151-233).
+
+    One driver-side df lookup (the collectTermContext analog — the same
+    broadcast-sized term_dfs join every plan already does) classifies
+    terms; the result is a plain BooleanQuery tree executed by the
+    existing scorers, so high-frequency terms ride the ReqOptSum path:
+    scored only for docs a low-frequency MUST already matched."""
+    if not q.terms:
+        return MatchNoDocsQuery("empty CommonTermsQuery")
+    if len(q.terms) == 1:
+        return TermQuery(q.terms[0], boost=q.boost)
+    dfs = index.term_dfs(list(set(q.terms)))
+    max_doc = index.max_doc
+    cutoff = int(np.ceil(np.float32(q.max_term_frequency) * np.float32(max_doc)))
+    low: list[tuple[str, object]] = []
+    high: list[tuple[str, object]] = []
+    for t in q.terms:
+        df = dfs.get(t, 0)
+        if df == 0:
+            low.append((q.low_freq_occur, TermQuery(t)))  # null termContext
+        elif (q.max_term_frequency >= 1.0 and df > q.max_term_frequency) or (
+            df > cutoff
+        ):
+            high.append((q.high_freq_occur, TermQuery(t)))
+        else:
+            low.append((q.low_freq_occur, TermQuery(t)))
+    low_msm = (
+        _ctq_msm(q.low_freq_msm, len(low))
+        if q.low_freq_occur == SHOULD and low
+        else 0
+    )
+    high_msm = (
+        _ctq_msm(q.high_freq_msm, len(high))
+        if q.high_freq_occur == SHOULD and high
+        else 0
+    )
+
+    def _side(clauses, msm, boost):
+        # BooleanQuery.rewrite single-clause collapse (BooleanQuery.java:188-199)
+        if len(clauses) == 1 and msm <= 1:
+            from dataclasses import replace
+
+            inner = clauses[0][1]
+            return replace(inner, boost=inner.boost * boost)
+        return BooleanQuery(tuple(clauses), msm, boost)
+
+    if not low:
+        # all high-frequency: rewrite to a conjunction to prevent slow
+        # queries (CommonTermsQuery.java:211-222)
+        if high_msm == 0 and q.high_freq_occur != MUST:
+            high = [(MUST, sub) for _, sub in high]
+            high_msm = 0
+        return _side(high, high_msm, q.boost)
+    if not high:
+        return _side(low, low_msm, q.boost)
+    return BooleanQuery(
+        (
+            (SHOULD, _side(high, high_msm, 1.0)),
+            (MUST, _side(low, low_msm, 1.0)),
+        ),
+        0,
+        q.boost,
+    )
 
 
 def _rewrite_fuzzy(q: FuzzyQuery, index) -> object:
