@@ -59,6 +59,20 @@ scored AS (
 _HOT, _RARE = "batch", "dup"
 _OR3 = ["fast", "key", "vector"]
 
+# stratified-sample thresholds: the SAME quantized hex constants the Spark
+# side filters on (relational.SAMPLE_RATES via _rate_hex)
+from voyagr_spark.relational import SAMPLE_RATES as _SAMPLE_RATES
+from voyagr_spark.relational import _rate_hex as _rhex
+
+_RATE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN '{_rhex(rate)}'"
+        for lang, rate in sorted(_SAMPLE_RATES.items())
+    )
+    + " ELSE '0000' END"
+)
+
 
 # ---------------------------------------------------------------------------
 # float32 / SmallFloat-quantized oracle prefix for the ENGINE-NATIVE entries
@@ -574,6 +588,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": lambda s, d: R.cosine_pairs(s, d, 0.4),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
+        # connected-component duplicate clustering: cluster = min doc_id
+        # reachable through verified near-dup edges (transitive closure);
+        # iterative min-label propagation, oracle = recursive CTE
+        "dedup_clusters": lambda s, d: R.dedup_clusters(s, d, 4, 0.7),
+        # per-doc mean unigram log-likelihood (corpus MLE LM): the cheap
+        # LM-based quality filter for training-data pipelines
+        "unigram_logprob": lambda s, d: R.unigram_logprob(s, d),
+        # deterministic md5-threshold stratified sampling per language —
+        # reproducible training-mix rebalancing, no RNG state
+        "stratified_sample": lambda s, d: R.stratified_sample(s, d),
+        # Solr TermsComponent: dictionary enumeration with range/mincount
+        # filters, (df desc, term asc) ranking
+        "terms_enum": lambda s, d: R.terms_enum(
+            s, d, lower="f", upper="m", mincount=2, limit=10, sort="count"
+        ),
         # engine-native path, DuckDB-gated bit-exactly: the oracle reproduces
         # the float32 + SmallFloat-quantized-norm pipeline in SQL (see
         # _engine_base_sql), so rows+schema+hash compare on (rank, doc_id,
@@ -1477,6 +1506,59 @@ def oracle_sql() -> dict[str, str]:
               WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.7)
             SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
             FROM documents d LEFT JOIN dropped dr USING (doc_id)""",
+        "dedup_clusters": _BASE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + """, sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1,
+                     min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3
+              FROM tf GROUP BY doc_id),
+            bands AS (
+              SELECT 0 AS band, mh0 AS sig, doc_id FROM sig UNION ALL
+              SELECT 1, mh1, doc_id FROM sig UNION ALL
+              SELECT 2, mh2, doc_id FROM sig UNION ALL
+              SELECT 3, mh3, doc_id FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            t AS (SELECT DISTINCT doc_id, term FROM tf),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM t GROUP BY doc_id),
+            inter AS (
+              SELECT c.da, c.db, count(*)::BIGINT AS i
+              FROM cand c
+              JOIN t ta ON ta.doc_id = c.da
+              JOIN t tb ON tb.doc_id = c.db AND tb.term = ta.term
+              GROUP BY c.da, c.db),
+            ver AS (
+              SELECT i.da, i.db
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.da
+              JOIN sz sb ON sb.doc_id = i.db
+              WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.7),
+            edges AS (SELECT da AS a, db AS b FROM ver
+                      UNION ALL SELECT db, da FROM ver),
+            reach AS (
+              SELECT doc_id, doc_id AS r FROM documents
+              UNION
+              SELECT e.a AS doc_id, re.r FROM edges e
+              JOIN reach re ON re.doc_id = e.b
+            )
+            SELECT doc_id, min(r)::BIGINT AS cluster
+            FROM reach GROUP BY doc_id""",
+        "unigram_logprob": _BASE
+        + """, tot AS (SELECT sum(ttf)::DOUBLE AS tot FROM st)
+            SELECT tf.doc_id,
+                   round(sum(tf.tf * (ln(st.ttf) - ln(tot.tot)))
+                         / sum(tf.tf), 4) AS logprob
+            FROM tf JOIN st USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id""",
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_RATE_CASE}""",
+        "terms_enum": _BASE
+        + """SELECT term, df FROM st
+             WHERE term >= 'f' AND term <= 'm' AND df >= 2
+             ORDER BY df DESC, term ASC LIMIT 10""",
         "events_window": """
             SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
                             '%Y-%m-%d %H:%M:%S') AS win_start,

