@@ -665,6 +665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set (persisted in meta, applied at query parse too) — 'the'
         # becomes searchable and every doclen/df/avgdl shifts
         "engine_custom_analyzer": _engine_custom_analyzer,
+        # SynonymFilter: posinc-0 injection at index time + query-side
+        # same-position OR expansion; every 'dup' hit scores fl(s + s)
+        "engine_synonym": _engine_synonym,
+        # ASCIIFoldingFilter: accent-translated corpus + folding analyzer
+        # must be bit-identical to the plain index over the original text
+        "engine_fold": _engine_fold,
         # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
         # over the index term dictionary (same oracle as the relational twin)
         "engine_suggest": _engine_suggest,
@@ -1076,6 +1082,81 @@ def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
     )
+
+
+_SYN_CACHE: dict = {}
+_FOLD_CACHE: dict = {}
+
+
+def _engine_syn_index(spark: SparkSession, sf_dir: str):
+    """Index built with a synonym-injecting analyzer: every 'dup' token
+    also indexes 'dupsyn' at the SAME position (posinc-0 overlap,
+    SynonymFilter.java:48-79); norm lengths discount the overlap."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _SYN_CACHE:
+        return _SYN_CACHE[key]
+    tag = hashlib.md5((key + "-syn").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            analyzer=Analyzer(synonyms={_RARE: ("dupsyn",)}),
+        )
+    idx.pin()
+    _SYN_CACHE[key] = idx
+    return idx
+
+
+def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query 'dup' through the persisted synonym analyzer: the parser
+    expands it to OR(dup, dupsyn) (several tokens at one position,
+    QueryParserBase.getFieldQuery:470-540); both clauses carry identical
+    stats, so every hit scores fl(s + s) — gating injection, query-side
+    expansion, and the union fold in one entry."""
+    from voyagr_spark.search import search
+
+    idx = _engine_syn_index(spark, sf_dir)
+    return _rank_window(search(idx, _RARE, k=10))
+
+
+def _engine_fold_index(spark: SparkSession, sf_dir: str):
+    """Index built from accent-TRANSLATED text (a->á, e->é) with the
+    ASCII-folding analyzer: folding must round-trip the translation, so
+    the index is bit-identical to the plain index over the original
+    text — the oracle is exactly engine_topk_hot's SQL."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _FOLD_CACHE:
+        return _FOLD_CACHE[key]
+    tag = hashlib.md5((key + "-fold").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = _docs_mapped(spark, sf_dir).withColumn(
+        "content", F.translate("content", "ae", "áé")
+    )
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, docs, idx_dir, num_segments=4,
+            analyzer=Analyzer(fold_ascii=True),
+        )
+    idx.pin()
+    _FOLD_CACHE[key] = idx
+    return idx
+
+
+def _engine_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.search import search
+
+    idx = _engine_fold_index(spark, sf_dir)
+    return _rank_window(search(idx, _HOT, k=10))
 
 
 def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,6 +1743,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN
                 (SELECT doc_id FROM tf WHERE term = '{_RARE}')"""),
+        "engine_synonym": _engine_topk_sql(f"""
+          SELECT doc_id, CAST(score + score AS FLOAT) AS score
+          FROM ({_SQL_TERM.format(t=_RARE)})"""),
+        "engine_fold": _engine_topk_sql(_SQL_TERM.format(t=_HOT)),
         "engine_common_terms": _engine_topk_sql(f"""
           SELECT d.doc_id,
                  CAST(d.score + COALESCE(h.score, CAST(0 AS FLOAT)) AS FLOAT)

@@ -454,6 +454,46 @@ def _compiled(pattern: str) -> re.Pattern:
     return re.compile(pattern)
 
 
+# ASCIIFoldingFilter (analysis/miscellaneous/ASCIIFoldingFilter.java:142-170
+# foldToASCII): Unicode Latin characters fold to their nearest ASCII
+# equivalent; unmapped characters pass through unchanged.  The reference is
+# a 1,243-case explicit switch; this re-expression covers the same rule as
+# NFKD-decompose + strip-combining-marks (which reproduces every accent row
+# plus the circled/fullwidth compatibility forms) with an explicit table for
+# the non-decomposable letters the switch special-cases.
+_FOLD_SPECIAL = {
+    "ß": "ss", "ẞ": "SS", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ħ": "h", "Ħ": "H", "ı": "i", "ł": "l",
+    "Ł": "L", "ŋ": "n", "Ŋ": "N", "ə": "a", "Ə": "A", "ƒ": "f",
+    "Ɓ": "B", "ɓ": "b", "Ɖ": "D", "ɖ": "d", "Ŧ": "T", "ŧ": "t",
+}
+
+
+def fold_to_ascii(s: str) -> str:
+    """Fold one term to ASCII (ASCIIFoldingFilter.foldToASCII semantics).
+
+    Called at vocabulary rate (per unique term, not per token): the batch
+    path factorizes first, so scalar cost here never touches the stream."""
+    if s.isascii():
+        return s
+    import unicodedata
+
+    out = []
+    for ch in s:
+        if ord(ch) < 128:
+            out.append(ch)
+            continue
+        sp = _FOLD_SPECIAL.get(ch)
+        if sp is not None:
+            out.append(sp)
+            continue
+        d = unicodedata.normalize("NFKD", ch)
+        a = "".join(c for c in d if not unicodedata.combining(c))
+        out.append(a if (a and a.isascii()) else ch)
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Configurable analysis chain: tokenizer regex -> [lowercase] ->
@@ -474,6 +514,24 @@ class Analyzer:
     #: filter (the EnglishAnalyzer chain order); stems only the factorized
     #: unique terms per batch, so the cost is vocabulary-sized
     stem: str | None = None
+    #: ASCIIFoldingFilter analog (fold_to_ascii above), applied after
+    #: lowercasing and BEFORE the stop filter so accented stopword forms
+    #: ('thé') are removed like their ASCII spellings
+    fold_ascii: bool = False
+    #: SynonymFilter analog (analysis/synonym/SynonymFilter.java:48-79):
+    #: term -> extra terms injected at the SAME position (posinc 0) after
+    #: stop+stem.  Stored canonically as tuple((term, (syn, ...)), ...);
+    #: a dict passed in is normalized.  Injected tokens are position
+    #: overlaps, so discountOverlaps=true keeps them out of the norm
+    #: length (BM25Similarity.java:111) while their postings are real.
+    synonyms: tuple | None = None
+
+    def __post_init__(self):
+        if isinstance(self.synonyms, dict):
+            object.__setattr__(
+                self, "synonyms",
+                tuple(sorted((k, tuple(v)) for k, v in self.synonyms.items())),
+            )
 
     @property
     def is_standard(self) -> bool:
@@ -483,6 +541,8 @@ class Analyzer:
             and self.stopwords == ENGLISH_STOP_WORDS
             and self.max_token_length == MAX_TOKEN_LENGTH
             and self.stem is None
+            and not self.fold_ascii
+            and not self.synonyms
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -493,18 +553,28 @@ class Analyzer:
             "stopwords": sorted(self.stopwords),
             "max_token_length": self.max_token_length,
             "stem": self.stem,
+            "fold_ascii": self.fold_ascii,
+            "synonyms": (
+                [[k, list(v)] for k, v in self.synonyms]
+                if self.synonyms else None
+            ),
         }
 
     @staticmethod
     def from_dict(d: dict | None) -> "Analyzer":
         if not d:
             return STANDARD_ANALYZER
+        syn = d.get("synonyms")
         return Analyzer(
             token_pattern=d["token_pattern"],
             lowercase=bool(d["lowercase"]),
             stopwords=frozenset(d["stopwords"]),
             max_token_length=int(d["max_token_length"]),
             stem=d.get("stem"),  # absent in pre-stemmer metas
+            fold_ascii=bool(d.get("fold_ascii", False)),
+            synonyms=(
+                tuple((k, tuple(v)) for k, v in syn) if syn else None
+            ),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -515,6 +585,8 @@ class Analyzer:
         terms, positions = [], []
         for pos, tok in enumerate(toks):
             t = tok.lower() if self.lowercase else tok
+            if self.fold_ascii:
+                t = fold_to_ascii(t)
             if t in self.stopwords:
                 continue
             terms.append(t)
@@ -523,6 +595,16 @@ class Analyzer:
             from .porter import stem as _pstem
 
             terms = [_pstem(t) for t in terms]
+        if self.synonyms:
+            smap = dict(self.synonyms)
+            t2, p2 = [], []
+            for t, p in zip(terms, positions):
+                t2.append(t)
+                p2.append(p)
+                for s in smap.get(t, ()):
+                    t2.append(s)  # injected at the same position (posinc 0)
+                    p2.append(p)
+            terms, positions = t2, p2
         return terms, positions
 
     def _chunk(self, tokens: list[str]) -> list[str]:
@@ -570,6 +652,12 @@ class Analyzer:
         )
         if self.lowercase:
             flat = flat.str.lower()
+        if self.fold_ascii:
+            # fold the batch VOCABULARY once, map back by code (same
+            # vocabulary-rate discipline as the stemmer below)
+            codes, uniq = pd.factorize(flat)
+            folded = np.array([fold_to_ascii(u) for u in uniq], dtype=object)
+            flat = pd.Series(folded[codes], dtype=object)
         keep = (
             ~flat.isin(self.stopwords) if self.stopwords
             else pd.Series(True, index=flat.index)
@@ -581,6 +669,7 @@ class Analyzer:
         doclens = np.zeros(len(texts), dtype=np.int64)
         np.add.at(doclens, docidx[keep_np], 1)
         out_terms = flat.to_numpy()[keep_np]
+        out_pos, out_doc = pos[keep_np], docidx[keep_np]
         if self.stem == "porter":
             # stem the batch VOCABULARY once, map back by code — keeps the
             # scalar stemmer off the token-stream hot path
@@ -589,7 +678,29 @@ class Analyzer:
             codes, uniq = pd.factorize(out_terms)
             stemmed = np.array([_pstem(u) for u in uniq], dtype=object)
             out_terms = stemmed[codes]
-        return out_terms, pos[keep_np], docidx[keep_np], doclens
+        if self.synonyms:
+            extra_t, extra_p, extra_d = [], [], []
+            for k, syns in self.synonyms:
+                m = out_terms == k
+                nsrc = int(m.sum())
+                if nsrc == 0:
+                    continue
+                for s in syns:
+                    extra_t.append(np.full(nsrc, s, dtype=object))
+                    extra_p.append(out_pos[m])
+                    extra_d.append(out_doc[m])
+            if extra_t:
+                out_terms = np.concatenate([out_terms] + extra_t)
+                out_pos = np.concatenate([out_pos] + extra_p)
+                out_doc = np.concatenate([out_doc] + extra_d)
+                # restore the (doc asc, pos asc) stream contract the invert
+                # kernel's single stable term-sort relies on
+                order = np.lexsort((out_pos, out_doc))
+                out_terms = out_terms[order]
+                out_pos, out_doc = out_pos[order], out_doc[order]
+            # doclens unchanged: injected tokens are posinc-0 overlaps and
+            # discountOverlaps=true excludes overlaps from the norm length
+        return out_terms, out_pos, out_doc, doclens
 
     # -- whole batch -> dictionary-coded flat arrays (invert fast path)
     def analyze_flat_codes(self, texts: pd.Series, want_offsets: bool = False):

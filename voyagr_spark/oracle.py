@@ -80,7 +80,11 @@ class OracleIndex:
                 analyzer.analyze_text(content) if analyzer is not None
                 else analyze_text(content)
             )
-            doclens[i] = len(terms)
+            # distinct positions = tokens minus posinc-0 overlaps (injected
+            # synonyms): matches the engine's discountOverlaps doclen, which
+            # also feeds avgdl (documented divergence: Lucene's
+            # sumTotalTermFreq counts overlaps; the engine's avgdl does not)
+            doclens[i] = len(set(positions))
             for t, p in zip(terms, positions):
                 self.postings.setdefault(t, {}).setdefault(i, []).append(p)
         self.doclens = doclens

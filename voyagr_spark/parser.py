@@ -302,12 +302,17 @@ def _lex(qtext: str) -> list[tuple[str, object]]:
 
 
 def _analyze_term(text: str, analyzer=None):
-    terms, _ = (analyzer.analyze_text(text) if analyzer is not None
-                else analyze_text(text))
+    terms, pos = (analyzer.analyze_text(text) if analyzer is not None
+                  else analyze_text(text))
     if not terms:
         return MatchNoDocsQuery(f"term {text!r} analyzed to nothing")
     if len(terms) == 1:
         return TermQuery(terms[0])
+    if len(set(pos)) == 1:
+        # several tokens at ONE position (synonym-expanding analyzer):
+        # QueryParserBase severalTokensAtSamePosition with positionCount==1
+        # builds a SHOULD disjunction (getFieldQuery:470-540)
+        return BooleanQuery(tuple((SHOULD, TermQuery(t)) for t in terms))
     # multi-token term text behaves like a phrase (getFieldQuery:470-493)
     return _phrase(text, analyzer=analyzer)
 
@@ -319,6 +324,11 @@ def _phrase(text: str, slop: int = 0, analyzer=None):
         return MatchNoDocsQuery(f"phrase {text!r} analyzed to nothing")
     if len(terms) == 1:
         return TermQuery(terms[0])  # PhraseQuery.rewrite: 1 term -> TermQuery
+    if len(set(pos)) < len(pos):
+        raise ValueError(
+            "phrase over a synonym-expanding analyzer needs MultiPhraseQuery "
+            "(several terms share a position) — unsupported; see COVERAGE.md"
+        )
     base = pos[0]
     return PhraseQuery(tuple(terms), tuple(p - base for p in pos), slop)
 
