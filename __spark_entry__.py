@@ -665,6 +665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set (persisted in meta, applied at query parse too) — 'the'
         # becomes searchable and every doclen/df/avgdl shifts
         "engine_custom_analyzer": _engine_custom_analyzer,
+        # QueryElevationComponent: ids 3 (priority 1st) and 7 pinned to the
+        # top of the hot-term results, id 1 censored; rest by (score, id)
+        "engine_elevate": lambda s, d: __import__(
+            "voyagr_spark.solr_api", fromlist=["elevate"]
+        ).elevate(_engine_index(s, d), _HOT, [3, 7], [1], k=10),
         # SynonymFilter: posinc-0 injection at index time + query-side
         # same-position OR expansion; every 'dup' hit scores fl(s + s)
         "engine_synonym": _engine_synonym,
@@ -1743,6 +1748,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN
                 (SELECT doc_id FROM tf WHERE term = '{_RARE}')"""),
+        "engine_elevate": _engine_base_sql() + f"""
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY pri DESC, score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM (
+              SELECT COALESCE(e.pri, 0) AS pri, ids.doc_id,
+                     COALESCE(b.score, CAST(0 AS FLOAT)) AS score
+              FROM (SELECT doc_id FROM ({_SQL_TERM.format(t=_HOT)})
+                    UNION SELECT * FROM (VALUES (3), (7)) v(doc_id)) ids
+              LEFT JOIN ({_SQL_TERM.format(t=_HOT)}) b USING (doc_id)
+              LEFT JOIN (VALUES (3, 2), (7, 1)) e(doc_id, pri) USING (doc_id)
+              WHERE ids.doc_id != 1
+            )
+          ) WHERE rank <= 10""",
         "engine_synonym": _engine_topk_sql(f"""
           SELECT doc_id, CAST(score + score AS FLOAT) AS score
           FROM ({_SQL_TERM.format(t=_RARE)})"""),

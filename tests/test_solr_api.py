@@ -69,3 +69,30 @@ def test_select_bad_fl_raises(built_index):
         solr_select(built_index, "file", fl="doc_id,nosuchfield")
     with pytest.raises(ValueError):
         solr_select(built_index, "file", fl="nosuchfield")
+
+
+def test_elevate_pins_censors_and_ranks(spark, built_index):
+    """QueryElevationComponent: config order first (even non-matching ids,
+    score 0.0), excluded ids censored, the rest by (score desc, doc_id)."""
+    from voyagr_spark.search import search
+    from voyagr_spark.solr_api import elevate
+
+    base = [(r["doc_id"], r["score"])
+            for r in search(built_index, "open", k=12).collect()]
+    base_ids = [d for d, _ in base]
+    # pick a doc that does NOT match 'open' to prove forced inclusion
+    non_match = next(i for i in range(built_index.max_doc)
+                     if i not in {d for d, _ in base} and i not in base_ids)
+    res = elevate(built_index, "open", [non_match, base_ids[3]],
+                  [base_ids[0]], k=10).collect()
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in res]
+    assert got[0][1] == non_match and got[0][2] == 0.0
+    assert got[1][1] == base_ids[3]  # second priority
+    rest_ids = [d for _, d, _ in got[2:]]
+    assert base_ids[0] not in rest_ids          # censored
+    assert non_match not in rest_ids
+    # remaining order = base order minus spliced ids
+    expect_rest = [d for d in base_ids
+                   if d not in (base_ids[0], base_ids[3], non_match)][:8]
+    assert rest_ids == expect_rest
+    assert [r for r, _, _ in got] == list(range(1, len(got) + 1))

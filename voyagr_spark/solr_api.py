@@ -38,6 +38,57 @@ _DOCMAP_FIELDS = ("repo", "path", "commit", "lang", "doclen",
                   "content_sha256", "seg")
 
 
+def elevate(index, qtext: str, elevate_ids: list[int],
+            exclude_ids: list[int] = (), k: int = 10) -> DataFrame:
+    """QueryElevationComponent (solr/core/src/java/org/apache/solr/handler/
+    component/QueryElevationComponent.java): editorially pin documents to
+    the top of a query's results and censor others.
+
+    Reference semantics kept: elevated docs come FIRST in configuration
+    order (the `_elevate_` priority comparator, prepare():
+    SortField("_elevate_", comparator, true) then score), appearing even
+    when they do not match the text query (the include id-query is OR'd
+    into the main query); excluded ids are MUST_NOT'd out; everything else
+    ranks by (score desc, doc_id asc).  Documented simplification: an
+    elevated doc that does not match the text query carries score 0.0
+    (Solr shows the id-clause TermQuery score there, a value with no
+    ranking effect since _elevate_ sorts first).
+
+    Scale shape: ONE engine top-(k + |elevate| + |exclude|) search plus a
+    k-row driver-side splice — the elevation sets are config-sized."""
+    from .search import search
+
+    elevate_ids = [int(i) for i in elevate_ids]
+    exclude_set = {int(i) for i in exclude_ids}
+    n_extra = len(elevate_ids) + len(exclude_set)
+    base = search(index, qtext, k=k + n_extra)
+    spark = index.spark
+    pri = spark.createDataFrame(
+        [(d, len(elevate_ids) - i) for i, d in enumerate(elevate_ids)],
+        "doc_id long, pri long",
+    )
+    hits = base.join(pri, "doc_id", "full").select(
+        F.coalesce(F.col("pri"), F.lit(0)).alias("pri"),
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0.0).cast("float")).alias("score"),
+    )
+    if exclude_set:
+        hits = hits.filter(~F.col("doc_id").isin(sorted(exclude_set)))
+    # elevated docs must exist in the corpus (dense ids < max_doc)
+    hits = hits.filter(F.col("doc_id") < index.max_doc)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pri"), F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.orderBy(F.desc("pri"), F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id", "score",
+        )
+    )
+
+
 def _fq_predicate(fq: str):
     m = _FQ_RE.match(fq.strip())
     if not m:
