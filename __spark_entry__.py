@@ -673,6 +673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SynonymFilter: posinc-0 injection at index time + query-side
         # same-position OR expansion; every 'dup' hit scores fl(s + s)
         "engine_synonym": _engine_synonym,
+        # MultiPhraseQuery: '"batch dup"' through the synonym analyzer
+        # becomes [(batch), (dup|dupsyn)] — union slot positions dedupe to
+        # the plain phrase freq while the idf fold counts dupsyn too
+        "engine_multiphrase": _engine_multiphrase,
         # ASCIIFoldingFilter: accent-translated corpus + folding analyzer
         # must be bit-identical to the plain index over the original text
         "engine_fold": _engine_fold,
@@ -1127,6 +1131,17 @@ def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _engine_syn_index(spark, sf_dir)
     return _rank_window(search(idx, _RARE, k=10))
+
+
+def _engine_multiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'"batch dup"' parsed through the synonym index's persisted analyzer
+    -> MultiPhraseQuery [(batch,), (dup, dupsyn)]: slot-2 union positions
+    dedupe to the plain phrase alignment, idf folds over all three terms
+    (MultiPhraseWeight allTermStats)."""
+    from voyagr_spark.search import search
+
+    idx = _engine_syn_index(spark, sf_dir)
+    return _rank_window(search(idx, f'"{_HOT} {_RARE}"', k=10))
 
 
 def _engine_fold_index(spark: SparkSession, sf_dir: str):
@@ -1767,6 +1782,28 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, CAST(score + score AS FLOAT) AS score
           FROM ({_SQL_TERM.format(t=_RARE)})"""),
         "engine_fold": _engine_topk_sql(_SQL_TERM.format(t=_HOT)),
+        "engine_multiphrase": _engine_topk_sql(f"""
+          SELECT ph.doc_id,
+                 CAST(CAST(pw.wv * CAST(ph.freq AS FLOAT) AS FLOAT)
+                      / CAST(CAST(ph.freq AS FLOAT) + qn.cache AS FLOAT)
+                      AS FLOAT) AS score
+          FROM (
+            SELECT a.doc_id, count(*)::BIGINT AS freq
+            FROM (SELECT doc_id, pos FROM tok WHERE term = '{_HOT}') a
+            JOIN (SELECT doc_id, pos FROM tok WHERE term = '{_RARE}') b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.doc_id
+          ) ph
+          JOIN qn ON ph.doc_id = qn.doc_id
+          CROSS JOIN (
+            SELECT CAST(CAST(CAST((SELECT idf FROM w WHERE term = '{_HOT}')
+                              + (SELECT idf FROM w WHERE term = '{_RARE}')
+                              AS FLOAT)
+                         + (SELECT idf FROM w WHERE term = '{_RARE}')
+                         AS FLOAT)
+                   * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+                   AS FLOAT) AS wv
+          ) pw"""),
         "engine_common_terms": _engine_topk_sql(f"""
           SELECT d.doc_id,
                  CAST(d.score + COALESCE(h.score, CAST(0 AS FLOAT)) AS FLOAT)

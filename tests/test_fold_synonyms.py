@@ -103,9 +103,46 @@ def test_parser_same_position_is_or():
     )
 
 
-def test_parser_synonym_phrase_raises():
-    with pytest.raises(ValueError, match="MultiPhraseQuery"):
-        parse('"quick brown"', analyzer=SYN)
+def test_parser_synonym_phrase_is_multiphrase():
+    from voyagr_spark.parser import MultiPhraseQuery
+
+    q = parse('"quick brown"', analyzer=SYN)
+    assert q == MultiPhraseQuery((("quick", "fast"), ("brown",)), (0, 1), 0)
+
+
+def test_synonym_phrase_end_to_end(spark, syn_index):
+    """'"quick sort"' through the synonym analyzer matches via either the
+    literal token or the injected one; engine == oracle bit-exact, and the
+    sloppy form agrees too."""
+    idx, oracle, _ = syn_index
+    for qtext in ['"quick sort"', '"fast horse"', '"dog leaps"~1',
+                  '"quick beats"~2']:
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in search(idx, qtext, k=30).collect()
+        ]
+        want = [(d, np.float32(s)) for d, s in oracle.search(
+            parse(qtext, analyzer=SYN), 30)]
+        assert got == want, qtext
+    # the injected-token phrase matches where only the source token occurs
+    got = search(idx, '"fast sort"', k=30).count()
+    assert got > 0
+
+
+def test_multiphrase_union_dedupes(spark, syn_index):
+    """Two members sharing positions must count each alignment once
+    (UnionPostingsEnum dedupes)."""
+    from voyagr_spark.parser import MultiPhraseQuery
+
+    idx, oracle, _ = syn_index
+    q = MultiPhraseQuery((("quick", "quick"), ("sort",)), (0, 1), 0)
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in search(idx, q, k=30).collect()]
+    # same docs as the plain phrase; score differs only via the idf fold
+    plain = {r["doc_id"] for r in search(idx, '"quick sort"', k=30).collect()}
+    assert {d for d, _ in got} == plain
+    want = [(d, np.float32(s)) for d, s in oracle.search(q, 30)]
+    assert got == want
 
 
 # -- end to end ----------------------------------------------------------------

@@ -27,6 +27,7 @@ from .parser import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     RegexpQuery,
@@ -185,7 +186,55 @@ class OracleIndex:
             return {}
         if isinstance(q, CommonTermsQuery):
             return self._clause(self._common_terms_rewrite(q), cache, boost)
+        if isinstance(q, MultiPhraseQuery):
+            return self._multi_phrase(q, cache, boost * q.boost)
         raise TypeError(type(q))
+
+    def _multi_phrase(
+        self, q: MultiPhraseQuery, cache, boost: float = 1.0
+    ) -> dict[int, np.float32]:
+        """MultiPhraseQuery from the oracle's own postings: per slot the
+        union of member positions acts as one pseudo-term; exact alignment
+        or the sloppy walk; idf folds over every member in order."""
+        from .sloppy import sloppy_phrase_freq
+
+        # per-doc, per-slot union position sets
+        slot_pos: list[dict[int, set]] = []
+        for members in q.termsets:
+            acc: dict[int, set] = {}
+            for t in members:
+                for d, ps in self.postings.get(t, {}).items():
+                    acc.setdefault(d, set()).update(ps)
+            if not acc:
+                return {}
+            slot_pos.append(acc)
+        docs = set(slot_pos[0])
+        for sp in slot_pos[1:]:
+            docs &= set(sp)
+        idf = np.float32(0.0)
+        for members in q.termsets:
+            for t in members:
+                idf = np.float32(idf + self._idf(t))
+        wv = bm25.weight_value(idf, boost=boost)
+        out: dict[int, np.float32] = {}
+        labels = [f"__slot{i}" for i in range(len(q.termsets))]
+        for d in docs:
+            if q.slop > 0:
+                plists = [np.array(sorted(sp[d]), dtype=np.int64)
+                          for sp in slot_pos]
+                freq = sloppy_phrase_freq(labels, q.positions, plists, q.slop)
+            else:
+                starts = None
+                for i, sp in enumerate(slot_pos):
+                    st = {p - q.positions[i] for p in sp[d]
+                          if p >= q.positions[i]}
+                    starts = st if starts is None else (starts & st)
+                    if not starts:
+                        break
+                freq = len(starts or ())
+            if freq > 0:
+                out[d] = self._score_doc(d, freq, wv, cache)
+        return out
 
     def _common_terms_rewrite(self, q: CommonTermsQuery):
         """Independent CommonTermsQuery.buildQuery (CommonTermsQuery.java:

@@ -57,6 +57,23 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase where each position holds a SET of alternative terms
+    (search/MultiPhraseQuery.java:49-88) — the synonym-phrase form.
+
+    Matching: per slot, the union of the member terms' postings acts as
+    one pseudo-term (UnionPostingsEnum, MultiPhraseQuery.java:270-350);
+    alignment/freq then follow the exact or sloppy phrase algorithm.
+    Scoring: idf = float32 fold over EVERY member of every slot in
+    declaration order (MultiPhraseWeight sums allTermStats)."""
+
+    termsets: tuple[tuple[str, ...], ...]
+    positions: tuple[int, ...]  # rebased to 0, holes preserved
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchNoDocsQuery:
     reason: str = ""
 
@@ -325,9 +342,17 @@ def _phrase(text: str, slop: int = 0, analyzer=None):
     if len(terms) == 1:
         return TermQuery(terms[0])  # PhraseQuery.rewrite: 1 term -> TermQuery
     if len(set(pos)) < len(pos):
-        raise ValueError(
-            "phrase over a synonym-expanding analyzer needs MultiPhraseQuery "
-            "(several terms share a position) — unsupported; see COVERAGE.md"
+        # several terms share a position (synonym-expanding analyzer):
+        # getFieldQuery builds a MultiPhraseQuery (QueryParserBase:505-540)
+        groups: dict[int, list[str]] = {}
+        for t, p in zip(terms, pos):
+            groups.setdefault(p, []).append(t)
+        base = min(groups)
+        ordered = sorted(groups)
+        return MultiPhraseQuery(
+            tuple(tuple(groups[p]) for p in ordered),
+            tuple(p - base for p in ordered),
+            slop,
         )
     base = pos[0]
     return PhraseQuery(tuple(terms), tuple(p - base for p in pos), slop)

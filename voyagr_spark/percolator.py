@@ -42,6 +42,7 @@ from .parser import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     RegexpQuery,
@@ -113,6 +114,29 @@ def _matches(q, tpos: dict[str, list[int]]) -> bool:
         arrs = [np.asarray(p, dtype=np.int64) for p in plists]
         return float(sloppy_phrase_freq(
             list(q.terms), list(q.positions), arrs, q.slop)) > 0.0
+    if isinstance(q, MultiPhraseQuery):
+        # per slot: union of member position sets (UnionPostingsEnum)
+        slot_sets = []
+        for members in q.termsets:
+            ps: set = set()
+            for t in members:
+                ps.update(tpos.get(t, ()))
+            if not ps:
+                return False
+            slot_sets.append(ps)
+        if q.slop == 0:
+            off0 = q.positions[0]
+            return any(
+                all((p - off0 + off) in ss
+                    for off, ss in zip(q.positions[1:], slot_sets[1:]))
+                for p in slot_sets[0]
+            )
+        from .sloppy import sloppy_phrase_freq
+
+        labels = [f"__slot{i}" for i in range(len(slot_sets))]
+        arrs = [np.array(sorted(s), dtype=np.int64) for s in slot_sets]
+        return float(sloppy_phrase_freq(
+            labels, list(q.positions), arrs, q.slop)) > 0.0
     if isinstance(q, PrefixQuery):
         return any(t.startswith(q.prefix) for t in tpos)
     if isinstance(q, WildcardQuery):

@@ -51,6 +51,7 @@ from .parser import (
     DisjunctionMaxQuery,
     FuzzyQuery,
     MatchNoDocsQuery,
+    MultiPhraseQuery,
     PhraseQuery,
     PrefixQuery,
     RegexpQuery,
@@ -96,6 +97,8 @@ def query_terms(q) -> set[str]:
         return {q.term}
     if isinstance(q, (PhraseQuery, ConstScoreTerms)):
         return set(q.terms)
+    if isinstance(q, MultiPhraseQuery):
+        return {t for members in q.termsets for t in members}
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for _, sub in q.clauses:
@@ -565,6 +568,8 @@ def _clause_scorer(
         return docs, scores
     if isinstance(q, PhraseQuery):
         return _phrase_scorer(q, rows, plan, boost * q.boost)
+    if isinstance(q, MultiPhraseQuery):
+        return _multiphrase_scorer(q, rows, plan, boost * q.boost)
     if isinstance(q, BooleanQuery):
         return _bool_scorer(q, rows, plan, boost * q.boost)
     if isinstance(q, ConstScoreTerms):
@@ -809,6 +814,117 @@ def _sloppy_scorer(
     norms = rows[q.terms[0]].norms()[idxmap[q.terms[0]]]
     scores = bm25.score(freqs[m], norms[m], plan.cache, wv)
     return docs[m], scores
+
+
+def _multiphrase_scorer(
+    q: MultiPhraseQuery, rows, plan, boost: float = 1.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """MultiPhraseQuery (MultiPhraseQuery.java:270-350): per slot the
+    member terms' postings UNION into one pseudo-term (UnionPostingsEnum —
+    doc set = union, positions = deduped union), then exact alignment or
+    the sloppy walk run unchanged.  idf folds over every member of every
+    slot in declaration order (MultiPhraseWeight allTermStats)."""
+    slots: list[list] = []
+    for members in q.termsets:
+        prs = [rows[t] for t in members if t in rows]
+        if not prs:
+            return _EMPTY  # a slot with no present member matches nothing
+        slots.append(prs)
+    # doc-level two-phase: intersect per-slot union doc sets, smallest first
+    slot_docs = [
+        prs[0].docs() if len(prs) == 1
+        else np.unique(np.concatenate([pr.docs() for pr in prs]))
+        for prs in slots
+    ]
+    order = np.argsort([d.size for d in slot_docs], kind="stable")
+    cand = slot_docs[order[0]]
+    for j in order[1:]:
+        cand = np.intersect1d(cand, slot_docs[j], assume_unique=True)
+        if cand.size == 0:
+            return _EMPTY
+    # per-slot (candidate-ordinal, position) pairs, union-deduped
+    slot_keys: list[np.ndarray] = []
+    for i, prs in enumerate(slots):
+        parts_d, parts_p = [], []
+        for pr in prs:
+            mask, pidx = pr.lookup(cand)
+            if not mask.any():
+                continue
+            flat, doc_idx = pr.positions_flat()
+            sel = np.isin(doc_idx, pidx)
+            parts_d.append(pr.docs()[doc_idx[sel]])
+            parts_p.append(flat[sel])
+        if not parts_d:
+            return _EMPTY
+        d = np.concatenate(parts_d)
+        p = np.concatenate(parts_p)
+        kk = np.unique(np.searchsorted(cand, d) * (1 << 22) + p)
+        slot_keys.append(kk)
+    if q.slop > 0:
+        freqs = _multiphrase_sloppy(q, cand, slot_keys)
+    else:
+        keys = None
+        for i, kk in enumerate(slot_keys):
+            adj = kk - q.positions[i]  # shift start; ordinal bits unharmed
+            adj = adj[(kk & ((1 << 22) - 1)) >= q.positions[i]]
+            keys = adj if keys is None else np.intersect1d(
+                keys, adj, assume_unique=True)
+            if keys.size == 0:
+                return _EMPTY
+        freqs = np.bincount(keys >> 22, minlength=cand.size).astype(np.float32)
+    m = freqs > 0
+    if not m.any():
+        return _EMPTY
+    all_terms = [t for members in q.termsets for t in members]
+    wv = bm25.weight_value(_sum_idfs(plan, all_terms), boost=boost, k1=plan.k1)
+    norms = _norms_for(cand, slots[0])
+    scores = bm25.score(freqs[m].astype(np.float32), norms[m], plan.cache, wv)
+    return cand[m], scores
+
+
+def _norms_for(cand: np.ndarray, prs: list) -> np.ndarray:
+    """Per-candidate-doc norm bytes, filled from any member posting that
+    holds the doc (the norm is a doc property, identical across terms)."""
+    first = prs[0].norms()
+    out = np.zeros(cand.size, dtype=first.dtype)
+    filled = np.zeros(cand.size, dtype=bool)
+    for pr in prs:
+        mask, pidx = pr.lookup(cand)
+        idxs = np.flatnonzero(mask)
+        need = ~filled[idxs]
+        out[idxs[need]] = pr.norms()[pidx[need]]
+        filled[idxs[need]] = True
+        if filled.all():
+            break
+    return out
+
+
+def _multiphrase_sloppy(
+    q: MultiPhraseQuery, cand: np.ndarray, slot_keys: list[np.ndarray]
+) -> np.ndarray:
+    """Sloppy MultiPhrase: per doc, each slot's deduped union position list
+    feeds the greedy SloppyPhraseScorer walk; slots are distinct
+    pseudo-terms (no repeats interaction across slots)."""
+    from .sloppy import sloppy_phrase_freq
+
+    labels = [f"__slot{i}" for i in range(len(slot_keys))]
+    freqs = np.zeros(cand.size, dtype=np.float32)
+    slot_ords = [kk >> 22 for kk in slot_keys]
+    slot_pos = [kk & ((1 << 22) - 1) for kk in slot_keys]
+    for s in range(cand.size):
+        plists = []
+        empty = False
+        for i in range(len(slot_keys)):
+            lo = np.searchsorted(slot_ords[i], s)
+            hi = np.searchsorted(slot_ords[i], s, side="right")
+            if lo == hi:
+                empty = True
+                break
+            plists.append(slot_pos[i][lo:hi])
+        if empty:
+            continue
+        freqs[s] = sloppy_phrase_freq(labels, q.positions, plists, q.slop)
+    return freqs
 
 
 def _sum_idfs(plan: QueryPlan, terms) -> np.float32:
@@ -1610,7 +1726,7 @@ def NORM_TABLE_LEN(nb: int) -> float:
 
 def _has_phrase(q) -> bool:
     """True when executing q needs the pos_blob column (E11 two-phase)."""
-    if isinstance(q, PhraseQuery):
+    if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
         return True
     if hasattr(q, "doc_spans"):  # span family consumes positions
         return True
