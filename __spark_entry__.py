@@ -673,6 +673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SynonymFilter: posinc-0 injection at index time + query-side
         # same-position OR expansion; every 'dup' hit scores fl(s + s)
         "engine_synonym": _engine_synonym,
+        # queries/BoostingQuery: hot-term matches demoted 0.5x where the
+        # rare context term co-occurs (coord 2 -> demote, 1 -> 1.0)
+        "engine_boosting": _engine_boosting,
+        # Solr TermVectorComponent: doc 5's (term, tf) vector re-derived
+        # from the stored field through the index analyzer
+        "engine_term_vector": _engine_term_vector,
         # MultiPhraseQuery: '"batch dup"' through the synonym analyzer
         # becomes [(batch), (dup|dupsyn)] — union slot positions dedupe to
         # the plain phrase freq while the idf fold counts dupsyn too
@@ -1131,6 +1137,22 @@ def _engine_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _engine_syn_index(spark, sf_dir)
     return _rank_window(search(idx, _RARE, k=10))
+
+
+def _engine_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.parser import BoostingQuery, TermQuery
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    q = BoostingQuery(TermQuery(_HOT), TermQuery(_RARE), demote=0.5)
+    return _rank_window(search(idx, q, k=10))
+
+
+def _engine_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.solr_api import term_vector
+
+    idx = _engine_index(spark, sf_dir)
+    return term_vector(idx, _docs_mapped(spark, sf_dir), 5)
 
 
 def _engine_multiphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1782,6 +1804,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, CAST(score + score AS FLOAT) AS score
           FROM ({_SQL_TERM.format(t=_RARE)})"""),
         "engine_fold": _engine_topk_sql(_SQL_TERM.format(t=_HOT)),
+        "engine_boosting": _engine_topk_sql(f"""
+          SELECT h.doc_id,
+                 CASE WHEN r.doc_id IS NULL THEN h.score
+                      ELSE CAST(h.score * CAST(0.5 AS FLOAT) AS FLOAT)
+                 END AS score
+          FROM ({_SQL_TERM.format(t=_HOT)}) h
+          LEFT JOIN (SELECT DISTINCT doc_id FROM tf
+                     WHERE term = '{_RARE}') r USING (doc_id)"""),
+        "engine_term_vector": _engine_base_sql()
+        + "SELECT term, tf FROM tf WHERE doc_id = 5 ORDER BY term",
         "engine_multiphrase": _engine_topk_sql(f"""
           SELECT ph.doc_id,
                  CAST(CAST(pw.wv * CAST(ph.freq AS FLOAT) AS FLOAT)

@@ -144,3 +144,46 @@ def test_count_df_and_fl_projection(built_index):
     )
     assert rows.columns == ["doc_id", "score", "doclen"]
     assert len(rows.collect()) == 3
+
+
+def test_boosting_query_demotes_context(built_index, oracle_index):
+    """queries/BoostingQuery.java: match-only docs keep their score; docs
+    also matching the context multiply by the demote factor."""
+    import numpy as np
+
+    from voyagr_spark.parser import BoostingQuery, TermQuery, parse
+    from voyagr_spark.search import search
+
+    q = BoostingQuery(TermQuery("open"), TermQuery("file"), demote=0.25)
+    got = [(r["doc_id"], np.float32(r["score"]))
+           for r in search(built_index, q, k=400).collect()]
+    want = [(d, np.float32(s)) for d, s in oracle_index.search(q, 400)]
+    assert got == want
+    # same doc set as the plain match query (k exceeds the corpus, so the
+    # demotion reorders but cannot change membership)
+    plain = {r["doc_id"] for r in search(built_index, "open", k=400).collect()}
+    assert {d for d, _ in got} == plain
+    # context works for composite queries too
+    q2 = BoostingQuery(parse("open OR handle"), parse("file AND parse"), 0.1)
+    got2 = [(r["doc_id"], np.float32(r["score"]))
+            for r in search(built_index, q2, k=40).collect()]
+    want2 = [(d, np.float32(s)) for d, s in oracle_index.search(q2, 40)]
+    assert got2 == want2
+
+
+def test_term_vector_matches_direct_analysis(spark, built_index, corpus_pdf):
+    from collections import Counter
+
+    from voyagr_spark.analysis import analyze_text
+    from voyagr_spark.solr_api import term_vector
+
+    source = spark.createDataFrame(corpus_pdf)
+    got = {(r["term"], r["tf"])
+           for r in term_vector(built_index, source, 7).collect()}
+    # doc 7 = dense rank 7 over (repo, path, commit)
+    row = corpus_pdf.sort_values(["repo", "path", "commit"]).iloc[7]
+    terms, _ = analyze_text(row["content"])
+    assert got == {(t, c) for t, c in Counter(terms).items()}
+    # absent doc -> empty frame with the schema intact
+    empty = term_vector(built_index, source, 10**9)
+    assert empty.columns == ["term", "tf"] and empty.count() == 0

@@ -21,6 +21,7 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    BoostingQuery,
     CommonTermsQuery,
     ConstScoreMulti,
     ConstScoreTerms,
@@ -188,6 +189,14 @@ class OracleIndex:
             return self._clause(self._common_terms_rewrite(q), cache, boost)
         if isinstance(q, MultiPhraseQuery):
             return self._multi_phrase(q, cache, boost * q.boost)
+        if isinstance(q, BoostingQuery):
+            res = self._clause(q.match, cache, boost * q.boost)
+            ctx = self._clause(q.context, cache, boost)
+            demote = np.float32(q.demote)
+            return {
+                d: (np.float32(s * demote) if d in ctx else s)
+                for d, s in res.items()
+            }
         raise TypeError(type(q))
 
     def _multi_phrase(

@@ -196,6 +196,20 @@ class ConstScoreMulti:
 
 
 @dataclass(frozen=True)
+class BoostingQuery:
+    """Demote-by-context query (queries/BoostingQuery.java:52-88): matches
+    exactly the `match` query's docs; a doc ALSO matching `context` has its
+    score multiplied by `demote` (context itself scores 0 — the reference
+    clones it with boost 0 and a custom coord: overlap 1 -> 1.0,
+    overlap 2 -> the demote factor)."""
+
+    match: object
+    context: object
+    demote: float = 0.5
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CommonTermsQuery:
     """High/low-frequency split query (queries/CommonTermsQuery.java:64-233).
 

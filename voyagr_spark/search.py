@@ -45,6 +45,7 @@ from .parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    BoostingQuery,
     CommonTermsQuery,
     ConstScoreMulti,
     ConstScoreTerms,
@@ -99,6 +100,8 @@ def query_terms(q) -> set[str]:
         return set(q.terms)
     if isinstance(q, MultiPhraseQuery):
         return {t for members in q.termsets for t in members}
+    if isinstance(q, BoostingQuery):
+        return query_terms(q.match) | query_terms(q.context)
     if isinstance(q, BooleanQuery):
         out: set[str] = set()
         for _, sub in q.clauses:
@@ -122,6 +125,8 @@ def query_multis(q) -> list[ConstScoreMulti]:
         return [m for _, sub in q.clauses for m in query_multis(sub)]
     if isinstance(q, DisjunctionMaxQuery):
         return [m for sub in q.disjuncts for m in query_multis(sub)]
+    if isinstance(q, BoostingQuery):
+        return query_multis(q.match) + query_multis(q.context)
     return []
 
 
@@ -234,6 +239,11 @@ def rewrite(q, index):
     if isinstance(q, DisjunctionMaxQuery):
         return DisjunctionMaxQuery(
             tuple(rewrite(s, index) for s in q.disjuncts), q.tie, q.boost
+        )
+    if isinstance(q, BoostingQuery):
+        return BoostingQuery(
+            rewrite(q.match, index), rewrite(q.context, index),
+            q.demote, q.boost,
         )
     return q
 
@@ -586,6 +596,17 @@ def _clause_scorer(
         return docs, np.full(docs.size, np.float32(boost * q.boost), dtype=np.float32)
     if isinstance(q, DisjunctionMaxQuery):
         return _dismax_scorer(q, rows, plan, boost * q.boost)
+    if isinstance(q, BoostingQuery):
+        # BoostingQuery.java coord: match-only -> 1.0, match+context -> demote
+        d, s = _clause_scorer(q.match, rows, plan, boost * q.boost)
+        if d.size == 0:
+            return _EMPTY
+        dc, _ = _clause_scorer(q.context, rows, plan, boost)
+        if dc.size:
+            in_ctx = np.isin(d, dc, assume_unique=True)
+            s = s.copy()
+            s[in_ctx] = (s[in_ctx] * np.float32(q.demote)).astype(np.float32)
+        return d, s
     if isinstance(q, MatchNoDocsQuery):
         return _EMPTY
     if hasattr(q, "doc_spans"):  # span family: SpanScorer bridge
@@ -1732,4 +1753,6 @@ def _has_phrase(q) -> bool:
         return True
     if isinstance(q, BooleanQuery):
         return any(_has_phrase(s) for _, s in q.clauses)
+    if isinstance(q, BoostingQuery):
+        return _has_phrase(q.match) or _has_phrase(q.context)
     return False

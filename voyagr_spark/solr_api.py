@@ -89,6 +89,37 @@ def elevate(index, qtext: str, elevate_ids: list[int],
     )
 
 
+def term_vector(index, source: DataFrame, doc_id: int) -> DataFrame:
+    """TermVectorComponent (solr/core/src/java/org/apache/solr/handler/
+    component/TermVectorComponent.java): one document's (term, tf) vector.
+
+    The engine stores postings term-major with no per-doc vector files
+    (Lucene's .tvd/.tvf analog), so the vector re-derives from the stored
+    field through the index's own analyzer — the same O(1)-docs
+    re-analysis discipline the highlighter uses; never a scan of the
+    postings table."""
+    from .analysis import analyze_text
+
+    row = (
+        index.docmap()
+        .filter(F.col("doc_id") == int(doc_id))
+        .join(source, ["repo", "path", "commit"], "left")
+        .select("content")
+        .collect()
+    )
+    if not row or row[0]["content"] is None:
+        return index.spark.createDataFrame([], "term string, tf long")
+    an = getattr(index, "analyzer", None)
+    terms, _ = (an.analyze_text(row[0]["content"]) if an is not None
+                else analyze_text(row[0]["content"]))
+    from collections import Counter
+
+    counts = sorted(Counter(terms).items())
+    return index.spark.createDataFrame(
+        [(t, int(c)) for t, c in counts], "term string, tf long"
+    )
+
+
 def _fq_predicate(fq: str):
     m = _FQ_RE.match(fq.strip())
     if not m:
