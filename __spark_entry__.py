@@ -578,6 +578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
         "token_counts": lambda s, d: R.token_counts(s, d),
+        # contiguous-fill sequence packing: pack_id = floor(exclusive
+        # prefix token sum / capacity) — distributed prefix-sum shape
+        "pack_sequences": lambda s, d: R.pack_sequences(s, d, 2048),
+        # Solr facet.query: one count per named sub-query, single scan
+        "facet_query": lambda s, d: R.facet_query(
+            s, d, {"hot": _HOT, "rare": _RARE, "spatial": "grid"}
+        ),
         "suggest_term": lambda s, d: R.suggest_term(s, d, "batcj", 2, 5),
         # §2.5 P5 multi-term family (relational form)
         "wildcard_term": lambda s, d: R.wildcard_term(s, d, "f%st"),
@@ -1598,6 +1605,29 @@ def oracle_sql() -> dict[str, str]:
                      text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+'
                    ))::BIGINT AS n_bpe
             FROM documents""",
+        "pack_sequences": r"""
+            WITH tc AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END::BIGINT AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id
+            FROM (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+              FROM tc)""",
+        "facet_query": _BASE + f"""
+            SELECT CASE term WHEN '{_HOT}' THEN 'hot'
+                             WHEN '{_RARE}' THEN 'rare'
+                             ELSE 'spatial' END AS facet,
+                   count(DISTINCT doc_id)::BIGINT AS n
+            FROM tf WHERE term IN ('{_HOT}', '{_RARE}', 'grid')
+            GROUP BY 1 ORDER BY 1""",
         "dedup_pipeline": _BASE
         + """, sig AS (
               SELECT doc_id,

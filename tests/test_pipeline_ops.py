@@ -118,3 +118,34 @@ def test_terms_enum_sorts_and_filters(spark, docs_dir):
     assert {r["term"] for r in pre} == {"tokens"}
     with pytest.raises(ValueError):
         terms_enum(spark, docs_dir, sort="bogus")
+
+
+def test_pack_sequences_prefix_sum(spark, docs_dir):
+    """Pack assignment equals the single-machine contiguous-fill reference,
+    regardless of partitioning (the distributed prefix sum is exact)."""
+    import pandas as pd
+
+    from voyagr_spark.relational import pack_sequences, token_counts
+
+    cap = 10
+    got = {r["doc_id"]: (r["n_tokens"], r["pack_id"])
+           for r in pack_sequences(spark, docs_dir, cap).collect()}
+    toks = {r["doc_id"]: r["n_ws"]
+            for r in token_counts(spark, docs_dir).collect()}
+    cum = 0
+    for d in sorted(toks):
+        assert got[d] == (toks[d], cum // cap), d
+        cum += toks[d]
+    # packs are contiguous and capacity-bounded in expectation: every pack
+    # except possibly the last starts before a capacity boundary
+    packs = sorted({p for _, p in got.values()})
+    assert packs == list(range(len(packs)))
+
+
+def test_facet_query_counts(spark, docs_dir):
+    from voyagr_spark.relational import facet_query
+
+    rows = {r["facet"]: r["n"] for r in facet_query(
+        spark, docs_dir, {"idx": "index", "tok": "tokens", "none": "zzz"}
+    ).collect()}
+    assert rows == {"idx": 3, "tok": 2}

@@ -728,6 +728,78 @@ def stratified_sample(spark, sf_dir,
     ).select("doc_id", "lang")
 
 
+def pack_sequences(spark, sf_dir, capacity: int = 2048) -> DataFrame:
+    """q: contiguous-fill sequence packing — assign docs to fixed-capacity
+    training packs (the standard LLM pretraining packing: walk the corpus
+    in deterministic order, start a new pack when the token budget would
+    overflow... expressed here in its prefix-sum form: pack_id =
+    floor(exclusive-running-token-sum / capacity), which splits oversize
+    docs across pack boundaries exactly like block-concatenation packing).
+    -> (doc_id, n_tokens, pack_id).
+
+    Scale shape: a DISTRIBUTED PREFIX SUM, never a global window — (1)
+    per-range partial sums (one small agg), (2) driver-side cumsum over
+    the partition sums (#partitions rows), (3) partition-local running
+    sums offset by the broadcast partials.  The corpus-order scan is a
+    range partition on doc_id, so step 3 is one partition-local window
+    with no shuffle beyond the range partitioning itself."""
+    toks = (
+        token_counts(spark, sf_dir)
+        .select("doc_id", F.col("n_ws").alias("n_tokens"))
+    )
+    nparts = max(2, int(spark.sparkContext.defaultParallelism))
+    ranged = toks.repartitionByRange(nparts, "doc_id").withColumn(
+        "part", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    part_sums = (
+        ranged.groupBy("part").agg(
+            F.sum("n_tokens").alias("psum"), F.min("doc_id").alias("lo"))
+        .orderBy("lo")
+        .collect()
+    )
+    # driver cumsum over #partitions rows (tiny), broadcast back as offsets
+    off, offsets = 0, {}
+    for r in part_sums:
+        offsets[r["part"]] = off
+        off += r["psum"]
+    off_df = F.broadcast(spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "part int, off long"
+    ))
+    w = Window.partitionBy("part").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    out = (
+        ranged.join(off_df, "part")
+        .withColumn(
+            "cum_before",
+            F.col("off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.floor(F.col("cum_before") / capacity).alias("pack_id"),
+        )
+    )
+    return out
+
+
+def facet_query(spark, sf_dir, queries: dict[str, str]) -> DataFrame:
+    """q: Solr facet.query (SimpleFacets.getFacetQueryCounts) — a count per
+    arbitrary sub-query over the corpus; here each named query is a term,
+    counted in one scan (no per-facet jobs)."""
+    tf = terms_tf(spark, sf_dir)
+    mapping = F.create_map(
+        *[x for name, t in sorted(queries.items())
+          for x in (F.lit(t), F.lit(name))]
+    )
+    return (
+        tf.filter(F.col("term").isin(sorted(queries.values())))
+        .select(mapping[F.col("term")].alias("facet"), "doc_id")
+        .groupBy("facet")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .orderBy("facet")
+    )
+
+
 def terms_enum(spark, sf_dir, prefix: str | None = None,
                lower: str | None = None, upper: str | None = None,
                mincount: int = 1, limit: int = 10,
