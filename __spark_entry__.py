@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contiguous-fill sequence packing: pack_id = floor(exclusive
         # prefix token sum / capacity) — distributed prefix-sum shape
         "pack_sequences": lambda s, d: R.pack_sequences(s, d, 2048),
+        # FreeTextSuggester: n-gram LM completion with ALPHA=0.4 backoff
+        "free_text_suggest": lambda s, d: R.free_text_suggest(
+            s, d, "fast k", 10
+        ),
         # Solr facet.query: one count per named sub-query, single scan
         "facet_query": lambda s, d: R.facet_query(
             s, d, {"hot": _HOT, "rare": _RARE, "spatial": "grid"}
@@ -1621,6 +1625,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS cum_before
               FROM tc)""",
+        "free_text_suggest": _BASE + """
+            , ftc AS (SELECT term, count(*)::BIGINT AS ttf FROM tok
+                      WHERE term LIKE 'k%' AND term != 'k' GROUP BY term),
+            ftb AS (
+              SELECT b.term, count(*)::BIGINT AS big
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term LIKE 'k%' AND b.term != 'k'
+              GROUP BY b.term),
+            ftk AS (SELECT
+              (SELECT count(*) FROM tok WHERE term = 'fast')::BIGINT AS ctxn,
+              (SELECT count(*) FROM tok)::BIGINT AS total)
+            SELECT term,
+                   round(CASE WHEN ftb.big IS NOT NULL
+                              THEN ftb.big / (ftk.ctxn * 1.0)
+                              ELSE (0.4 * ftc.ttf) / (ftk.total * 1.0)
+                         END, 4) AS score4
+            FROM ftc LEFT JOIN ftb USING (term) CROSS JOIN ftk
+            ORDER BY score4 DESC, term ASC LIMIT 10""",
         "facet_query": _BASE + f"""
             SELECT CASE term WHEN '{_HOT}' THEN 'hot'
                              WHEN '{_RARE}' THEN 'rare'

@@ -149,3 +149,23 @@ def test_facet_query_counts(spark, docs_dir):
         spark, docs_dir, {"idx": "index", "tok": "tokens", "none": "zzz"}
     ).collect()}
     assert rows == {"idx": 3, "tok": 2}
+
+
+def test_free_text_suggest_backoff(spark, docs_dir):
+    """Bigram completions outrank unigram-backoff ones; ALPHA=0.4 fallback
+    applies when the context never precedes the candidate."""
+    import pytest as _pytest
+
+    from voyagr_spark.relational import free_text_suggest
+
+    rows = [(r["term"], r["score4"])
+            for r in free_text_suggest(spark, docs_dir, "index m", 5).collect()]
+    assert rows and rows[0][0] == "merges"
+    # 'index merges' occurs in docs 0, 1, 3? -> bigram score = big/ctx_n
+    # backoff-only candidate: 'the m...' none; check a pure-unigram case
+    rows2 = [(r["term"], r["score4"]) for r in free_text_suggest(
+        spark, docs_dir, "zq1 m", 5).collect()]
+    # context 'zq1' never precedes an m-term: all scores are 0.4*ttf/total
+    assert all(s < 0.1 for _, s in rows2)
+    with _pytest.raises(ValueError):
+        free_text_suggest(spark, docs_dir, "single")

@@ -728,6 +728,57 @@ def stratified_sample(spark, sf_dir,
     ).select("doc_id", "lang")
 
 
+def free_text_suggest(spark, sf_dir, typed: str, top: int = 10) -> DataFrame:
+    """q: FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:85-135)
+    — n-gram language-model completion: the LAST typed token is a prefix to
+    complete, the token before it is context.  Candidates matching the
+    prefix score by the backoff chain the reference encodes in its FST:
+    bigram weight count(context, cand)/count(context) first, falling back
+    to ALPHA * unigram weight ttf(cand)/total (ALPHA = 0.4, :135).
+    -> (term, score4) top-N by (score desc, term asc), score rounded to 4.
+
+    Spark shape: bigram counts come from ONE positional self-equijoin on
+    (doc_id, pos+1) restricted to the context term — i.e. a pushdown-shaped
+    scan, not a corpus-wide n-gram materialization; unigram stats are the
+    term_stats aggregate every query already uses."""
+    words = typed.lower().split()
+    if len(words) < 2:
+        raise ValueError("free_text_suggest wants 'context prefix…' input")
+    context, prefix = words[-2], words[-1]
+    # the raw (pre-stop) token stream: adjacency is defined over the text
+    # itself, as the reference's shingle chain sees it
+    t = raw_tokens(spark, sf_dir)
+    cand = t.filter(
+        F.col("term").startswith(prefix) & (F.col("term") != prefix)
+    )
+    ctx = t.filter(F.col("term") == context).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"))
+    big = (
+        cand.join(ctx, ["doc_id", "pos"])
+        .groupBy("term")
+        .agg(F.count("*").alias("big"))
+    )
+    ctx_n = t.filter(F.col("term") == context).count()
+    uni = (
+        cand.groupBy("term").agg(F.count("*").alias("ttf"))
+    )
+    total = t.count()
+    scored = (
+        uni.join(big, "term", "left")
+        .select(
+            "term",
+            F.round(
+                F.when(
+                    F.col("big").isNotNull() & F.lit(ctx_n > 0),
+                    F.col("big") / F.lit(float(max(ctx_n, 1))),
+                ).otherwise(0.4 * F.col("ttf") / F.lit(float(total))),
+                4,
+            ).alias("score4"),
+        )
+    )
+    return scored.orderBy(F.desc("score4"), F.asc("term")).limit(top)
+
+
 def pack_sequences(spark, sf_dir, capacity: int = 2048) -> DataFrame:
     """q: contiguous-fill sequence packing — assign docs to fixed-capacity
     training packs (the standard LLM pretraining packing: walk the corpus
