@@ -747,6 +747,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both sides (parity by construction); comparisons are 1.0/0.0
         # doubles and ?: tests "!= 0", per JavascriptCompiler semantics
         "expr_rank": lambda s, d: _expr_rank_entry(s, d),
+        # Solr {!frange} / FunctionRangeQuery: expression-valued filter,
+        # same compiled AST on both engines
+        "expr_frange": lambda s, d: _expr_frange_entry(s, d),
+        # lucene/join ToChildBlockJoin analog: children of matching parents
+        "join_children": lambda s, d: R.join_children(s, d, _RARE),
+        # grouping AllGroupsCollector / group.ngroups
+        "group_count": lambda s, d: R.group_count(s, d, _HOT),
+        # Gopher/MassiveText repetition quality rules (dup lines, dup 2-grams)
+        "repetition_stats": lambda s, d: R.repetition_stats(s, d),
+        # training-set decontamination: 8-gram collision vs a held-out set
+        "decontaminate": lambda s, d: R.decontaminate(s, d, [0, 1, 2, 3, 4], 4),
         "engine_expr_rescore": _engine_expr_rescore,
         # span query family (lucene/core search/spans): SpanScorer freq =
         # float32 fold of 1/(width+1) per produced span; the four gates
@@ -844,6 +855,15 @@ def _expr_rank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voyagr_spark.expressions import expr_rank
 
     return expr_rank(spark, sf_dir, _HOT, _EXPR, 15)
+
+
+_FRANGE_EXPR = "_score + doclen / 1000"
+
+
+def _expr_frange_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.expressions import expr_frange
+
+    return expr_frange(spark, sf_dir, _HOT, _FRANGE_EXPR, 0.30, 0.40)
 
 
 def _engine_expr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2311,6 +2331,61 @@ def oracle_sql() -> dict[str, str]:
     _ex = compile_expr(_EXPR).sql(
         {"_score": "s.score", "doclen": "s.doclen", "n_chars": "d.n_chars"}
     )
+    _fx = compile_expr(_FRANGE_EXPR).sql(
+        {"_score": "s.score", "doclen": "s.doclen"}
+    )
+    d["expr_frange"] = _BASE + f"""
+        SELECT s.doc_id, round({_fx}, 4) AS expr4
+        FROM scored s
+        WHERE s.term = '{_HOT}'
+          AND round({_fx}, 4) BETWEEN 0.30 AND 0.40
+        ORDER BY s.doc_id"""
+    d["join_children"] = _BASE + f"""
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE d.source IN (
+          SELECT DISTINCT d2.source
+          FROM tf JOIN documents d2 USING (doc_id)
+          WHERE tf.term = '{_RARE}')"""
+    d["group_count"] = _BASE + f"""
+        SELECT count(DISTINCT d.source)::BIGINT AS ngroups,
+               count(*)::BIGINT AS nhits
+        FROM tf JOIN documents d USING (doc_id)
+        WHERE tf.term = '{_HOT}'"""
+    d["repetition_stats"] = r"""
+        WITH parts AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)),
+                             x -> length(x) > 0) AS lines,
+                 regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               round(CASE WHEN len(lines) > 0
+                          THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                          ELSE 0.0 END, 4) AS dup_line_frac,
+               round(CASE WHEN len(t) >= 2
+                          THEN 1.0 - len(list_distinct(list_transform(
+                                 range(0, len(t) - 1),
+                                 i -> t[i+1] || ' ' || t[i+2])))
+                               / (len(t) - 1)
+                          ELSE 0.0 END, 4) AS dup_2gram_frac
+        FROM parts"""
+    d["decontaminate"] = _BASE + """
+        , dtok AS (SELECT doc_id, list(term ORDER BY pos) AS t
+                   FROM tok GROUP BY doc_id),
+        dsh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(0, greatest(len(t) - 3, 0)),
+                   i -> array_to_string(t[i+1:i+4], ' ')))) AS shingle
+          FROM dtok),
+        ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id IN (0,1,2,3,4)),
+        hits AS (SELECT DISTINCT s.doc_id FROM dsh s JOIN ev USING (shingle)
+                 WHERE s.doc_id NOT IN (0,1,2,3,4))
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id NOT IN (0,1,2,3,4)"""
     d["expr_rank"] = _BASE + f"""
         SELECT rank, doc_id, expr4 FROM (
           SELECT row_number() OVER (ORDER BY expr4 DESC, doc_id ASC)::BIGINT

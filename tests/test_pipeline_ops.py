@@ -169,3 +169,54 @@ def test_free_text_suggest_backoff(spark, docs_dir):
     assert all(s < 0.1 for _, s in rows2)
     with _pytest.raises(ValueError):
         free_text_suggest(spark, docs_dir, "single")
+
+
+def test_repetition_stats(spark, tmp_path_factory):
+    import pandas as pd
+
+    texts = [
+        "a b\na b\nc d",        # 1 dup line of 3; 2-grams: ab,ba,ab,bc,cd
+        "x y z w",              # no repetition
+        "q q q q q",            # all 2-grams identical
+    ]
+    pdf = pd.DataFrame({"doc_id": range(3), "text": texts,
+                        "lang": ["en"] * 3, "source": ["s"] * 3})
+    d = tmp_path_factory.mktemp("rep")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    from voyagr_spark.relational import repetition_stats
+
+    got = {r["doc_id"]: (r["dup_line_frac"], r["dup_2gram_frac"])
+           for r in repetition_stats(spark, str(d)).collect()}
+    assert got[0][0] == round(1 - 2 / 3, 4)
+    assert got[1] == (0.0, 0.0)
+    assert got[2][1] == round(1 - 1 / 4, 4)  # 4 grams, 1 distinct
+
+
+def test_decontaminate_flags_shared_shingles(spark, tmp_path_factory):
+    import pandas as pd
+
+    texts = [
+        "alpha beta gamma delta epsilon",          # eval doc
+        "prefix alpha beta gamma delta suffix",    # shares a 4-gram
+        "totally different words entirely here",   # clean
+    ]
+    pdf = pd.DataFrame({"doc_id": range(3), "text": texts,
+                        "lang": ["en"] * 3, "source": ["s"] * 3})
+    d = tmp_path_factory.mktemp("decon")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    from voyagr_spark.relational import decontaminate
+
+    got = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(spark, str(d), [0], 4).collect()}
+    assert got == {1: True, 2: False}  # eval doc excluded from output
+
+
+def test_join_children_and_group_count(spark, docs_dir):
+    from voyagr_spark.relational import group_count, join_children
+
+    kids = {(r["doc_id"], r["source"])
+            for r in join_children(spark, docs_dir, "merges").collect()}
+    # 'merges' matches docs 0,1 (source 's'); every doc shares source 's'
+    assert {d for d, _ in kids} == {0, 1, 2, 3}
+    row = group_count(spark, docs_dir, "index").collect()[0]
+    assert (row["ngroups"], row["nhits"]) == (1, 3)

@@ -273,6 +273,35 @@ def expr_rank(spark, sf_dir: str, term: str, expr: str, k: int):
     return _ranked(top, by, ["doc_id", "expr4"])
 
 
+def expr_frange(spark, sf_dir: str, term: str, expr: str,
+                lo: float, hi: float):
+    """Solr {!frange} / FunctionRangeQuery (queries/function/
+    FunctionRangeQuery.java; Solr FunctionRangeQParserPlugin): keep the
+    term's matches whose expression value lands in [lo, hi].  The
+    expression compiles to ONE JVM-side SQL scalar (whole-stage codegen,
+    no Python), so the filter fuses into the scan like any predicate.
+    -> (doc_id, expr4) ordered by doc_id."""
+    from pyspark.sql import functions as F
+
+    from .relational import _scored, documents
+
+    e = compile_expr(expr)
+    base = _scored(spark, sf_dir).filter(F.col("term") == term)
+    builtin = {"_score": "score", "doclen": "doclen", "tf": "tf", "df": "df"}
+    extra = [v for v in e.variables() if v not in builtin]
+    if extra:
+        base = base.join(documents(spark, sf_dir).select("doc_id", *extra),
+                         "doc_id")
+    bindings = {**builtin, **{v: v for v in extra}}
+    val = F.round(F.expr(e.sql(bindings)), 4)
+    return (
+        base.withColumn("expr4", val)
+        .filter((F.col("expr4") >= lo) & (F.col("expr4") <= hi))
+        .select("doc_id", "expr4")
+        .orderBy("doc_id")
+    )
+
+
 def rescore(index, first_pass, expr: str, k: int,
             extra_bindings: dict[str, str] | None = None):
     """Second-pass rescoring (ExpressionRescorer.java:40-90): reorder a

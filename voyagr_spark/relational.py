@@ -1236,6 +1236,109 @@ def scored_join_parents(spark, sf_dir, term: str, mode: str = "max",
     )
 
 
+def join_children(spark, sf_dir, term: str) -> DataFrame:
+    """q: ToChildBlockJoinQuery analog (lucene/join
+    ToChildBlockJoinQuery.java): query PARENTS (here: `source` groups whose
+    members match `term`), return the CHILD docs of every matching parent.
+    -> (doc_id, source).  Same broadcast LEFT SEMI shape as the
+    parent-side join — the big table never shuffles."""
+    d = documents(spark, sf_dir).select("doc_id", "source")
+    matching_parents = (
+        terms_tf(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .join(d, "doc_id")
+        .select("source")
+        .distinct()
+    )
+    return d.join(F.broadcast(matching_parents), "source", "left_semi").select(
+        "doc_id", "source"
+    )
+
+
+def group_count(spark, sf_dir, term: str) -> DataFrame:
+    """q: AllGroupsCollector / Solr group.ngroups (lucene/grouping
+    AllGroupsCollector.java): the number of distinct groups among a
+    query's matches — one partial-aggregated countDistinct on the match
+    set.  -> single row (ngroups, nhits)."""
+    m = (
+        terms_tf(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .join(documents(spark, sf_dir).select("doc_id", "source"), "doc_id")
+    )
+    return m.agg(
+        F.countDistinct("source").alias("ngroups"),
+        F.count("*").alias("nhits"),
+    )
+
+
+def repetition_stats(spark, sf_dir) -> DataFrame:
+    """q: within-document repetition signals (the Gopher/MassiveText
+    quality-rule family: Rae et al. 2021 §A1.1 — fraction of duplicate
+    lines and fraction of tokens inside repeated 2-grams mark boilerplate
+    and spam).  -> (doc_id, dup_line_frac, dup_2gram_frac) rounded to 4.
+
+    All JVM-side array expressions over one scan: lines split on newline,
+    2-grams built with transform(sequence(...)) — zero shuffles, zero
+    Python."""
+    d = documents(spark, sf_dir)
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(x) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array())
+    return d.select(
+        "doc_id",
+        F.round(
+            F.when(F.size(lines) > 0,
+                   1.0 - F.size(F.array_distinct(lines)) / F.size(lines))
+            .otherwise(0.0), 4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(F.size(grams) > 0,
+                   1.0 - F.size(F.array_distinct(grams)) / F.size(grams))
+            .otherwise(0.0), 4,
+        ).alias("dup_2gram_frac"),
+    )
+
+
+def decontaminate(spark, sf_dir, eval_ids: list[int], n: int = 8) -> DataFrame:
+    """q: training-set decontamination — flag any training doc sharing an
+    n-token shingle with a held-out evaluation set (the standard 8-13-gram
+    collision test run before pretraining).  -> (doc_id, contaminated),
+    eval docs excluded from the output.
+
+    Scale shape: the eval side is benchmark-sized, so its shingle set
+    BROADCASTs; the training side streams one scan through a JVM-side
+    shingle transform + semi-join — no shuffle of the big table, no
+    Python.  The same shape holds at 100 TB: contamination checks are
+    (huge corpus) x (small eval suite) by construction."""
+    shingled = _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.explode(_shingle_array(n)).alias("shingle")
+    )
+    ev_sh = (
+        shingled.filter(F.col("doc_id").isin(eval_ids))
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        shingled.filter(~F.col("doc_id").isin(eval_ids))
+        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    train = documents(spark, sf_dir).filter(
+        ~F.col("doc_id").isin(eval_ids)).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated")
+    )
+
+
 def join_by_source(spark, sf_dir, term: str) -> DataFrame:
     """q: query-time join (JoinQParserPlugin / GlobalOrdinalsQuery analog,
     SURVEY §2.8): all docs whose `source` matches the source of ANY doc
