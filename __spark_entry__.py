@@ -754,6 +754,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_children": lambda s, d: R.join_children(s, d, _RARE),
         # grouping AllGroupsCollector / group.ngroups
         "group_count": lambda s, d: R.group_count(s, d, _HOT),
+        # lucene/misc DiversifiedTopDocsCollector: top-k, max 2 per source
+        "diversified_topk": lambda s, d: R.diversified_topk(s, d, _HOT, 2, 10),
+        # Solr SpellCheckCollator: zero-hit terms replaced by their best
+        # suggestion, collation + its hit count ('did you mean')
+        "engine_collate": lambda s, d: R.collate_spelling(
+            _engine_index(s, d), _docs_mapped(s, d), "batcj AND dup"
+        ),
         # Gopher/MassiveText repetition quality rules (dup lines, dup 2-grams)
         "repetition_stats": lambda s, d: R.repetition_stats(s, d),
         # training-set decontamination: 8-gram collision vs a held-out set
@@ -2386,6 +2393,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id NOT IN (0,1,2,3,4)"""
+    d["diversified_topk"] = _BASE + f"""
+        SELECT rank, doc_id, source, score4 FROM (
+          SELECT row_number() OVER (
+                   ORDER BY score4 DESC, doc_id ASC)::BIGINT AS rank,
+                 doc_id, source, score4
+          FROM (
+            SELECT m.doc_id, m.source, m.score4,
+                   row_number() OVER (PARTITION BY m.source
+                     ORDER BY m.score4 DESC, m.doc_id ASC) AS krank
+            FROM (
+              SELECT s.doc_id, d.source, round(s.score, 4) AS score4
+              FROM scored s JOIN documents d USING (doc_id)
+              WHERE s.term = '{_HOT}'
+            ) m
+          ) WHERE krank <= 2
+        ) WHERE rank <= 10"""
+    d["engine_collate"] = _BASE + f"""
+        , sugg AS (
+          SELECT term FROM st
+          WHERE length(term) BETWEEN 3 AND 7 AND term != 'batcj'
+            AND levenshtein(term, 'batcj') <= 2
+          ORDER BY levenshtein(term, 'batcj') ASC, df DESC, term ASC
+          LIMIT 1)
+        SELECT (SELECT term FROM sugg) || ' AND {_RARE}' AS collation,
+               (SELECT count(*) FROM (
+                  SELECT a.doc_id FROM tf a JOIN tf b USING (doc_id)
+                  WHERE a.term = (SELECT term FROM sugg)
+                    AND b.term = '{_RARE}'))::BIGINT AS hits"""
     d["expr_rank"] = _BASE + f"""
         SELECT rank, doc_id, expr4 FROM (
           SELECT row_number() OVER (ORDER BY expr4 DESC, doc_id ASC)::BIGINT

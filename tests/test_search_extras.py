@@ -187,3 +187,41 @@ def test_term_vector_matches_direct_analysis(spark, built_index, corpus_pdf):
     # absent doc -> empty frame with the schema intact
     empty = term_vector(built_index, source, 10**9)
     assert empty.columns == ["term", "tf"] and empty.count() == 0
+
+
+def test_diversified_topk_caps_per_key(spark, built_index, corpus_pdf,
+                                       tmp_path_factory):
+    """At most max_per_key hits per source in the diversified top-k, and
+    the kept hits are each key's best by (score desc, doc_id)."""
+    import pandas as pd
+
+    from voyagr_spark.relational import diversified_topk
+
+    pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True)
+    d = tmp_path_factory.mktemp("divers")
+    docs = pd.DataFrame({
+        "doc_id": range(len(pdf)), "text": pdf["content"],
+        "lang": pdf["lang"], "source": pdf["repo"],
+    })
+    spark.createDataFrame(docs).write.parquet(str(d / "documents.parquet"))
+    rows = diversified_topk(spark, str(d), "open", 2, 10).collect()
+    from collections import Counter
+
+    per_key = Counter(r["source"] for r in rows)
+    assert rows and max(per_key.values()) <= 2
+    scores = [r["score4"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_collate_spelling(spark, built_index, corpus_pdf):
+    from voyagr_spark.relational import collate_spelling
+    from voyagr_spark.search import count
+
+    src = spark.createDataFrame(corpus_pdf)
+    row = collate_spelling(built_index, src, "fille AND handle").collect()[0]
+    assert row["collation"] == "file AND handle"
+    assert row["hits"] == count(built_index, "file AND handle")
+    # nothing misspelled -> query unchanged
+    row2 = collate_spelling(built_index, src, "file OR handle").collect()[0]
+    assert row2["collation"] == "file OR handle"

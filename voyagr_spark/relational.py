@@ -1339,6 +1339,72 @@ def decontaminate(spark, sf_dir, eval_ids: list[int], n: int = 8) -> DataFrame:
     )
 
 
+def diversified_topk(spark, sf_dir, term: str, max_per_key: int = 2,
+                     k: int = 10) -> DataFrame:
+    """q: DiversifiedTopDocsCollector (lucene/misc/search/
+    DiversifiedTopDocsCollector.java:50-90): top-k where at most
+    `max_per_key` hits share a key (here: `source`) — result
+    diversification without a post-filter.  Expressed in its set form:
+    rank within key by (score desc, doc_id), keep rank <= max_per_key,
+    then the global top-k cut.  -> (rank, doc_id, source, score4).
+
+    Scale shape: the within-key window runs on the MATCH set partitioned
+    by key (the natural shuffle), the global cut is a TakeOrdered."""
+    m = (
+        _scored(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .join(documents(spark, sf_dir).select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.round("score", 4).alias("score4"))
+    )
+    wk = Window.partitionBy("source").orderBy(
+        F.desc("score4"), F.asc("doc_id"))
+    kept = (
+        m.withColumn("krank", F.row_number().over(wk))
+        .filter(F.col("krank") <= max_per_key)
+        .drop("krank")
+    )
+    by = [("score4", False), ("doc_id", True)]
+    top = distributed_topk(kept, k, by)
+    return _ranked(top, by, ["doc_id", "source", "score4"])
+
+
+def collate_spelling(index, source: DataFrame, qtext: str) -> DataFrame:
+    """q: Solr SpellCheckCollator (solr/core/src/java/org/apache/solr/
+    spelling/SpellCheckCollator.java): rewrite a query by replacing each
+    zero-hit term with its best dictionary suggestion, and report the
+    collation with its hit count — the 'did you mean' surface.
+    -> one row (collation string, hits long).
+
+    Driver work is query-sized (df lookups + one suggest per misspelled
+    term); the final count is the engine's distributed count path."""
+    from .highlight import suggest as _suggest
+    from .parser import parse
+    from .search import count as _count
+
+    an = getattr(index, "analyzer", None)
+    words = qtext.split()
+    fixed = []
+    for w in words:
+        if w in ("AND", "OR", "NOT") or not w.replace("-", "").isalnum():
+            fixed.append(w)
+            continue
+        analyzed = (an.analyze_text(w) if an is not None
+                    else __import__("voyagr_spark.analysis",
+                                    fromlist=["analyze_text"]).analyze_text(w))[0]
+        t = analyzed[0] if analyzed else w.lower()
+        df = index.term_dfs([t]).get(t, 0)
+        if df > 0:
+            fixed.append(w)
+            continue
+        cand = _suggest(index, t, max_edits=2, top=1).collect()
+        fixed.append(cand[0]["term"] if cand else w)
+    collation = " ".join(fixed)
+    hits = _count(index, parse(collation, analyzer=an))
+    return index.spark.createDataFrame(
+        [(collation, int(hits))], "collation string, hits long"
+    )
+
+
 def join_by_source(spark, sf_dir, term: str) -> DataFrame:
     """q: query-time join (JoinQParserPlugin / GlobalOrdinalsQuery analog,
     SURVEY §2.8): all docs whose `source` matches the source of ANY doc
