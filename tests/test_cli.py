@@ -68,3 +68,5 @@ def test_cli_select_suggest_batch_explain(tmp_path, corpus_pdf):
     ex = run_cli("explain", "--index", str(idx), "--query", "file",
                  "--doc", str(doc))
     assert ex[0]["match"] is True and ex[0]["value"] > 0
+    chk = run_cli("check", "--index", str(idx))
+    assert chk[0] == {"clean": True, "violations": {}}

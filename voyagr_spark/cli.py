@@ -127,6 +127,17 @@ def cmd_merge(args) -> None:
     print(json.dumps({"merges": n}))
 
 
+def cmd_check(args) -> None:
+    from voyagr_spark.checkindex import check_index
+    from voyagr_spark.indexer import Index
+
+    idx = Index(_spark(), args.index)
+    report = check_index(idx, raise_on_failure=False)
+    print(json.dumps({"clean": not report, "violations": report}))
+    if report:
+        raise SystemExit(1)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="voyagr-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -186,6 +197,12 @@ def main(argv=None) -> None:
                     help='JSON object {"id": "query", ...}')
     bt.add_argument("--k", type=int, default=10)
     bt.set_defaults(fn=cmd_batch)
+
+    ck = sub.add_parser(
+        "check", help="CheckIndex: verify every storage invariant"
+    )
+    ck.add_argument("--index", required=True)
+    ck.set_defaults(fn=cmd_check)
 
     ex = sub.add_parser("explain")
     ex.add_argument("--index", required=True)

@@ -193,8 +193,11 @@ def merge_segments(
     per_bucket = max(1, -(-len(seg_sorted) // seg_buckets))
     src = index.postings().filter(F.col("seg").isin(seg_ids))
     bucket_expr = (F.col("seg_rank") / per_bucket).cast("int")
+    # seg is LONG: streaming appends derive segment ids from epoch +
+    # partition counts, which overflow int32 (caught by test_checkindex's
+    # delete+append+merge pass)
     rank_df = spark.createDataFrame(
-        [(s, r) for s, r in rank.items()], "seg int, seg_rank int"
+        [(int(s), r) for s, r in rank.items()], "seg long, seg_rank int"
     )
     tombs = index.tombstone_ref()
     merged = (
