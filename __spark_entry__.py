@@ -556,6 +556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_nchars": lambda s, d: R.stats_field(s, d, _HOT, "n_chars"),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "group_topk": lambda s, d: R.group_topk(s, d, _HOT, 3),
+        # solr/contrib/clustering (Carrot2): result-set tf-idf labeling
+        "cluster_results": lambda s, d: R.cluster_results(s, d, _RARE),
+        # solr/contrib/analytics: unique/median/discrete-percentile stats
+        "analytics_stats": lambda s, d: R.analytics_stats(s, d, _HOT, "n_chars"),
         "infix_suggest": lambda s, d: R.infix_suggest(s, d, "a", 10),
         "prefix_suggest": lambda s, d: R.prefix_suggest(s, d, "fi", 10),
         "fuzzy_suggest": lambda s, d: R.fuzzy_suggest(s, d, "fi", 10),
@@ -581,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contiguous-fill sequence packing: pack_id = floor(exclusive
         # prefix token sum / capacity) — distributed prefix-sum shape
         "pack_sequences": lambda s, d: R.pack_sequences(s, d, 2048),
+        "chunk_documents": lambda s, d: R.chunk_documents(s, d, 64, 48),
         # FreeTextSuggester: n-gram LM completion with ALPHA=0.4 backoff
         "free_text_suggest": lambda s, d: R.free_text_suggest(
             s, d, "fast k", 10
@@ -1540,6 +1545,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored s JOIN documents d USING (doc_id)
                 WHERE s.term = '{_HOT}'
               ) WHERE rn = 1""",
+        "cluster_results": _BASE
+        + f""", r AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}'),
+          tfr AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf
+                  JOIN r USING (doc_id) WHERE tf.term <> '{_RARE}'),
+          dfr AS (SELECT term, count(*)::BIGINT AS df_r FROM tfr GROUP BY term),
+          nr AS (SELECT count(*)::BIGINT AS n_r FROM r),
+          lab AS (
+            SELECT doc_id, term AS label FROM (
+              SELECT tfr.doc_id, tfr.term,
+                     row_number() OVER (
+                       PARTITION BY tfr.doc_id
+                       ORDER BY round(tfr.tf * ln(nr.n_r / dfr.df_r), 4) DESC,
+                                tfr.term ASC) AS rn
+              FROM tfr JOIN dfr USING (term) CROSS JOIN nr
+            ) WHERE rn = 1)
+          SELECT label, count(*)::BIGINT AS n_docs,
+                 min(doc_id) AS rep_doc
+          FROM lab GROUP BY label""",
+        "analytics_stats": _BASE
+        + f""", v AS (
+            SELECT d.n_chars, d.source
+            FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
+            JOIN documents d USING (doc_id)),
+          b AS (SELECT count(*)::BIGINT AS n,
+                       count(DISTINCT source)::BIGINT AS unique_sources
+                FROM v),
+          cum AS (SELECT n_chars,
+                         sum(cnt) OVER (ORDER BY n_chars
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM (SELECT n_chars, count(*) AS cnt
+                        FROM v GROUP BY n_chars)),
+          pick AS (
+            SELECT
+              (SELECT min(n_chars) FROM cum, b
+                WHERE cum > floor(0.25 * b.n)) AS p25,
+              (SELECT min(n_chars) FROM cum, b
+                WHERE cum > floor(0.5 * (b.n - 1))) AS med_lo,
+              (SELECT min(n_chars) FROM cum, b
+                WHERE cum > floor(0.5 * (b.n - 1)) + ((b.n - 1) % 2)) AS med_hi,
+              (SELECT min(n_chars) FROM cum, b
+                WHERE cum > floor(0.75 * b.n)) AS p75,
+              (SELECT min(n_chars) FROM cum, b
+                WHERE cum > floor(0.99 * b.n)) AS p99)
+          SELECT b.n, b.unique_sources,
+                 CAST(pick.p25 AS DOUBLE) AS p25,
+                 (pick.med_lo + pick.med_hi) / 2.0 AS median,
+                 CAST(pick.p75 AS DOUBLE) AS p75,
+                 CAST(pick.p99 AS DOUBLE) AS p99
+          FROM b CROSS JOIN pick""",
         "join_by_source": _BASE
         + f"""SELECT d2.doc_id, d2.source
               FROM documents d2
@@ -1636,6 +1690,22 @@ def oracle_sql() -> dict[str, str]:
                      text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+'
                    ))::BIGINT AS n_bpe
             FROM documents""",
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            spans AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(range(0,
+                       greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT))
+                       + 1)) AS ci
+              FROM t)
+            SELECT doc_id, ci::BIGINT AS chunk_id,
+                   (ci * 48)::BIGINT AS start,
+                   least(n - ci * 48, 64)::BIGINT AS chunk_len,
+                   md5(array_to_string(
+                     list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' '))
+                     AS chunk_md5
+            FROM spans""",
         "pack_sequences": r"""
             WITH tc AS (
               SELECT doc_id,

@@ -161,6 +161,20 @@ def main() -> None:
     finally:
         idx.unpin()
 
+    # 9b. chunk_documents: split -> sequence -> posexplode -> slice, all
+    # JVM-side per doc — zero shuffles, zero Python
+    p = _plan(R.chunk_documents(spark, "/root/testdata/sf0.001", 64, 48))
+    ck_checks = [
+        ("zero shuffles (per-doc array expression)", "Exchange" not in p),
+        ("zero Python (built-in split/slice/md5)",
+         "EvalPython" not in p and "ArrowEval" not in p),
+    ]
+    sections.append((
+        "chunk_documents (64-token windows, stride 48)",
+        _excerpt(p, ["Generate", "Scan parquet"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in ck_checks],
+    ))
+
     # 9. spatial distance query: circle->bbox prefilter + exact haversine
     # verify — every expression native Catalyst (zero Python, zero shuffle)
     from voyagr_spark import spatial as SPA

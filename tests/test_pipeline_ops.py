@@ -220,3 +220,81 @@ def test_join_children_and_group_count(spark, docs_dir):
     assert {d for d, _ in kids} == {0, 1, 2, 3}
     row = group_count(spark, docs_dir, "index").collect()[0]
     assert (row["ngroups"], row["nhits"]) == (1, 3)
+
+
+def test_chunk_documents_windows(spark, docs_dir):
+    """Overlapping token windows: exact starts/lengths re-derived in
+    Python for every doc; one chunk when n <= window; tail covered."""
+    from voyagr_spark.relational import chunk_documents
+
+    import hashlib
+
+    import pandas as pd
+
+    got = chunk_documents(spark, docs_dir, window=4, stride=3).collect()
+    texts = pd.read_parquet(f"{docs_dir}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(texts["doc_id"], texts["text"]):
+        toks = text.split(" ")
+        n = len(toks)
+        import math
+        last = max(0, math.ceil((n - 4) / 3))
+        for ci in range(last + 1):
+            s = ci * 3
+            chunk = toks[s:s + 4]
+            want[(doc_id, ci)] = (
+                s, min(n - s, 4),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert len(got) == len(want)
+    for r in got:
+        s, ln, md = want[(r["doc_id"], r["chunk_id"])]
+        assert (r["start"], r["chunk_len"], r["chunk_md5"]) == (s, ln, md)
+
+
+def test_cluster_results_labels(spark, docs_dir):
+    """Result-set tf-idf labeling: searching 'index' clusters the repeat
+    doc and the prose docs by their most-discriminative non-query term."""
+    from voyagr_spark.relational import cluster_results
+
+    rows = {r["label"]: (r["n_docs"], r["rep_doc"])
+            for r in cluster_results(spark, docs_dir, "index").collect()}
+    # docs 0,1,3 match 'index'; doc 3 has no other term -> excluded;
+    # docs 0,1 share identical text, same label, min rep_doc = 0
+    assert sum(n for n, _ in rows.values()) == 2
+    assert any(n == 2 and rep == 0 for n, rep in rows.values())
+
+
+def test_analytics_stats_reference_semantics(spark, tmp_path_factory):
+    """Median/percentile must reproduce the reference calculators
+    (MedianCalculator midpoint average, PercentileCalculator's order
+    statistic at floor(p*n)) on both even and odd match counts."""
+    import pandas as pd
+
+    from voyagr_spark.relational import analytics_stats
+
+    nc = [110, 40, 250, 80, 500, 10, 320, 90, 61, 700]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": ["common token"] * 9 + ["other text"],
+            "lang": ["en"] * 10,
+            "source": [f"s{i % 3}" for i in range(10)],
+            "n_chars": nc,
+        }
+    )
+    d = tmp_path_factory.mktemp("astats")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+
+    row = analytics_stats(spark, str(d), "common", "n_chars").collect()[0]
+    vals = sorted(nc[:9])  # 9 docs match 'common'
+    n = len(vals)
+    assert row["n"] == n and row["unique_sources"] == 3
+    assert row["p25"] == float(vals[int(0.25 * n)])
+    assert row["p75"] == float(vals[int(0.75 * n)])
+    assert row["p99"] == float(vals[int(0.99 * n)])
+    lo = vals[(n - 1) // 2]
+    hi = vals[(n - 1) // 2 + ((n - 1) % 2)]
+    assert row["median"] == (lo + hi) / 2.0  # odd n: plain middle value
+    # even-n midpoint interpolation is covered by the sf0.01 gate
+    # (402 matches there, hash-compared against the DuckDB oracle)

@@ -1429,3 +1429,162 @@ def join_by_source(spark, sf_dir, term: str) -> DataFrame:
         d.join(F.broadcast(matching), "source", "left_semi")
         .select("doc_id", "source")
     )
+
+
+def cluster_results(spark, sf_dir, term: str) -> DataFrame:
+    """q: search-result clustering — the Solr ClusteringComponent surface
+    (solr/contrib/clustering/src/java/org/apache/solr/handler/clustering/
+    ClusteringComponent.java + carrot2/CarrotClusteringEngine.java).
+
+    Carrot2's Lingo/STC label documents in the RESULT SET by their salient
+    shared terms; the deterministic re-expression: every matching doc is
+    labeled by its highest-scoring term under result-set tf-idf
+    (score = tf * ln(|R| / df_R), df_R = doc frequency WITHIN the result
+    set, round-4, ties broken by term asc; the query term itself is
+    excluded).  Clusters = label groups with doc counts and the min doc id
+    as the representative.
+
+    Spark shape: the result set R is a semi-join key set; df_R is one
+    groupBy over R's postings; the per-doc argmax is a row_number window
+    PARTITIONED BY doc_id (group size = a doc's vocabulary, never the
+    corpus).  No corpus-wide window, no collect.
+    """
+    tf = terms_tf(spark, sf_dir)
+    r = tf.filter(F.col("term") == term).select("doc_id")
+    tfr = (
+        tf.join(r, "doc_id", "left_semi")
+        .filter(F.col("term") != term)
+    )
+    dfr = tfr.groupBy("term").agg(F.count("*").alias("df_r"))
+    nr = r.agg(F.count("*").alias("n_r"))
+    scored = (
+        tfr.join(dfr, "term")
+        .crossJoin(F.broadcast(nr))
+        .withColumn(
+            "lscore",
+            F.round(F.col("tf") * F.log(F.col("n_r") / F.col("df_r")), 4),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("lscore"), F.asc("term")
+    )
+    labeled = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("label"))
+    )
+    return labeled.groupBy("label").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc")
+    )
+
+
+def analytics_stats(spark, sf_dir, term: str, field: str = "n_chars") -> DataFrame:
+    """q: the Solr analytics component's stats expressions over a query's
+    matches — unique + median + discrete percentiles
+    (solr/contrib/analytics/.../statistics/UniqueStatsCollector.java,
+    MedianStatsCollector.java, PercentileStatsCollector.java).
+
+    Exact reference semantics: median = MedianCalculator.getMedian
+    (midpoint average of the two middle order statistics, a plain value
+    for odd counts); percentile(p) = PercentileCalculator.getPercentiles'
+    order statistic at 0-based index round(p*n - .5) == floor(p*n).
+
+    Spark shape (exact at any scale, unlike collect-and-sort): build the
+    VALUE HISTOGRAM (groupBy(field).count() — shuffle keyed by value),
+    cumulative-sum it with a window over the DISTINCT-VALUE table (size =
+    value cardinality, never the corpus), then each wanted order statistic
+    is min(value where cum > idx) via a broadcast join of a 5-row index
+    frame.  The reference's calculators sort a collected List — single
+    node; this is the distributed-exact form.
+    """
+    m = terms_tf(spark, sf_dir).filter(F.col("term") == term).select("doc_id")
+    d = documents(spark, sf_dir).select("doc_id", field, "source")
+    vals = m.join(d, "doc_id")
+    base = vals.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("source").alias("unique_sources"),
+    )
+    hist = vals.groupBy(field).agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy(field).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wv)).select(field, "cum")
+
+    # 0-based order-statistic indexes (reference formulas above)
+    idx = (
+        base.select(
+            F.floor(0.25 * F.col("n")).alias("p25"),
+            F.floor(0.5 * (F.col("n") - 1)).alias("med_lo"),
+            (
+                F.floor(0.5 * (F.col("n") - 1))
+                + ((F.col("n") - 1) % 2)
+            ).alias("med_hi"),
+            F.floor(0.75 * F.col("n")).alias("p75"),
+            F.floor(0.99 * F.col("n")).alias("p99"),
+        )
+        .select(
+            F.explode(
+                F.create_map(
+                    F.lit("p25"), F.col("p25"),
+                    F.lit("med_lo"), F.col("med_lo"),
+                    F.lit("med_hi"), F.col("med_hi"),
+                    F.lit("p75"), F.col("p75"),
+                    F.lit("p99"), F.col("p99"),
+                )
+            ).alias("stat", "idx")
+        )
+    )
+    picked = (
+        cum.join(F.broadcast(idx), F.col("cum") > F.col("idx"))
+        .groupBy("stat")
+        .agg(F.min(field).alias("v"))
+    )
+    stats = picked.groupBy().pivot(
+        "stat", ["p25", "med_lo", "med_hi", "p75", "p99"]
+    ).agg(F.first("v"))
+    return base.crossJoin(F.broadcast(stats)).select(
+        "n",
+        "unique_sources",
+        F.col("p25").cast("double").alias("p25"),
+        ((F.col("med_lo") + F.col("med_hi")) / 2.0).alias("median"),
+        F.col("p75").cast("double").alias("p75"),
+        F.col("p99").cast("double").alias("p99"),
+    )
+
+
+def chunk_documents(spark, sf_dir, window: int = 64, stride: int = 48) -> DataFrame:
+    """q: context-window chunking for training-data prep: overlapping
+    fixed-size token windows per document (the standard LLM pretraining
+    windowing step; complements pack_sequences, which packs whole docs).
+
+    Chunks start at 0, stride, 2*stride, ... through ceil((n-window)/
+    stride)*stride (one chunk when n <= window), each `window` tokens long
+    (the final chunk may be shorter).  Whitespace tokens, matching the
+    corpus generator's spacing.
+
+    Spark shape: one JVM-side array expression per doc — split ->
+    sequence(0, n_chunks-1) -> posexplode -> slice; zero shuffles, zero
+    Python.  Chunk identity = md5 of the joined slice so the gate hashes
+    content without shipping it twice.
+    """
+    d = documents(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    last = F.greatest(
+        F.lit(0), -F.floor(-(n - F.lit(window)) / F.lit(stride))
+    )
+    return (
+        d.withColumn("ci", F.explode(F.sequence(F.lit(0), last.cast("int"))))
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("chunk_id"),
+            (F.col("ci") * stride).cast("long").alias("start"),
+            F.least(n - F.col("ci") * stride, F.lit(window))
+            .cast("long")
+            .alias("chunk_len"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("ci") * stride + 1, window)
+                )
+            ).alias("chunk_md5"),
+        )
+    )
