@@ -640,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # K4 searchAfter: page 2 via the (score, doc_id) cursor == oracle
         # ranks 11..20 (strictly-after semantics across float32 ties)
         "engine_page2": _engine_page2,
+        # Solr CursorMark deep paging: page 2 of a doclen-sorted cursor ==
+        # oracle ranks 6..10 (stateless after-filter, mark round-trip)
+        "engine_cursor": _engine_cursor,
         # E12 DisjunctionMax (tie=0.3): score = fl(max + fl(tie*fl(sum-max)))
         "engine_dismax": _engine_dismax,
         # E5 minShouldMatch on the engine surface: 2-of-3 disjunction,
@@ -919,6 +922,19 @@ def _mlt_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
     )
+
+
+def _engine_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr CursorMark (CursorMark.java): page 2 of a doclen-sorted cursor
+    over the hot term — page 1 yields the mark, page 2 is the stateless
+    strictly-after filter; matches the oracle's global ranks 6..10."""
+    from voyagr_spark.solr_api import cursor_page
+
+    idx = _engine_index(spark, sf_dir)
+    _, mark = cursor_page(idx, _HOT, sort="doclen desc, doc_id asc", rows=5)
+    page2, _ = cursor_page(idx, _HOT, sort="doclen desc, doc_id asc",
+                           rows=5, cursor_mark=mark)
+    return page2.select("doc_id", "score", "doclen")
 
 
 def _engine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2049,6 +2065,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY dl.doclen DESC, t.doc_id ASC) AS rn
               FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
             ) WHERE rn <= 10""",
+        "engine_cursor": _engine_base_sql() + f"""
+            SELECT doc_id, score, doclen FROM (
+              SELECT t.doc_id, t.score, dl.doclen,
+                     row_number() OVER (
+                       ORDER BY dl.doclen DESC, t.doc_id ASC) AS rn
+              FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
+            ) WHERE rn BETWEEN 6 AND 10""",
         "mlt_terms": _engine_base_sql() + _SQL_MLT_TERMS.format(d=_MLT_DOC),
         "knn_classify": _engine_base_sql() + _SQL_KNN.format(d=_MLT_DOC),
         "group_topk": _BASE + f"""

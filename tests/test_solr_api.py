@@ -96,3 +96,53 @@ def test_elevate_pins_censors_and_ranks(spark, built_index):
                    if d not in (base_ids[0], base_ids[3], non_match)][:8]
     assert rest_ids == expect_rest
     assert [r for r, _, _ in got] == list(range(1, len(got) + 1))
+
+
+def test_cursor_walk_reproduces_full_order(built_index):
+    """CursorMark paging: walking pages of 3 reproduces the full sorted
+    result exactly and terminates with a repeated mark (the reference's
+    exhaustion contract)."""
+    from voyagr_spark.solr_api import CURSOR_MARK_START, cursor_page
+
+    full = solr_select(built_index, "file", sort="doclen desc",
+                       rows=10**6).collect()
+    want = [r["doc_id"] for r in full]
+    got, mark, hops = [], CURSOR_MARK_START, 0
+    while True:
+        page, nxt = cursor_page(built_index, "file",
+                                sort="doclen desc, doc_id asc",
+                                rows=3, cursor_mark=mark)
+        rows = page.collect()
+        if nxt == mark:
+            assert not rows
+            break
+        got.extend(r["doc_id"] for r in rows)
+        mark = nxt
+        hops += 1
+        assert hops < 1000
+    assert got == want
+
+
+def test_cursor_score_sort_matches_search(built_index):
+    from voyagr_spark.search import search
+    from voyagr_spark.solr_api import cursor_page
+
+    top = search(built_index, "file", k=8).collect()
+    p1, m1 = cursor_page(built_index, "file",
+                         sort="score desc, doc_id asc", rows=4)
+    p2, _ = cursor_page(built_index, "file",
+                        sort="score desc, doc_id asc", rows=4,
+                        cursor_mark=m1)
+    got = p1.collect() + p2.collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in top]
+    assert all(np.float32(a["score"]) == np.float32(b["score"])
+               for a, b in zip(got, top))
+
+
+def test_cursor_requires_unique_key_sort(built_index):
+    from voyagr_spark.solr_api import cursor_page
+
+    with pytest.raises(ValueError, match="uniqueKey"):
+        cursor_page(built_index, "file", sort="doclen desc", rows=3)
+    with pytest.raises(ValueError, match="unknown sort field"):
+        cursor_page(built_index, "file", sort="nosuch asc, doc_id asc")

@@ -25,6 +25,8 @@ broadcast when the match set is small.
 
 from __future__ import annotations
 
+import base64
+import json
 import re
 
 from pyspark.sql import DataFrame
@@ -118,6 +120,100 @@ def term_vector(index, source: DataFrame, doc_id: int) -> DataFrame:
     return index.spark.createDataFrame(
         [(t, int(c)) for t, c in counts], "term string, tf long"
     )
+
+
+CURSOR_MARK_START = "*"  # CursorMarkParams.CURSOR_MARK_START
+
+
+def _parse_sort_clauses(sort: str) -> list[tuple[str, bool]]:
+    """'doclen desc, doc_id asc' -> [(field, ascending), ...]."""
+    clauses = []
+    for part in sort.split(","):
+        field, _, direction = part.strip().partition(" ")
+        if not field:
+            raise ValueError(f"empty sort clause in {sort!r}")
+        d = direction.strip().lower() or "asc"
+        if d not in ("asc", "desc"):
+            raise ValueError(f"bad sort direction {direction!r} in {sort!r}")
+        clauses.append((field, d == "asc"))
+    return clauses
+
+
+def cursor_page(
+    index,
+    q: str,
+    sort: str,
+    rows: int = 10,
+    cursor_mark: str = CURSOR_MARK_START,
+    fq: list[str] | str | None = None,
+) -> tuple[DataFrame, str]:
+    """CursorMark deep paging (solr/core/src/java/org/apache/solr/search/
+    CursorMark.java, CursorMarkParams.java): stateless cursors over a total
+    order, the scale-safe alternative to start=N offsets (each offset page
+    re-ranks N+rows docs; a cursor page is always one `after`-filtered
+    top-rows).
+
+    Reference validation kept (CursorMark ctor): the sort MUST contain the
+    uniqueKey field (doc_id here) as tie-breaker, and cursors never combine
+    with a start offset (this API simply has none).  `cursorMark=*` starts;
+    each call returns (page, nextCursorMark) where the mark serializes the
+    last returned doc's sort values (Solr base64s a JavaBin list; ours is
+    base64(JSON) — behavior-identical, format documented divergence).  An
+    empty page returns the SAME mark: clients detect exhaustion by mark
+    equality, exactly the reference contract.
+
+    Scale shape: the after-predicate is a plain Catalyst filter on the sort
+    columns, so every page is one TakeOrderedAndProject over the filtered
+    match set — no accumulated offset skip, no driver state beyond the
+    rows-sized page Solr itself materializes to serve."""
+    clauses = _parse_sort_clauses(sort)
+    fields = [f for f, _ in clauses]
+    if "doc_id" not in fields:
+        raise ValueError(
+            "Cursor functionality requires a sort containing a uniqueKey "
+            "field tie breaker (add 'doc_id asc')"
+        )
+    for f_ in fields:
+        if f_ not in _DOCMAP_FIELDS and f_ not in ("doc_id", "score"):
+            raise ValueError(f"unknown sort field {f_!r}")
+
+    matches = scores(index, q)
+    joined = matches.join(index.docmap(), "doc_id")
+    if fq:
+        if isinstance(fq, str):
+            fq = [fq]
+        for f_ in fq:
+            joined = joined.filter(_fq_predicate(f_))
+
+    if cursor_mark != CURSOR_MARK_START:
+        vals = json.loads(base64.b64decode(cursor_mark.encode()).decode())
+        if len(vals) != len(clauses):
+            raise ValueError(
+                f"cursorMark holds {len(vals)} values, sort has "
+                f"{len(clauses)} clauses"
+            )
+        # strictly-after predicate on the lexicographic total order:
+        # OR_i ( AND_{j<i} c_j == v_j ) AND (c_i > v_i | c_i < v_i)
+        pred = None
+        for i, (field, asc) in enumerate(clauses):
+            col = F.col(field)
+            term = col > F.lit(vals[i]) if asc else col < F.lit(vals[i])
+            for pf, pv in zip(fields[:i], vals[:i]):
+                term = term & (F.col(pf) == F.lit(pv))
+            pred = term if pred is None else (pred | term)
+        joined = joined.filter(pred)
+
+    order = [F.asc(f) if asc else F.desc(f) for f, asc in clauses]
+    page_rows = joined.orderBy(*order).limit(int(rows)).collect()
+    out_cols = ["doc_id", "score"] + [f for f in fields if f not in ("doc_id", "score")]
+    page = index.spark.createDataFrame(page_rows, joined.schema).select(*out_cols)
+    if not page_rows:
+        return page, cursor_mark
+    last = page_rows[-1]
+    next_mark = base64.b64encode(
+        json.dumps([last[f] for f in fields]).encode()
+    ).decode()
+    return page, next_mark
 
 
 def _fq_predicate(fq: str):
