@@ -667,6 +667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # append at id base_n) — oracle counts BOTH copies in the stale
         # stats and filters the old id from results
         "engine_upsert": _engine_upsert,
+        # Solr atomic update: RTG fetch -> AtomicUpdateDocumentMerger
+        # merge(set) -> upsert; doc 3's content grows a suffix, old id
+        # tombstoned, stale stats count both copies
+        "engine_atomic": _engine_atomic,
         # Solr /select flow: fq numeric range filtered BEFORE the top-k cut
         # (E15 on the engine surface), fl projection
         "engine_fq_select": _engine_fq_select,
@@ -1101,6 +1105,58 @@ def _engine_upserted_index(spark: SparkSession, sf_dir: str):
     idx.pin()
     _UPSERT_CACHE[key] = idx
     return idx
+
+
+_ATOMIC_DOC = 3  # base doc mutated through the atomic-update path
+_ATOMIC_SUFFIX = " vector batch vector"
+_ATOMIC_CACHE: dict = {}
+
+
+def _engine_atomic_index(spark: SparkSession, sf_dir: str):
+    """Base corpus, then base doc 3's content grown via the REAL atomic
+    update path (AtomicUpdateDocumentMerger: RTG fetch -> merge(set) ->
+    upsert): the old id tombstones, the merged doc re-appends at id base_n
+    with content = old || suffix."""
+    from voyagr_spark.indexer import Index, build_index
+    from voyagr_spark.solr_api import atomic_update
+
+    key = sf_dir.rstrip("/")
+    if key in _ATOMIC_CACHE:
+        return _ATOMIC_CACHE[key]
+    tag = hashlib.md5((key + "-atm").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = _docs_mapped(spark, sf_dir)
+    base_n = docs.count()
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(spark, docs, idx_dir, num_segments=4)
+    if idx.max_doc == base_n:  # idempotent across reloads
+        row = docs.orderBy("repo", "path", "commit").limit(
+            _ATOMIC_DOC + 1
+        ).collect()[_ATOMIC_DOC]
+        atomic_update(
+            idx, docs,
+            {k: row[k] for k in ("repo", "path", "commit")},
+            {"content": {"set": row["content"] + _ATOMIC_SUFFIX}},
+        )
+    idx.pin()
+    _ATOMIC_CACHE[key] = idx
+    return idx
+
+
+def _engine_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hot-term search after the atomic content update."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_atomic_index(spark, sf_dir)
+    res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 def _engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,6 +2099,19 @@ def oracle_sql() -> dict[str, str]:
                    doc_id, score
             FROM ({_SQL_TERM.format(t=_HOT)})
             WHERE doc_id <> {_UPSERT_DOC}
+          ) WHERE rank <= 10""",
+        "engine_atomic": _engine_base_sql(appended_sql=(
+            "  UNION ALL\n"
+            "  SELECT (SELECT count(*) FROM documents) AS doc_id,\n"
+            f"         (SELECT text || '{_ATOMIC_SUFFIX}' FROM docmap0"
+            f" WHERE doc_id = {_ATOMIC_DOC})\n"
+        )) + f"""
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM ({_SQL_TERM.format(t=_HOT)})
+            WHERE doc_id <> {_ATOMIC_DOC}
           ) WHERE rank <= 10""",
         "engine_append": _engine_base_sql(_APPEND_TEXTS) + f"""
           SELECT rank, doc_id, score FROM (

@@ -122,6 +122,130 @@ def term_vector(index, source: DataFrame, doc_id: int) -> DataFrame:
     )
 
 
+DOC_KEY_FIELDS = ("repo", "path", "commit")
+
+
+def atomic_merge(updates: dict, to_doc: dict,
+                 key_fields: tuple = DOC_KEY_FIELDS) -> dict:
+    """AtomicUpdateDocumentMerger.merge (solr/core/src/java/org/apache/solr/
+    update/processor/AtomicUpdateDocumentMerger.java:77-124): apply atomic
+    field commands to the stored document.
+
+    Reference semantics kept exactly:
+    * a plain (non-dict) value is a `set` ("normal fields are treated as a
+      set", :118);
+    * `set` replaces, `add` appends (scalar existing value becomes a list),
+      `remove` drops matching values, `removeregex` drops values fully
+      matching the pattern(s) (Matcher.matches), `inc` adds numerically —
+      absent field means `inc` sets (:136-139), and the result type follows
+      the OLD value's type (:142-151);
+    * an unknown op is warned and ignored (:106-109);
+    * any op on the uniqueKey field raises ("Invalid update of id field",
+      :112-115) — here the key is the (repo, path, commit) triple.
+    """
+    import warnings
+
+    out = dict(to_doc)
+    for name, val in updates.items():
+        if name in key_fields:
+            raise ValueError(f"Invalid update of id field: {name}")
+        if not isinstance(val, dict):
+            out[name] = val  # normal field == set
+            continue
+        for op, field_val in val.items():
+            if op == "set":
+                out[name] = field_val
+            elif op == "add":
+                cur = out.get(name)
+                vals = ([] if cur is None
+                        else list(cur) if isinstance(cur, list) else [cur])
+                if isinstance(field_val, list):
+                    vals.extend(field_val)
+                else:
+                    vals.append(field_val)
+                out[name] = vals
+            elif op == "remove":
+                cur = out.get(name)
+                if cur is None:
+                    continue
+                vals = list(cur) if isinstance(cur, list) else [cur]
+                drop = field_val if isinstance(field_val, list) else [field_val]
+                for d in drop:
+                    if d in vals:
+                        vals.remove(d)
+                out[name] = vals
+            elif op == "removeregex":
+                cur = out.get(name)
+                if cur is None:
+                    continue
+                vals = list(cur) if isinstance(cur, list) else [cur]
+                pats = (field_val if isinstance(field_val, list)
+                        else [field_val])
+                pats = [re.compile(p) for p in pats]
+                out[name] = [v for v in vals
+                             if not any(p.fullmatch(str(v)) for p in pats)]
+            elif op == "inc":
+                cur = out.get(name)
+                if cur is None:
+                    out[name] = field_val
+                elif isinstance(cur, bool):
+                    raise ValueError(f"inc on non-numeric field {name!r}")
+                elif isinstance(cur, int):
+                    out[name] = cur + int(field_val)
+                elif isinstance(cur, float):
+                    out[name] = cur + float(field_val)
+                else:  # string old value: int result like the int branch
+                    out[name] = int(str(cur)) + int(field_val)
+            else:
+                warnings.warn(
+                    f"Unknown operation for the an atomic update, operation "
+                    f"ignored: {op}"
+                )
+    return out
+
+
+def atomic_update(index, source: DataFrame, key: dict, updates: dict,
+                  num_partitions: int = 1) -> dict:
+    """Atomic document update end-to-end: RealTimeGet fetch of the current
+    stored doc by uniqueKey, AtomicUpdateDocumentMerger.merge, then the
+    updateDocument path (DistributedUpdateProcessor.getUpdatedDocument ->
+    delete-by-key + re-add via `upsert_batch`).
+
+    `source` is the stored-fields table of record; `key` gives the
+    (repo, path, commit) values.  A missing doc starts fresh from the key
+    (the reference merges into a new SolrInputDocument holding only the id).
+    Returns the merged doc dict; list-valued merge results must be collapsed
+    by the caller before indexing (the corpus schema is single-valued).
+
+    Scale shape: one key-pushed-down source lookup (parquet min/max prune)
+    + one O(1)-doc upsert batch — never a source scan."""
+    pred = None
+    for f_ in DOC_KEY_FIELDS:
+        if f_ not in key:
+            raise ValueError(f"atomic_update key must carry {f_!r}")
+        p = F.col(f_) == key[f_]
+        pred = p if pred is None else (pred & p)
+    rows = source.filter(pred).collect()
+    if len(rows) > 1:
+        raise ValueError(f"uniqueKey {key} matches {len(rows)} docs")
+    cur = rows[0].asDict() if rows else dict(key)
+    merged = atomic_merge(updates, cur)
+    for c in source.columns:
+        v = merged.get(c)
+        if isinstance(v, list):
+            raise ValueError(
+                f"field {c!r} merged to a multi-value {v!r}; the corpus "
+                f"schema is single-valued — collapse before indexing"
+            )
+    from .streaming import upsert_batch
+
+    batch = index.spark.createDataFrame(
+        [tuple(merged.get(c) for c in source.columns)], source.schema
+    )
+    upsert_batch(index, batch, num_partitions=num_partitions)
+    return merged
+
+
 CURSOR_MARK_START = "*"  # CursorMarkParams.CURSOR_MARK_START
 
 
