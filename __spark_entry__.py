@@ -619,6 +619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": lambda s, d: R.terms_enum(
             s, d, lower="f", upper="m", mincount=2, limit=10, sort="count"
         ),
+        # WordBreakSpellChecker: break 'batchdup' into dictionary words /
+        # combine adjacent query terms into one dictionary word — candidate
+        # dfs fetched in ONE pushed-down term_dfs lookup
+        "word_breaks": _word_breaks,
+        "word_combos": _word_combos,
         # engine-native path, DuckDB-gated bit-exactly: the oracle reproduces
         # the float32 + SmallFloat-quantized-norm pipeline in SQL (see
         # _engine_base_sql), so rows+schema+hash compare on (rank, doc_id,
@@ -925,6 +930,39 @@ def _mlt_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _word_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks over 'batchdup': every split
+    whose two halves are both dictionary terms, ranked (fewest breaks, max
+    constituent df desc, text asc)."""
+    from voyagr_spark.wordbreak import SUGGEST_ALWAYS, suggest_word_breaks
+
+    idx = _engine_index(spark, sf_dir)
+    sw = suggest_word_breaks(idx, _HOT + _RARE, max_suggestions=20,
+                             suggest_mode=SUGGEST_ALWAYS, max_changes=1)
+    rows = [(i + 1, s[0]["string"], s[0]["freq"], s[1]["string"], s[1]["freq"])
+            for i, s in enumerate(sw)]
+    return spark.createDataFrame(
+        rows,
+        "rank long, left_word string, left_freq long, "
+        "right_word string, right_freq long",
+    )
+
+
+def _word_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations over (bat, ch, dup):
+    adjacent concatenations present in the dictionary."""
+    from voyagr_spark.wordbreak import SUGGEST_ALWAYS, suggest_word_combinations
+
+    idx = _engine_index(spark, sf_dir)
+    cs = suggest_word_combinations(idx, ["bat", "ch", _RARE],
+                                   suggest_mode=SUGGEST_ALWAYS, max_changes=1)
+    rows = [(i + 1, s["string"], s["freq"], s["score"])
+            for i, s in enumerate(cs)]
+    return spark.createDataFrame(
+        rows, "rank long, string string, freq long, score long"
     )
 
 
@@ -1904,6 +1942,23 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT term, df FROM st
              WHERE term >= 'f' AND term <= 'm' AND df >= 2
              ORDER BY df DESC, term ASC LIMIT 10""",
+        "word_breaks": _BASE + f"""
+            SELECT row_number() OVER (
+                     ORDER BY greatest(sl.df, sr.df) DESC,
+                              sl.term || ' ' || sr.term ASC)::BIGINT AS rank,
+                   sl.term AS left_word, sl.df AS left_freq,
+                   sr.term AS right_word, sr.df AS right_freq
+            FROM range(1, length('{_HOT + _RARE}')) pos(i)
+            JOIN st sl ON sl.term = substr('{_HOT + _RARE}', 1, pos.i::INT)
+            JOIN st sr ON sr.term = substr('{_HOT + _RARE}', pos.i::INT + 1)
+            LIMIT 20""",
+        "word_combos": _BASE + f"""
+            SELECT row_number() OVER (
+                     ORDER BY st.df DESC, c.string ASC)::BIGINT AS rank,
+                   c.string, st.df AS freq, 1::BIGINT AS score
+            FROM (VALUES ('batch'), ('chdup')) c(string)
+            JOIN st ON st.term = c.string
+            LIMIT 20""",
         "events_window": """
             SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
                             '%Y-%m-%d %H:%M:%S') AS win_start,
