@@ -614,6 +614,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic md5-threshold stratified sampling per language —
         # reproducible training-mix rebalancing, no RNG state
         "stratified_sample": lambda s, d: R.stratified_sample(s, d),
+        # CCNet/RefinedWeb-style line-level boilerplate removal: lines in
+        # >= 2 distinct docs drop, docs reassemble from survivors (synthetic
+        # 2-token lines — the corpus is single-line)
+        "dedup_lines": lambda s, d: R.dedup_lines_table(
+            s, d, line_tokens=2, min_docs=2
+        ),
         # Solr TermsComponent: dictionary enumeration with range/mincount
         # filters, (df desc, term asc) ranking
         "terms_enum": lambda s, d: R.terms_enum(
@@ -1942,6 +1948,30 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT term, df FROM st
              WHERE term >= 'f' AND term <= 'm' AND df >= 2
              ORDER BY df DESC, term ASC LIMIT 10""",
+        "dedup_lines": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') ts FROM documents
+            ),
+            lexp AS (
+              SELECT doc_id, ts,
+                     unnest(range(0, CAST(ceil(len(ts)/2.0) AS BIGINT))) AS pos
+              FROM toks
+            ),
+            lines AS (
+              SELECT doc_id, pos,
+                     array_to_string(ts[(pos*2+1):(pos*2+2)], ' ') AS line
+              FROM lexp
+            ),
+            cnt AS (SELECT lower(trim(line)) k, count(DISTINCT doc_id) n
+                    FROM lines GROUP BY 1),
+            kept AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) tc
+              FROM lines JOIN cnt ON lower(trim(line)) = cnt.k
+              WHERE n < 2 GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(k.tc, '') AS text_clean
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            ORDER BY d.doc_id""",
         "word_breaks": _BASE + f"""
             SELECT row_number() OVER (
                      ORDER BY greatest(sl.df, sr.df) DESC,

@@ -298,3 +298,79 @@ def test_analytics_stats_reference_semantics(spark, tmp_path_factory):
     assert row["median"] == (lo + hi) / 2.0  # odd n: plain middle value
     # even-n midpoint interpolation is covered by the sf0.01 gate
     # (402 matches there, hash-compared against the DuckDB oracle)
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    """Lines shared by >= min_docs distinct docs drop (normalized lower+trim
+    match); unique lines survive in original order; all-boilerplate docs
+    keep ''."""
+    from voyagr_spark.relational import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "COPYRIGHT 2024 ACME\nreal content alpha\nfooter nav"),
+            (1, "copyright 2024 acme  \nreal content beta\nfooter nav"),
+            (2, "copyright 2024 acme\nfooter nav"),
+            (3, "solo document line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_clean"]
+           for r in dedup_lines(docs, min_docs=2).collect()}
+    assert got[0] == "real content alpha"
+    assert got[1] == "real content beta"
+    assert got[2] == ""                      # every line was boilerplate
+    assert got[3] == "solo document line"
+
+
+def test_dedup_lines_preserves_line_order_and_repeats_within_doc(spark):
+    from voyagr_spark.relational import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "keep one\nkeep two\nkeep one\nkeep three")],
+        "doc_id long, text string",
+    )
+    # a line repeated WITHIN one doc is 1 distinct doc — survives, twice,
+    # in position order
+    got = dedup_lines(docs, min_docs=2).collect()[0]["text_clean"]
+    assert got == "keep one\nkeep two\nkeep one\nkeep three"
+
+
+def test_dedup_lines_table_matches_duckdb(spark, docs_dir):
+    """The gate surface (synthetic 2-token lines over the documents table)
+    against an independent DuckDB recompute."""
+    import duckdb
+
+    from voyagr_spark.relational import dedup_lines_table
+
+    got = {r["doc_id"]: r["text_clean"]
+           for r in dedup_lines_table(spark, docs_dir, line_tokens=2,
+                                      min_docs=2).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{docs_dir}/documents.parquet/*.parquet'"
+    )
+    want = dict(con.sql("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        lexp AS (
+          SELECT doc_id, ts,
+                 unnest(range(0, CAST(ceil(len(ts)/2.0) AS BIGINT))) AS pos
+          FROM toks
+        ),
+        lines AS (
+          SELECT doc_id, pos,
+                 array_to_string(ts[(pos*2+1):(pos*2+2)], ' ') AS line
+          FROM lexp
+        ),
+        cnt AS (SELECT lower(trim(line)) k, count(DISTINCT doc_id) n
+                FROM lines GROUP BY 1),
+        kept AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) tc
+          FROM lines JOIN cnt ON lower(trim(line)) = cnt.k
+          WHERE n < 2 GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(k.tc, '') FROM documents d
+        LEFT JOIN kept k USING (doc_id)
+    """).fetchall())
+    assert got == want

@@ -1550,6 +1550,78 @@ def analytics_stats(spark, sf_dir, term: str, field: str = "n_chars") -> DataFra
     )
 
 
+def dedup_lines(docs: DataFrame, min_docs: int = 2, sep: str = "\n") -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb paragraph-dedup
+    step): drop every line whose normalized form (lower + trim) appears in
+    >= `min_docs` DISTINCT documents — headers, footers, nav bars, license
+    blurbs — and reassemble each document from its surviving lines in
+    original order.  Docs whose every line was boilerplate keep text ''.
+
+    Input: (doc_id, text); output: (doc_id, text_clean).
+
+    Spark shape at 100 TB: posexplode lines -> groupBy(line key) with a
+    partial-aggregated countDistinct (map-side combine) -> one key-
+    partitioned shuffle join back -> per-doc reassembly via array_sort on
+    (pos, line) structs.  No driver state, no Python; the line-count table
+    is boilerplate-vocabulary sized.  Hot degenerate keys (the empty line)
+    are just counts, never candidate pairs — unlike MinHash buckets there
+    is no pairwise stage to cap.
+    """
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", sep)).alias("pos", "line")
+    )
+    key = F.lower(F.trim(F.col("line")))
+    counts = (
+        lines.groupBy(key.alias("key"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    kept = (
+        lines.join(counts, key == counts.key)
+        .filter(F.col("n_docs") < min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean")
+        )
+    )
+    return (
+        docs.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def dedup_lines_table(spark, sf_dir, line_tokens: int = 2,
+                      min_docs: int = 2) -> DataFrame:
+    """dedup_lines over the documents table, with deterministic synthetic
+    line structure (the corpus is single-line): consecutive `line_tokens`-
+    token runs become lines.  Gate surface for the boilerplate-removal op."""
+    d = documents(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_lines = F.ceil(F.size("toks") / F.lit(line_tokens)).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * line_tokens + 1, line_tokens), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup_lines(lined, min_docs=min_docs).orderBy("doc_id")
+
+
 def chunk_documents(spark, sf_dir, window: int = 64, stride: int = 48) -> DataFrame:
     """q: context-window chunking for training-data prep: overlapping
     fixed-size token windows per document (the standard LLM pretraining
