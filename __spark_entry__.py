@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # §2.2 analysis + §2.3 build
         "tokenize_tf": lambda s, d: R.terms_tf(s, d),
+        # HTMLStripCharFilter: markup-wrapped docs char-filtered then
+        # tokenized — must equal the plain-text tf table + one 'extra'/doc
+        "html_strip_tf": lambda s, d: R.html_terms_tf(s, d),
         "doclen": lambda s, d: R.doclen(s, d),
         "term_stats": lambda s, d: R.term_stats(s, d),
         "collection_stats": lambda s, d: R.collection_stats(s, d),
@@ -1591,6 +1594,15 @@ def oracle_sql() -> dict[str, str]:
     )
     d = {
         "tokenize_tf": _BASE + "SELECT doc_id, term, tf FROM tf",
+        "html_strip_tf": f"""
+            WITH tok AS (
+              SELECT doc_id, lower(unnest(string_split(
+                       text || ' extra', ' '))) AS term
+              FROM documents
+            ),
+            terms AS (SELECT * FROM tok WHERE term NOT IN {_STOP_SQL})
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM terms GROUP BY doc_id, term""",
         "doclen": _BASE + "SELECT doc_id, doclen FROM dl",
         "term_stats": _BASE + "SELECT term, df, ttf FROM st",
         "collection_stats": _BASE

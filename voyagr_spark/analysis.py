@@ -448,6 +448,123 @@ def doc_lengths(terms: pd.Series) -> np.ndarray:
 from dataclasses import dataclass, field  # noqa: E402
 from functools import lru_cache  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# HTMLStripCharFilter analog (analysis/common/src/java/org/apache/lucene/
+# analysis/charfilter/HTMLStripCharFilter.jflex).  Reference semantics kept:
+# INLINE elements (the InlineElment list, .jflex:113-139) strip to NOTHING
+# ("one<span>two</span>three" -> "onetwothree", testInlineTagsNoSpace);
+# every other tag — including <script>/<style> blocks with their content —
+# replaces with '\n' (BLOCK_LEVEL_*_TAG_REPLACEMENT, .jflex:145-146);
+# comments, <!...> bang tags and <?...> processing instructions vanish;
+# character entities decode (HTMLCharacterEntities.jflex), with the
+# reference's own nbsp -> ' ' mapping (:124) rather than U+00A0.
+# Documented divergences: regex passes instead of the jflex state machine
+# (no CDATA passthrough, no escapedTags config); the entity table is the
+# HTML5 set (a superset of the reference's ~250 names).
+# ---------------------------------------------------------------------------
+
+_HTML_INLINE_NAMES = (
+    "a|abbr|acronym|b|basefont|bdo|big|cite|code|dfn|em|font|i|img|input|"
+    "kbd|label|q|s|samp|select|small|span|strike|strong|sub|sup|textarea|"
+    "tt|u|var"
+)
+_HTML_BLOCK_OPEN = re.compile(r"<(script|style)\b[^>]*>", re.I)
+
+
+def _strip_script_blocks(text: str) -> str:
+    """Remove <script>/<style> elements with their content -> '\\n'.
+
+    A scanner, not a regex: script comments NEST in the reference grammar
+    (testScriptQuotes — '<!--' inside an open comment deepens it, each '-->'
+    closes one level, and '</script>' inside an open comment is content),
+    which a regex cannot count."""
+    out = []
+    i, L = 0, len(text)
+    while True:
+        m = _HTML_BLOCK_OPEN.search(text, i)
+        if not m:
+            out.append(text[i:])
+            break
+        out.append(text[i:m.start()])
+        out.append("\n")
+        closer = re.compile(rf"</{m.group(1)}\s*>", re.I)
+        j, depth = m.end(), 0
+        while j < L:
+            if depth == 0:
+                no = text.find("<!--", j)
+                mc = closer.search(text, j)
+                if mc is None and no == -1:
+                    j = L
+                elif mc is not None and (no == -1 or mc.start() < no):
+                    j = mc.end()
+                    break
+                else:
+                    j, depth = no + 4, 1
+            else:
+                no = text.find("<!--", j)
+                nc = text.find("-->", j)
+                if nc == -1:
+                    j = L
+                elif no != -1 and no < nc:
+                    j, depth = no + 4, depth + 1
+                else:
+                    j, depth = nc + 3, depth - 1
+        i = j
+        if i >= L:
+            break
+    return "".join(out)
+
+
+_HTML_PASSES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"<!--.*?(?:-->|$)", re.S), ""),
+    (re.compile(r"<!(?!--)[^>]*>"), ""),
+    (re.compile(r"<\?[^>]*>"), ""),
+    (re.compile(rf"</?(?:{_HTML_INLINE_NAMES})(?:[\s/][^>]*)?>", re.I), ""),
+    (re.compile(r"</?[a-zA-Z][^>]*>"), "\n"),
+]
+
+
+def strip_html(text: str) -> str:
+    """Strip HTML markup from one string (char-filter semantics above)."""
+    import html as _html
+
+    if not text or "<" not in text and "&" not in text:
+        return text or ""
+    if "<" in text:
+        text = _strip_script_blocks(text)
+    for pat, repl in _HTML_PASSES:
+        text = pat.sub(repl, text)
+    if "&" in text:
+        text = _html.unescape(text).replace("\xa0", " ")
+    return text
+
+
+def strip_html_series(texts: pd.Series) -> pd.Series:
+    """Vectorized strip_html over a batch: one pandas regex pass per rule;
+    entity decode only touches the rows still holding '&'."""
+    import html as _html
+
+    out = texts.fillna("")
+    mask = out.str.contains("<", regex=False) | out.str.contains(
+        "&", regex=False
+    )
+    if not mask.any():
+        return out
+    sub = out[mask]
+    smask = sub.str.contains("<", regex=False)
+    if smask.any():
+        sub.loc[smask] = sub[smask].map(_strip_script_blocks)
+    for pat, repl in _HTML_PASSES:
+        sub = sub.str.replace(pat, repl, regex=True)
+    emask = sub.str.contains("&", regex=False)
+    if emask.any():
+        sub.loc[emask] = sub[emask].map(
+            lambda t: _html.unescape(t).replace("\xa0", " ")
+        )
+    out = out.copy()
+    out[mask] = sub
+    return out
+
 
 @lru_cache(maxsize=32)
 def _compiled(pattern: str) -> re.Pattern:
@@ -518,6 +635,9 @@ class Analyzer:
     #: lowercasing and BEFORE the stop filter so accented stopword forms
     #: ('thé') are removed like their ASCII spellings
     fold_ascii: bool = False
+    #: HTMLStripCharFilter analog (strip_html above) — a CHAR filter, so it
+    #: runs before the tokenizer, on indexing and query text alike
+    strip_html: bool = False
     #: SynonymFilter analog (analysis/synonym/SynonymFilter.java:48-79):
     #: term -> extra terms injected at the SAME position (posinc 0) after
     #: stop+stem.  Stored canonically as tuple((term, (syn, ...)), ...);
@@ -543,6 +663,7 @@ class Analyzer:
             and self.stem is None
             and not self.fold_ascii
             and not self.synonyms
+            and not self.strip_html
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -554,6 +675,7 @@ class Analyzer:
             "max_token_length": self.max_token_length,
             "stem": self.stem,
             "fold_ascii": self.fold_ascii,
+            "strip_html": self.strip_html,
             "synonyms": (
                 [[k, list(v)] for k, v in self.synonyms]
                 if self.synonyms else None
@@ -572,6 +694,7 @@ class Analyzer:
             max_token_length=int(d["max_token_length"]),
             stem=d.get("stem"),  # absent in pre-stemmer metas
             fold_ascii=bool(d.get("fold_ascii", False)),
+            strip_html=bool(d.get("strip_html", False)),
             synonyms=(
                 tuple((k, tuple(v)) for k, v in syn) if syn else None
             ),
@@ -581,6 +704,8 @@ class Analyzer:
     def analyze_text(self, text: str) -> tuple[list[str], list[int]]:
         if self.is_standard:
             return analyze_text(text)
+        if self.strip_html:
+            text = strip_html(text or "")
         toks = self._chunk(_compiled(self.token_pattern).findall(text or ""))
         terms, positions = [], []
         for pos, tok in enumerate(toks):
@@ -635,6 +760,8 @@ class Analyzer:
             return analyze_flat(texts)
         from itertools import chain as _chain
 
+        if self.strip_html:
+            texts = strip_html_series(texts)
         pat = _compiled(self.token_pattern)
         toks = texts.fillna("").str.findall(pat)
         mx = self.max_token_length

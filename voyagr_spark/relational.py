@@ -97,6 +97,38 @@ def terms_tf(spark, sf_dir) -> DataFrame:
     )
 
 
+def html_terms_tf(spark, sf_dir) -> DataFrame:
+    """HTMLStripCharFilter gate surface: every document wrapped in
+    deterministic markup (an inline <b> that must strip to NOTHING, block
+    <p> tags, a whole <script> element, an &amp; entity, one real trailing
+    token), char-filtered by `analysis.strip_html`, then the standard
+    tokenize -> lower -> stop -> tf chain.  Equals the plain text's tf
+    table plus one 'extra' per doc iff the strip is exact — markup leaking
+    a single token or eating one character breaks the hash."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .analysis import strip_html_series
+
+    strip = pandas_udf(strip_html_series, "string")
+    wrapped = documents(spark, sf_dir).select(
+        "doc_id",
+        strip(
+            F.concat(
+                F.lit('<p class="x"><b>'), F.col("text"),
+                F.lit("</b></p><script>var zz=9;</script> &amp; extra"),
+            )
+        ).alias("text"),
+    )
+    toks = wrapped.select(
+        "doc_id", F.explode(tokenize_udf(F.col("text"))).alias("term")
+    ).withColumn("term", F.lower("term"))
+    return (
+        toks.filter(~F.col("term").isin(STOPWORDS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def doclen(spark, sf_dir) -> DataFrame:
     """q: field length for norms = surviving token count (B4)."""
     return (
