@@ -140,6 +140,17 @@ def _nrmf_rows(max_len: int = 10**12) -> str:
     )
 
 
+def _dlt_rows(max_len: int = 10**12) -> str:
+    """(lo, hi, dl) VALUES rows: doclen range -> SimilarityBase quantized
+    docLen decode 1/(byte315ToFloat^2) (SimilarityBase.java:220-245)."""
+    from voyagr_spark.lm import DOCLEN_TABLE
+
+    return ", ".join(
+        f"({lo}, {hi}, CAST({float(DOCLEN_TABLE[b])!r} AS DOUBLE))"
+        for lo, hi, b in _norm_bands(max_len)
+    )
+
+
 def _engine_base_sql(appended: tuple[str, ...] = (),
                      appended_sql: str = "", stop: bool = True) -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
@@ -826,6 +837,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_classic_term": _engine_classic(_HOT),
         "engine_classic_or": _engine_classic(" OR ".join(_OR3)),
         "engine_classic_and": _engine_classic(f"{_HOT} AND {_RARE}"),
+        # LM similarities (lm.py): Dirichlet doc-length prior (mu=2000,
+        # LMDirichletSimilarity.java:37-42) and Jelinek-Mercer mixture
+        # (lambda=0.7, LMJelinekMercerSimilarity.java:28-34) over the same
+        # stored norm byte — no reindex, SimilarityBase docLen decode
+        "engine_lmd_term": _engine_lm(_HOT, "lmdirichlet"),
+        "engine_lmjm_or": _engine_lm(f"{_HOT} OR {_RARE}", "lmjm"),
     }
     return q
 
@@ -838,6 +855,22 @@ def _engine_classic(qtext: str):
 
         idx = _engine_index(spark, sf_dir)
         res = search(idx, qtext, k=10, similarity="classic")
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return res.select(
+            F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+        )
+
+    return run
+
+
+def _engine_lm(qtext: str, sim: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from voyagr_spark.search import search
+
+        idx = _engine_index(spark, sf_dir)
+        res = search(idx, qtext, k=10, similarity=sim)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return res.select(
             F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
@@ -2590,6 +2623,69 @@ def oracle_sql() -> dict[str, str]:
           FROM u LEFT JOIN s0 ON u.doc_id = s0.doc_id
                  LEFT JOIN s1 ON u.doc_id = s1.doc_id
                  LEFT JOIN s2 ON u.doc_id = s2.doc_id""")
+    # LM similarities: SimilarityBase quantized docLen (1/byte315^2),
+    # collectionProbability = fl((ttf+1)/(sumTTF+1)), then the per-op
+    # float32 rendering of the Dirichlet / Jelinek-Mercer score chains
+    lm_pre = f"""
+        , dlt(lo, hi, dl) AS (VALUES {_dlt_rows()})
+        , dln AS (SELECT dl.doc_id, CAST(q.dl AS FLOAT) AS dlen
+                  FROM dl JOIN dlt q ON dl.doclen BETWEEN q.lo AND q.hi)
+        , lmcp AS (SELECT term,
+                     CAST(CAST(CAST(sum(tf) AS FLOAT) + CAST(1 AS FLOAT)
+                               AS FLOAT)
+                        / CAST(CAST((SELECT sum(doclen) FROM dl) AS FLOAT)
+                               + CAST(1 AS FLOAT) AS FLOAT) AS FLOAT) AS p
+                   FROM tf GROUP BY term)
+    """
+
+    def _lmd_score(term: str) -> str:
+        # fl(boost=1 * fl(ln(fl(1 + fl(tf/fl(mu*cp)))) + ln(fl(mu/fl(dlen+mu)))))
+        # clamped to 0 when non-positive (LMDirichletSimilarity.java:37-42)
+        return f"""
+          SELECT doc_id,
+                 CASE WHEN s0 > 0 THEN s0 ELSE CAST(0 AS FLOAT) END AS s
+          FROM (
+            SELECT tf.doc_id,
+                   CAST(ln(CAST(CAST(1 AS FLOAT)
+                          + CAST(CAST(tf.tf AS FLOAT)
+                                 / CAST(CAST(2000 AS FLOAT) * c.p AS FLOAT)
+                                 AS FLOAT) AS FLOAT))
+                      + ln(CAST(CAST(2000 AS FLOAT)
+                                / CAST(d.dlen + CAST(2000 AS FLOAT) AS FLOAT)
+                                AS FLOAT)) AS FLOAT) AS s0
+            FROM tf JOIN dln d ON tf.doc_id = d.doc_id
+                    JOIN lmcp c ON c.term = tf.term
+            WHERE tf.term = '{term}')"""
+
+    def _lmjm_score(term: str) -> str:
+        # fl(ln(fl(1 + fl(fl(fl(fl(1-lam)*tf)/dlen) / fl(lam*cp)))))
+        return f"""
+          SELECT tf.doc_id,
+                 CAST(ln(CAST(CAST(1 AS FLOAT)
+                        + CAST(CAST(CAST(CAST(CAST(1 AS FLOAT)
+                                             - CAST(0.7 AS FLOAT) AS FLOAT)
+                                         * CAST(tf.tf AS FLOAT) AS FLOAT)
+                                    / d.dlen AS FLOAT)
+                               / CAST(CAST(0.7 AS FLOAT) * c.p AS FLOAT)
+                               AS FLOAT) AS FLOAT)) AS FLOAT) AS s
+          FROM tf JOIN dln d ON tf.doc_id = d.doc_id
+                  JOIN lmcp c ON c.term = tf.term
+          WHERE tf.term = '{term}'"""
+
+    d["engine_lmd_term"] = _engine_base_sql() + lm_pre + topk_wrap.format(
+        inner=f"SELECT doc_id, s AS score FROM ({_lmd_score(_HOT)})"
+    )
+    _zf = "CAST(0 AS FLOAT)"
+    d["engine_lmjm_or"] = _engine_base_sql() + lm_pre + f"""
+        , jma AS ({_lmjm_score(_HOT)})
+        , jmb AS ({_lmjm_score(_RARE)})
+        , jmu AS (SELECT doc_id FROM jma UNION SELECT doc_id FROM jmb)
+    """ + topk_wrap.format(inner=f"""
+          SELECT jmu.doc_id,
+                 CAST(COALESCE(a.s, {_zf}) + COALESCE(b.s, {_zf}) AS FLOAT)
+                   AS score
+          FROM jmu LEFT JOIN jma a ON jmu.doc_id = a.doc_id
+                   LEFT JOIN jmb b ON jmu.doc_id = b.doc_id""")
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr

@@ -747,15 +747,23 @@ class Index:
             rows = (
                 self.term_stats()
                 .filter(F.col("term").isin(missing))
-                .select("term", "df")
+                .select("term", "df", "ttf")
                 .collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
             for t in missing:
-                cache[t] = found.get(t, 0)
+                cache[t] = found.get(t, (0, 0))
             if len(cache) > 1_000_000:  # bound driver memory at huge dicts
                 self._df_cache = dict(list(cache.items())[-500_000:])
-        return {t: cache[t] for t in terms if cache[t] > 0}
+        return {t: cache[t][0] for t in terms if cache[t][0] > 0}
+
+    def term_ttfs(self, terms) -> dict[str, int]:
+        """term -> totalTermFreq, same driver cache as term_dfs (the
+        TermStatistics.totalTermFreq half — LM similarities need it for
+        the collection model, LMSimilarity.java:148-156)."""
+        self.term_dfs(terms)  # populate the shared cache
+        cache = self._df_cache
+        return {t: cache[t][1] for t in terms if cache[t][1] > 0}
 
     # -- deletes (S2/S3/E14): tombstones until merge reclaims ---------------
     #

@@ -91,6 +91,9 @@ class QueryPlan:
     # post-queryNorm weight chain (TFIDFSimilarity.IDFStats.value)
     sim: str = "bm25"
     classic_value: dict | None = None
+    # LM similarities (lm.py): term -> (collectionProbability, totalBoost,
+    # mu-or-lambda), frozen on the driver like classic_value
+    lm_values: dict | None = None
 
 
 def query_terms(q) -> set[str]:
@@ -555,6 +558,10 @@ def _score_posting(
         from . import classic
 
         return classic.score_term(tfs, norms, plan.classic_value[term])
+    if plan.sim in ("lmdirichlet", "lmjm"):
+        from . import lm
+
+        return lm.score_term(tfs, norms, plan.lm_values[term], plan.sim)
     return bm25.score(tfs, norms, plan.cache, wv)
 
 
@@ -1121,7 +1128,7 @@ def make_plan(
     index, query, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
     k1: float = None, b: float = None,
-    similarity: str = "bm25",
+    similarity: str = "bm25", sim_param: float = None,
 ) -> QueryPlan:
     """Bind global stats on the driver (createNormalizedWeight analog).
 
@@ -1139,19 +1146,39 @@ def make_plan(
     tombs = index.tombstone_ref() if hasattr(index, "tombstone_ref") else None
     k1f = bm25.K1 if k1 is None else np.float32(k1)
     bf = bm25.B if b is None else np.float32(b)
-    sim, cvalues = "bm25", None
+    sim, cvalues, lmv = "bm25", None, None
     if similarity == "classic":
         from . import classic
 
         clause_terms, boosts = _classic_flat_terms(query)
         cvalues = classic.term_values(clause_terms, stats, max_doc, boosts)
         sim, prune = "classic", False
+    elif similarity in ("lmdirichlet", "lmjm"):
+        # LM chain (lm.py): same flat term/boolean subset as Classic;
+        # coord is the Similarity.java:122 default 1.0, so boolean
+        # composition is the engine's plain clause-ordered float32 sum.
+        from . import lm
+
+        clause_terms, boosts = _classic_flat_terms(query)
+        ttfs = index.term_ttfs(clause_terms)
+        nft = index.sum_total_term_freq
+        param = (
+            np.float32(sim_param) if sim_param is not None
+            else (lm.DEFAULT_MU if similarity == "lmdirichlet"
+                  else lm.DEFAULT_LAMBDA)
+        )
+        lmv = {
+            t: (lm.collection_probability(ttfs[t], nft),
+                np.float32(boosts.get(t, 1.0)), param)
+            for t in clause_terms if t in ttfs
+        }
+        sim, prune = similarity, False
     elif similarity != "bm25":
         raise ValueError(f"unknown similarity {similarity!r}")
     return QueryPlan(
         query=query, k=k, idf=idf, cache=bm25.norm_cache(avgdl, k1f, bf),
         avgdl=avgdl, prune=prune, after=after, tombstones=tombs, k1=k1f, b=bf,
-        sim=sim, classic_value=cvalues,
+        sim=sim, classic_value=cvalues, lm_values=lmv,
     )
 
 
@@ -1303,7 +1330,7 @@ def search(
     after: tuple[float, int] | None = None,
     k1: float = None, b: float = None,
     use_cache: bool = False,
-    similarity: str = "bm25",
+    similarity: str = "bm25", sim_param: float = None,
 ) -> DataFrame:
     """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical.
 
@@ -1329,14 +1356,15 @@ def search(
 
             cache = index._result_cache = OrderedDict()
         cache_key = (
-            repr(q), k, prune, after, k1, b, similarity, _index_version(index),
+            repr(q), k, prune, after, k1, b, similarity, sim_param,
+            _index_version(index),
         )
         hit = cache.get(cache_key)
         if hit is not None:
             cache.move_to_end(cache_key)  # LRU touch (LRUQueryCache.java)
             return index.spark.createDataFrame(hit, RESULT_SCHEMA)
     plan = make_plan(index, q, k, prune, after, k1=k1, b=b,
-                     similarity=similarity)
+                     similarity=similarity, sim_param=sim_param)
     q = plan.query  # post-rewrite (multi-term expansion)
     terms = sorted(query_terms(q))
     multis = query_multis(q)
