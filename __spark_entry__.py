@@ -843,6 +843,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stored norm byte — no reindex, SimilarityBase docLen decode
         "engine_lmd_term": _engine_lm(_HOT, "lmdirichlet"),
         "engine_lmjm_or": _engine_lm(f"{_HOT} OR {_RARE}", "lmjm"),
+        # DFR I(n)L2 (DFRSimilarity.java: BasicModelIn + AfterEffectL +
+        # NormalizationH2) and IB SPL-D-H2 (IBSimilarity.java:
+        # DistributionSPL + LambdaDF + NormalizationH2) — the canonical
+        # configs, same stored norm byte, log2 = ln/ln(2) exactly
+        "engine_dfr_term": _engine_lm(_HOT, "dfr"),
+        "engine_ib_term": _engine_lm(_HOT, "ib"),
     }
     return q
 
@@ -2686,6 +2692,52 @@ def oracle_sql() -> dict[str, str]:
                    AS score
           FROM jmu LEFT JOIN jma a ON jmu.doc_id = a.doc_id
                    LEFT JOIN jmb b ON jmu.doc_id = b.doc_id""")
+    # DFR I(n)L2 + IB SPL-D-H2 over the same quantized docLen: tfn(H2) =
+    # fl(tf * log2(fl(1 + fl(avg/dlen)))), log2 rendered ln/ln(2) exactly
+    # as SimilarityBase.log2 computes it
+    _one = "CAST(1 AS FLOAT)"
+    dfr_pre = f"""
+        , dfrs AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+                   FROM tf GROUP BY term)
+        , dfrc AS (SELECT (SELECT count(*) FROM docmap)::BIGINT AS n,
+                          CAST(CAST((SELECT sum(doclen) FROM dl) AS FLOAT)
+                             / CAST((SELECT count(*) FROM docmap) AS FLOAT)
+                             AS FLOAT) AS avg)
+        , dtfn AS (
+            SELECT tf.doc_id, s.df,
+                   CAST(CAST(tf.tf AS FLOAT)
+                        * (ln(CAST({_one} + CAST(c.avg / d.dlen AS FLOAT)
+                                   AS FLOAT)) / ln(2))
+                        AS FLOAT) AS t
+            FROM tf JOIN dln d ON tf.doc_id = d.doc_id
+                    JOIN dfrs s ON s.term = tf.term
+                    CROSS JOIN dfrc c
+            WHERE tf.term = '{_HOT}')
+    """
+    d["engine_dfr_term"] = _engine_base_sql() + lm_pre + dfr_pre \
+        + topk_wrap.format(inner=f"""
+          SELECT doc_id,
+                 CAST(CAST({_one}
+                           * CAST(t * CAST(ln((c.n + 1) / (df + 0.5)) / ln(2)
+                                           AS FLOAT) AS FLOAT) AS FLOAT)
+                      * CAST({_one} / CAST(t + {_one} AS FLOAT) AS FLOAT)
+                      AS FLOAT) AS score
+          FROM dtfn CROSS JOIN dfrc c""")
+    d["engine_ib_term"] = _engine_base_sql() + lm_pre + dfr_pre \
+        + topk_wrap.format(inner=f"""
+          SELECT doc_id,
+                 CAST({_one} * CAST(-ln(
+                   (pow(CAST(lam AS DOUBLE),
+                        CAST(CAST(t / CAST(t + {_one} AS FLOAT) AS FLOAT)
+                             AS DOUBLE))
+                    - CAST(lam AS DOUBLE))
+                   / CAST(CAST({_one} - lam AS FLOAT) AS DOUBLE)
+                 ) AS FLOAT) AS FLOAT) AS score
+          FROM (SELECT doc_id, t,
+                       CAST(CAST(CAST(df AS FLOAT) + {_one} AS FLOAT)
+                          / CAST(CAST(c.n AS FLOAT) + {_one} AS FLOAT)
+                          AS FLOAT) AS lam
+                FROM dtfn CROSS JOIN dfrc c)""")
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr

@@ -562,6 +562,10 @@ def _score_posting(
         from . import lm
 
         return lm.score_term(tfs, norms, plan.lm_values[term], plan.sim)
+    if plan.sim.startswith(("dfr", "ib")):
+        from . import dfr
+
+        return dfr.score_term(tfs, norms, plan.lm_values[term], plan.sim)
     return bm25.score(tfs, norms, plan.cache, wv)
 
 
@@ -1170,6 +1174,24 @@ def make_plan(
         lmv = {
             t: (lm.collection_probability(ttfs[t], nft),
                 np.float32(boosts.get(t, 1.0)), param)
+            for t in clause_terms if t in ttfs
+        }
+        sim, prune = similarity, False
+    elif similarity.startswith(("dfr", "ib")):
+        # DFR / IB families (dfr.py): validated config, same flat subset
+        from . import dfr as dfrmod
+
+        dfrmod.parse_config(similarity)  # raise early on bad config
+        clause_terms, boosts = _classic_flat_terms(query)
+        ttfs = index.term_ttfs(clause_terms)
+        nft = index.sum_total_term_freq
+        # fillBasicStats: avgFieldLength = (float) nft / numberOfDocuments
+        # (float / long promotes the long to float first)
+        avgfl = np.float32(np.float32(nft) / np.float32(max_doc))
+        lmv = {
+            t: (stats[t], ttfs[t], max_doc, nft, avgfl,
+                np.float32(boosts.get(t, 1.0)),
+                None if sim_param is None else float(sim_param))
             for t in clause_terms if t in ttfs
         }
         sim, prune = similarity, False
