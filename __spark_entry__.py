@@ -596,6 +596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
         "token_counts": lambda s, d: R.token_counts(s, d),
+        # PII scrub + Gopher quality rules — pre-training filter passes,
+        # all JVM-side expressions (no UDF, no shuffle)
+        "redact_pii": lambda s, d: R.redact_pii(s, d),
+        "gopher_quality": lambda s, d: R.gopher_quality(s, d),
         # contiguous-fill sequence packing: pack_id = floor(exclusive
         # prefix token sum / capacity) — distributed prefix-sum shape
         "pack_sequences": lambda s, d: R.pack_sequences(s, d, 2048),
@@ -1857,6 +1861,70 @@ def oracle_sql() -> dict[str, str]:
                      text, '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+'
                    ))::BIGINT AS n_bpe
             FROM documents""",
+        "redact_pii": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@example.com at 10.0.'
+                          || (doc_id % 256)::VARCHAR
+                          || '.7 call 555-123-4567 ssn 123-45-6789' AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                     '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(text,
+                     '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS red_md5
+            FROM aug""",
+        "gopher_quality": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '\S+') AS ws,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words
+              FROM documents),
+            m AS (
+              SELECT doc_id, n_words,
+                     round(coalesce(list_sum(list_transform(ws,
+                             x -> length(x))), 0)::DOUBLE
+                           / greatest(n_words, 1), 4) AS mean_word_len,
+                     round(((length(text)
+                             - length(replace(text, '#', '')))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3
+                           )::DOUBLE / greatest(n_words, 1), 4)
+                       AS symbol_ratio,
+                     round(len(list_filter(ws,
+                             x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                           / greatest(n_words, 1), 4) AS alpha_ratio,
+                     (list_contains(list_transform(ws, x -> lower(x)), 'the')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'be')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'to')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'of')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'and')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'that')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'have')::INT
+                      + list_contains(list_transform(ws, x -> lower(x)), 'with')::INT
+                     )::BIGINT AS stop_hits
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_ratio, stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_ratio >= 0.8
+                    AND stop_hits >= 2) AS keep
+            FROM m""",
         "chunk_documents": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

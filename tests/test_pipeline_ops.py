@@ -374,3 +374,45 @@ def test_dedup_lines_table_matches_duckdb(spark, docs_dir):
         LEFT JOIN kept k USING (doc_id)
     """).fetchall())
     assert got == want
+
+
+def test_redact_pii_counts_and_redaction(spark, docs_dir):
+    from voyagr_spark.relational import redact_pii
+
+    rows = {r["doc_id"]: r for r in redact_pii(spark, docs_dir).collect()}
+    # the deterministic injection plants exactly one of each PII kind per doc
+    # (the fixture texts themselves contain none)
+    for r in rows.values():
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"], r["n_ssn"]) == (
+            1, 1, 1, 1,
+        )
+    # redaction is complete: recompute one doc locally and compare the md5
+    import hashlib
+    import re
+
+    from voyagr_spark.relational import PII_PATTERNS, documents
+
+    d0 = documents(spark, docs_dir).filter("doc_id = 0").collect()[0]
+    text = (
+        d0["text"] + " contact user0@example.com at 10.0.0.7 "
+        "call 555-123-4567 ssn 123-45-6789"
+    )
+    for _, pat, repl in PII_PATTERNS:
+        text = re.sub(pat, repl, text)
+    assert "<EMAIL>" in text and "@" not in text
+    assert rows[0]["red_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_gopher_quality_rules(spark, docs_dir):
+    from voyagr_spark.relational import gopher_quality
+
+    rows = {r["doc_id"]: r for r in gopher_quality(spark, docs_dir).collect()}
+    # every fixture doc is far below the 50-word floor -> nothing kept
+    assert all(not r["keep"] for r in rows.values())
+    d0 = rows[0]  # "the index merges segments with tokens"
+    assert d0["n_words"] == 6
+    assert d0["mean_word_len"] == round((3 + 5 + 6 + 8 + 4 + 6) / 6, 4)
+    assert d0["alpha_ratio"] == 1.0
+    assert d0["stop_hits"] == 2  # 'the', 'with'
+    d2 = rows[2]  # gibberish: no stop words, digits in every token
+    assert d2["stop_hits"] == 0

@@ -1692,3 +1692,122 @@ def chunk_documents(spark, sf_dir, window: int = 64, stride: int = 48) -> DataFr
             ).alias("chunk_md5"),
         )
     )
+
+
+# -- PII redaction (training-data pipeline op) -------------------------------
+
+#: redaction patterns, ordered; each pattern is in the common RE2/Java
+#: regex subset so the engine (Spark/Java) and the oracle (DuckDB/RE2)
+#: evaluate literally the same expressions
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def pii_augmented(spark, sf_dir) -> DataFrame:
+    """documents with deterministic PII spans appended (derived from
+    doc_id), so every row exercises every redaction pattern — the corpus
+    itself is synthetic and PII-free.  No external data, no RNG."""
+    d = documents(spark, sf_dir)
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com at 10.0."), F.col("doc_id") % 256,
+            F.lit(".7 call 555-123-4567 ssn 123-45-6789"),
+        ),
+    )
+
+
+def redact_pii(spark, sf_dir) -> DataFrame:
+    """q: PII detection + redaction — the standard pre-training scrub pass
+    (emails, IPv4, phone, SSN-shaped ids).  Counts are detected BEFORE
+    redaction; patterns then apply in declaration order (an email's digits
+    can't be re-matched as a phone once replaced).
+
+    Spark shape: one scan, regexp_extract_all + chained regexp_replace,
+    all JVM-side (whole-stage codegen) — zero Python, zero shuffles; at
+    100 TB this is embarrassingly parallel.  -> (doc_id, n_email, n_ipv4,
+    n_phone, n_ssn, red_md5) with red_md5 = md5 of the redacted text so
+    the gate hashes full redaction output without shipping it twice."""
+    d = pii_augmented(spark, sf_dir)
+    cols = [F.col("doc_id")]
+    for name, pat, _ in PII_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}")
+        )
+    red = F.col("text")
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    cols.append(F.md5(red).alias("red_md5"))
+    return d.select(*cols)
+
+
+# -- Gopher quality rules (training-data pipeline op) ------------------------
+
+#: the 8 high-frequency English stop words the Gopher rules require >= 2 of
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(spark, sf_dir) -> DataFrame:
+    """q: the Gopher quality-filter rule set (Rae et al. 2021, appendix A1)
+    as one JVM-side expression pass: word count in [50, 100000], mean word
+    length in [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, >= 80%
+    of words contain an alphabetic char, >= 2 distinct required stop words.
+    -> per-doc metrics + the overall keep flag.
+
+    Spark shape: single scan, split/transform/filter array expressions —
+    no UDF, no shuffle; the filter composes with stratified_sample /
+    dedup_* for the full pipeline."""
+    d = documents(spark, sf_dir)
+    words = F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+    n_words = F.size(words).cast("long")
+    mean_wl = F.round(
+        F.expr(
+            r"aggregate(transform(regexp_extract_all(text, '\\S+', 0),"
+            r" w -> length(w)), 0L, (a, x) -> a + x)"
+        ).cast("double") / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    n_ell = (
+        F.length("text")
+        - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3
+    sym_ratio = F.round(
+        (n_hash + n_ell).cast("double") / F.greatest(n_words, F.lit(1)), 4
+    )
+    n_alpha = F.expr(
+        r"size(filter(regexp_extract_all(text, '\\S+', 0),"
+        r" w -> w rlike '[A-Za-z]'))"
+    ).cast("long")
+    alpha_ratio = F.round(
+        n_alpha.cast("double") / F.greatest(n_words, F.lit(1)), 4
+    )
+    low_words = F.expr(
+        r"transform(regexp_extract_all(text, '\\S+', 0), w -> lower(w))"
+    )
+    stop_hits = sum(
+        F.array_contains(low_words, s).cast("int") for s in GOPHER_STOPS
+    ).cast("long")
+    keep = (
+        n_words.between(50, 100_000)
+        & mean_wl.between(3.0, 10.0)
+        & (sym_ratio <= 0.1)
+        & (alpha_ratio >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
