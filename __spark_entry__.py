@@ -853,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # configs, same stored norm byte, log2 = ln/ln(2) exactly
         "engine_dfr_term": _engine_lm(_HOT, "dfr"),
         "engine_ib_term": _engine_lm(_HOT, "ib"),
+        # ShingleFilter chain: bigram term search on a shingled index,
+        # BM25 over the overlap-discounted (distinct-position) doclens
+        "engine_shingle": _engine_shingle,
     }
     return q
 
@@ -1306,6 +1309,47 @@ def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SYN_CACHE: dict = {}
 _FOLD_CACHE: dict = {}
+_SHINGLE_CACHE: dict = {}
+
+
+def _engine_shingle_index(spark: SparkSession, sf_dir: str):
+    """Index built with the default-config ShingleFilter chain (bigrams +
+    unigrams, filler '_'; analysis/shingle/ShingleFilter.java) — shingles
+    and filler-heads are position overlaps, so doclen/norms count distinct
+    emitted positions."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
+    tag = hashlib.md5((key + "-shingle").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            analyzer=Analyzer(shingle=True),
+        )
+    idx.pin()
+    _SHINGLE_CACHE[key] = idx
+    return idx
+
+
+def _engine_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 for the shingle term 'table hash' on the shingled index."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.parser import TermQuery
+    from voyagr_spark.search import search
+
+    idx = _engine_shingle_index(spark, sf_dir)
+    res = search(idx, TermQuery("table hash"), k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 def _engine_syn_index(spark: SparkSession, sf_dir: str):
@@ -2806,6 +2850,73 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(CAST(c.n AS FLOAT) + {_one} AS FLOAT)
                           AS FLOAT) AS lam
                 FROM dtfn CROSS JOIN dfrc c)""")
+    # ShingleFilter: rebuild the filler stream in SQL (interior holes ->
+    # one '_' at prev+1, trailing holes -> one '_' after the last real
+    # token), shingle = stream-adjacent pair join, doclen = distinct
+    # emitted positions (the overlap-discounted norm), then the standard
+    # float32 BM25 chain over the shingled stats
+    d["engine_shingle"] = _engine_base_sql() + f"""
+        , shnp AS (SELECT doc_id, count(*)::BIGINT AS np FROM tok
+                   GROUP BY doc_id)
+        , shlag AS (SELECT doc_id, term, pos,
+                           lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS ppos
+                    FROM terms)
+        , shfill AS (
+            SELECT doc_id, '_' AS term, ppos + 1 AS pos
+            FROM shlag WHERE pos - ppos > 1
+            UNION ALL
+            SELECT l.doc_id, '_', l.pos + 1
+            FROM (SELECT doc_id, max(pos) AS pos FROM terms
+                  GROUP BY doc_id) l
+            JOIN shnp USING (doc_id) WHERE shnp.np - 1 > l.pos)
+        , shstream AS (
+            SELECT doc_id, term, pos, TRUE AS is_real FROM terms
+            UNION ALL
+            SELECT doc_id, term, pos, FALSE FROM shfill)
+        , shpairs AS (
+            SELECT doc_id, term, pos, is_real,
+                   lead(term) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS nxt
+            FROM shstream)
+        , shemit AS (
+            SELECT doc_id, term, pos FROM shpairs WHERE is_real
+            UNION ALL
+            SELECT doc_id, term || ' ' || nxt, pos FROM shpairs
+            WHERE nxt IS NOT NULL)
+        , shdl AS (SELECT doc_id, count(DISTINCT pos)::BIGINT AS doclen
+                   FROM shemit GROUP BY doc_id)
+        , shtf AS (SELECT doc_id, count(*)::BIGINT AS tf FROM shemit
+                   WHERE term = 'table hash' GROUP BY doc_id)
+        , shcs AS (
+            SELECT (SELECT count(*) FROM docmap)::BIGINT AS n,
+                   CAST((SELECT sum(doclen) FROM shdl) /
+                        CAST((SELECT count(*) FROM docmap) AS DOUBLE)
+                        AS FLOAT) AS avgdl)
+        , shw AS (
+            SELECT CAST(CAST(ln(1.0 + (CAST(shcs.n AS DOUBLE)
+                                       - (SELECT count(*) FROM shtf) + 0.5)
+                                 / ((SELECT count(*) FROM shtf) + 0.5))
+                             AS FLOAT)
+                        * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
+                               AS FLOAT) AS FLOAT) AS wv
+            FROM shcs)
+        , shqn AS (
+            SELECT shdl.doc_id,
+                   CAST(CAST(1.2 AS FLOAT) * CAST(CAST(0.25 AS FLOAT)
+                        + CAST(CAST(CAST(0.75 AS FLOAT)
+                                    * CAST(q.qlen AS FLOAT) AS FLOAT)
+                               / shcs.avgdl AS FLOAT) AS FLOAT) AS FLOAT)
+                     AS cache
+            FROM shdl JOIN qlens q ON shdl.doclen BETWEEN q.lo AND q.hi
+                      CROSS JOIN shcs)
+    """ + topk_wrap.format(inner="""
+          SELECT shtf.doc_id,
+                 CAST(CAST(shw.wv * CAST(shtf.tf AS FLOAT) AS FLOAT)
+                      / CAST(CAST(shtf.tf AS FLOAT) + shqn.cache AS FLOAT)
+                      AS FLOAT) AS score
+          FROM shtf JOIN shqn ON shtf.doc_id = shqn.doc_id
+                    CROSS JOIN shw""")
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr

@@ -645,12 +645,24 @@ class Analyzer:
     #: overlaps, so discountOverlaps=true keeps them out of the norm
     #: length (BM25Similarity.java:111) while their postings are real.
     synonyms: tuple | None = None
+    #: ShingleFilter analog (analysis/shingle/ShingleFilter.java, default
+    #: config: min=max=2, outputUnigrams, separator " ", filler "_").
+    #: Interior position holes insert min(gap, maxShingleSize-1) = 1 filler
+    #: (ShingleFilter.java:399); trailing holes insert one filler from the
+    #: end position increment (:419); all-filler shingles are never emitted
+    #: (:314-337).  Shingles/filler-heads are position overlaps, so
+    #: discountOverlaps-style doclen = distinct emitted positions.
+    shingle: bool = False
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
             object.__setattr__(
                 self, "synonyms",
                 tuple(sorted((k, tuple(v)) for k, v in self.synonyms.items())),
+            )
+        if self.shingle and self.synonyms:
+            raise ValueError(
+                "shingle + synonyms in one chain is not supported"
             )
 
     @property
@@ -664,6 +676,7 @@ class Analyzer:
             and not self.fold_ascii
             and not self.synonyms
             and not self.strip_html
+            and not self.shingle
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -680,6 +693,7 @@ class Analyzer:
                 [[k, list(v)] for k, v in self.synonyms]
                 if self.synonyms else None
             ),
+            "shingle": self.shingle,
         }
 
     @staticmethod
@@ -698,6 +712,7 @@ class Analyzer:
             synonyms=(
                 tuple((k, tuple(v)) for k, v in syn) if syn else None
             ),
+            shingle=bool(d.get("shingle", False)),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -720,6 +735,8 @@ class Analyzer:
             from .porter import stem as _pstem
 
             terms = [_pstem(t) for t in terms]
+        if self.shingle:
+            terms, positions = _shingle_stream(terms, positions, len(toks))
         if self.synonyms:
             smap = dict(self.synonyms)
             t2, p2 = [], []
@@ -805,6 +822,10 @@ class Analyzer:
             codes, uniq = pd.factorize(out_terms)
             stemmed = np.array([_pstem(u) for u in uniq], dtype=object)
             out_terms = stemmed[codes]
+        if self.shingle and out_terms.size:
+            out_terms, out_pos, out_doc, doclens = _shingle_flat(
+                out_terms, out_pos, out_doc, raw_lens, len(texts)
+            )
         if self.synonyms:
             extra_t, extra_p, extra_d = [], [], []
             for k, syns in self.synonyms:
@@ -846,3 +867,102 @@ class Analyzer:
 
 
 STANDARD_ANALYZER = Analyzer()
+
+
+# -- ShingleFilter (default config) ------------------------------------------
+
+def _shingle_stream(
+    terms: list[str], positions: list[int], n_pre: int
+) -> tuple[list[str], list[int]]:
+    """Default-config ShingleFilter over one doc's analyzed (term, pre-stop
+    position) stream: bigrams + unigrams, separator " ", filler "_".
+
+    Reference `analysis/shingle/ShingleFilter.java`: interior holes insert
+    min(gap, maxShingleSize-1) = 1 filler (:396-399), exhaustion inserts
+    min(endPosInc, maxShingleSize-1) = 1 trailing filler (:417-419), fillers
+    are never emitted as unigrams, all-filler shingles are skipped
+    (:314-337; impossible at maxShingleSize=2 with 1-filler holes).  A
+    shingle is emitted at its window head's position: after the head's
+    unigram (overlap) for real heads, first-at-position for filler heads.
+    """
+    if not terms:
+        return terms, positions
+    st: list[str] = []
+    sp: list[int] = []
+    sreal: list[bool] = []
+    prev = None
+    for t, p in zip(terms, positions):
+        if prev is not None and p - prev > 1:
+            st.append("_")
+            sp.append(prev + 1)
+            sreal.append(False)
+        st.append(t)
+        sp.append(p)
+        sreal.append(True)
+        prev = p
+    if n_pre - 1 > prev:
+        st.append("_")
+        sp.append(prev + 1)
+        sreal.append(False)
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for i in range(len(st)):
+        if sreal[i]:
+            out_t.append(st[i])
+            out_p.append(sp[i])
+        if i + 1 < len(st):
+            out_t.append(st[i] + " " + st[i + 1])
+            out_p.append(sp[i])
+    return out_t, out_p
+
+
+def _shingle_flat(
+    out_terms: np.ndarray, out_pos: np.ndarray, out_doc: np.ndarray,
+    raw_lens: np.ndarray, n_docs: int,
+):
+    """Vectorized _shingle_stream over the whole batch's flat (doc asc,
+    pos asc) stream; returns the widened stream plus recomputed doclens
+    (= distinct emitted positions per doc — the discountOverlaps norm)."""
+    n = out_terms.size
+    same = np.empty(n, dtype=bool)
+    same[0] = False
+    np.equal(out_doc[1:], out_doc[:-1], out=same[1:])
+    prev_pos = np.empty(n, dtype=np.int64)
+    prev_pos[0] = 0
+    prev_pos[1:] = out_pos[:-1]
+    hole = same & (out_pos - prev_pos > 1)
+    fill_pos = [prev_pos[hole] + 1]
+    fill_doc = [out_doc[hole]]
+    is_last = np.empty(n, dtype=bool)
+    is_last[-1] = True
+    np.not_equal(out_doc[1:], out_doc[:-1], out=is_last[:-1])
+    trail = is_last & (raw_lens[out_doc] - 1 > out_pos)
+    fill_pos.append(out_pos[trail] + 1)
+    fill_doc.append(out_doc[trail])
+    fp = np.concatenate(fill_pos)
+    fd = np.concatenate(fill_doc)
+    st = np.concatenate((out_terms, np.full(fp.size, "_", dtype=object)))
+    sp = np.concatenate((out_pos, fp))
+    sd = np.concatenate((out_doc, fd))
+    sreal = np.concatenate(
+        (np.ones(n, dtype=bool), np.zeros(fp.size, dtype=bool))
+    )
+    order = np.lexsort((sp, sd))
+    st, sp, sd, sreal = st[order], sp[order], sd[order], sreal[order]
+    pair = np.empty(st.size, dtype=bool)
+    pair[-1] = False
+    np.equal(sd[1:], sd[:-1], out=pair[:-1])
+    i = np.flatnonzero(pair)
+    sh_terms = st[i] + " " + st[i + 1]
+    new_t = np.concatenate((st[sreal], sh_terms))
+    new_p = np.concatenate((sp[sreal], sp[i]))
+    new_d = np.concatenate((sd[sreal], sd[i]))
+    order = np.lexsort((new_p, new_d))
+    new_t, new_p, new_d = new_t[order], new_p[order], new_d[order]
+    first = np.empty(new_t.size, dtype=bool)
+    if new_t.size:
+        first[0] = True
+        first[1:] = (new_d[1:] != new_d[:-1]) | (new_p[1:] != new_p[:-1])
+    doclens = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(doclens, new_d[first], 1)
+    return new_t, new_p, new_d, doclens
