@@ -856,8 +856,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
+        # ReversedWildcardFilter: leading-wildcard `*dow` answered from the
+        # marker+reversed twin slice as a bounded prefix range scan
+        "engine_rev_wildcard": _engine_rev_wildcard,
+        # ComplexPhraseQueryParser: wildcard INSIDE a phrase resolves to
+        # SpanNear([term, SpanOr(expansion)]) via a bounded dictionary scan
+        "engine_complex_phrase": _engine_complex_phrase,
     }
     return q
+
+
+def _engine_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQueryParser: '"fast ke*"' — the wildcard expands via a
+    bounded dictionary range scan to SpanOr(ke-terms), then
+    SpanNear([fast, or-group], slop=0, ordered) scores as a span
+    (ComplexPhraseQueryParser.java:252-335)."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.complexphrase import parse_complex_phrase
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    res = search(idx, parse_complex_phrase('"fast ke*"'), k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 def _engine_classic(qtext: str):
@@ -1310,6 +1334,49 @@ def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYN_CACHE: dict = {}
 _FOLD_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
+_RW_CACHE: dict = {}
+
+
+def _engine_rw_index(spark: SparkSession, sf_dir: str):
+    """Index built with the ReversedWildcardFilter chain (solr/analysis/
+    ReversedWildcardFilterFactory.java, withOriginal=true): every token also
+    indexes a marker+reversed twin at the same position, so leading-wildcard
+    queries run as BOUNDED prefix range scans over the twin slice."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _RW_CACHE:
+        return _RW_CACHE[key]
+    tag = hashlib.md5((key + "-revwild").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            analyzer=Analyzer(reverse_wildcards=True),
+        )
+    idx.pin()
+    _RW_CACHE[key] = idx
+    return idx
+
+
+def _engine_rev_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 for the leading-wildcard query `*dow` on the reversed index:
+    rewrite targets the twins via the range [\\x01wod, \\x01woe) — the plan
+    pushes that range to the parquet scan instead of walking the whole
+    dictionary with a regex (SolrQueryParserBase.java:786-800)."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_rw_index(spark, sf_dir)
+    res = search(idx, "*dow", k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 def _engine_shingle_index(spark: SparkSession, sf_dir: str):
@@ -2917,6 +2984,44 @@ def oracle_sql() -> dict[str, str]:
                       AS FLOAT) AS score
           FROM shtf JOIN shqn ON shtf.doc_id = shqn.doc_id
                     CROSS JOIN shw""")
+    # ReversedWildcardFilter: the engine answers `*dow` from the reversed
+    # twin slice; the oracle states the logical spec directly — docs with
+    # any (original) term ending in 'dow', constant score
+    d["engine_rev_wildcard"] = _engine_topk_sql("""
+          SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+          FROM tf WHERE term LIKE '%dow'""")
+    # ComplexPhraseQueryParser '"fast ke*"': ordered adjacency between
+    # 'fast' and ANY ke-term (the SpanOr expansion), sloppyFreq 1/3 per
+    # span, weight = fl(fold of idfs over {fast} u ke-terms, term asc)
+    d["engine_complex_phrase"] = _engine_base_sql() + f"""
+        , cpadj AS (
+          SELECT a.doc_id, count(*)::BIGINT AS n
+          FROM (SELECT doc_id, pos FROM terms WHERE term = 'fast') a
+          JOIN (SELECT doc_id, pos FROM terms WHERE term LIKE 'ke%') b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY a.doc_id
+        ),
+        cpnf AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(range(n),
+                     x -> CAST(CAST(1 AS FLOAT) / CAST(3 AS FLOAT) AS FLOAT)),
+                   (acc, x) -> CAST(acc + x AS FLOAT)) AS freq
+          FROM cpadj
+        ),
+        cpw AS (
+          SELECT CAST(
+                   list_reduce(
+                     list_prepend(CAST(0 AS FLOAT),
+                       list_transform(list(idf ORDER BY term),
+                                      x -> CAST(x AS FLOAT))),
+                     (acc, x) -> CAST(acc + x AS FLOAT))
+                   * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+                 AS FLOAT) AS wv
+          FROM w WHERE term = 'fast' OR term LIKE 'ke%'
+        )""" + topk_wrap.format(inner=f"""
+          SELECT cpnf.doc_id, {span_score.format(wv='cpw.wv')} AS score
+          FROM cpnf JOIN qn ON cpnf.doc_id = qn.doc_id CROSS JOIN cpw""")
     # expressions module: the SAME compiled AST renders the oracle SQL —
     # engine and oracle evaluate literally one expression tree
     from voyagr_spark.expressions import compile_expr

@@ -445,7 +445,7 @@ def doc_lengths(terms: pd.Series) -> np.ndarray:
 # pluggable analyzer (Analyzer.createComponents analog, StandardAnalyzer.java:84)
 # ---------------------------------------------------------------------------
 
-from dataclasses import dataclass, field  # noqa: E402
+from dataclasses import dataclass, field, replace  # noqa: E402
 from functools import lru_cache  # noqa: E402
 
 # ---------------------------------------------------------------------------
@@ -611,6 +611,52 @@ def fold_to_ascii(s: str) -> str:
     return "".join(out)
 
 
+# -- ReversedWildcardFilter (solr/analysis/ReversedWildcardFilterFactory) ----
+
+#: ReverseStringFilter.START_OF_HEADING_MARKER (ReverseStringFilter.java:43).
+#: Sorts below every real token (the tokenizer never emits control chars),
+#: so reversed twins occupy a disjoint leading slice of the term dictionary.
+REVERSE_MARKER = "\u0001"
+
+
+def should_reverse(
+    token: str,
+    *,
+    max_pos_asterisk: int = 2,
+    max_pos_question: int = 1,
+    min_trailing: int = 2,
+    max_fraction_asterisk: float = 0.0,
+) -> bool:
+    """Decide whether a wildcard query pattern should run against the
+    reversed twins instead of the original terms.
+
+    Faithful transcription of ReversedWildcardFilterFactory.shouldReverse
+    (solr/core/src/java/org/apache/solr/analysis/
+    ReversedWildcardFilterFactory.java:100-134) with the factory's default
+    parameters (:75-81): reverse when the wildcard sits near the front
+    (`*` before position 2, `?` before position 1) and at least
+    ``min_trailing`` chars trail the LAST wildcard."""
+    pos_q = token.find("?")
+    pos_a = token.find("*")
+    if pos_q == -1 and pos_a == -1:
+        return False
+    last_pos = max(token.rfind("?"), token.rfind("*"))
+    if pos_q != -1:
+        pos = min(pos_q, pos_a) if pos_a != -1 else pos_q
+    else:
+        pos = pos_a
+    if len(token) - last_pos < min_trailing:
+        return False
+    if pos_q != -1 and pos_q < max_pos_question:
+        return True
+    if pos_a != -1 and pos_a < max_pos_asterisk:
+        return True
+    return (
+        max_fraction_asterisk > 0.0
+        and pos < len(token) * max_fraction_asterisk
+    )
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Configurable analysis chain: tokenizer regex -> [lowercase] ->
@@ -653,6 +699,14 @@ class Analyzer:
     #: (:314-337).  Shingles/filler-heads are position overlaps, so
     #: discountOverlaps-style doclen = distinct emitted positions.
     shingle: bool = False
+    #: ReversedWildcardFilter analog (solr/analysis/
+    #: ReversedWildcardFilterFactory.java, withOriginal=true): every token
+    #: ALSO indexes as marker + reversed form at the same position
+    #: (posinc-0 overlap — doclen unchanged), turning leading-wildcard
+    #: queries into bounded prefix range scans (search.rewrite applies the
+    #: reference shouldReverse heuristics).  Marker =
+    #: ReverseStringFilter.START_OF_HEADING_MARKER '\\u0001'.
+    reverse_wildcards: bool = False
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
@@ -664,6 +718,16 @@ class Analyzer:
             raise ValueError(
                 "shingle + synonyms in one chain is not supported"
             )
+
+    def query_form(self) -> "Analyzer":
+        """The chain as applied to QUERY text: identical, minus the
+        reversed-twin injection.  Solr puts ReversedWildcardFilter in the
+        *index* analyzer only (ReversedWildcardFilterFactory.java:50-59
+        schema example) — query terms/phrases must analyze to the original
+        tokens; only the wildcard rewrite targets the twins."""
+        if not self.reverse_wildcards:
+            return self
+        return replace(self, reverse_wildcards=False)
 
     @property
     def is_standard(self) -> bool:
@@ -677,6 +741,7 @@ class Analyzer:
             and not self.synonyms
             and not self.strip_html
             and not self.shingle
+            and not self.reverse_wildcards
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -694,6 +759,7 @@ class Analyzer:
                 if self.synonyms else None
             ),
             "shingle": self.shingle,
+            "reverse_wildcards": self.reverse_wildcards,
         }
 
     @staticmethod
@@ -713,6 +779,7 @@ class Analyzer:
                 tuple((k, tuple(v)) for k, v in syn) if syn else None
             ),
             shingle=bool(d.get("shingle", False)),
+            reverse_wildcards=bool(d.get("reverse_wildcards", False)),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -737,6 +804,14 @@ class Analyzer:
             terms = [_pstem(t) for t in terms]
         if self.shingle:
             terms, positions = _shingle_stream(terms, positions, len(toks))
+        if self.reverse_wildcards:
+            t2, p2 = [], []
+            for t, p in zip(terms, positions):
+                t2.append(t)
+                p2.append(p)
+                t2.append(REVERSE_MARKER + t[::-1])  # posinc-0 twin
+                p2.append(p)
+            terms, positions = t2, p2
         if self.synonyms:
             smap = dict(self.synonyms)
             t2, p2 = [], []
@@ -826,6 +901,20 @@ class Analyzer:
             out_terms, out_pos, out_doc, doclens = _shingle_flat(
                 out_terms, out_pos, out_doc, raw_lens, len(texts)
             )
+        if self.reverse_wildcards and out_terms.size:
+            # reverse the batch VOCABULARY once, map back by code (the
+            # stemmer's vocabulary-rate discipline); twins are posinc-0
+            # overlaps so doclens are unchanged
+            codes, uniq = pd.factorize(out_terms)
+            rev = np.array(
+                [REVERSE_MARKER + u[::-1] for u in uniq], dtype=object
+            )
+            out_terms = np.concatenate((out_terms, rev[codes]))
+            out_pos = np.concatenate((out_pos, out_pos))
+            out_doc = np.concatenate((out_doc, out_doc))
+            order = np.lexsort((out_pos, out_doc))
+            out_terms = out_terms[order]
+            out_pos, out_doc = out_pos[order], out_doc[order]
         if self.synonyms:
             extra_t, extra_p, extra_d = [], [], []
             for k, syns in self.synonyms:

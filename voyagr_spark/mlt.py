@@ -87,6 +87,9 @@ def interesting_terms(
     from .analysis import analyze_text
 
     analyzer = index.analyzer
+    if analyzer is not None:
+        # seed terms become QUERY terms: index-only twin injection stripped
+        analyzer = analyzer.query_form()
     text = _seed_text(index, source, doc_id)
     terms, _ = (
         analyzer.analyze_text(text) if analyzer else analyze_text(text)

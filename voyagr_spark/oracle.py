@@ -37,7 +37,43 @@ from .parser import (
     WildcardQuery,
     parse,
 )
+from .complexphrase import (
+    ComplexPhraseQuery,
+    Resolver as _CPResolver,
+    rewrite_complex_phrase,
+)
+from .parser import MAX_CLAUSE_COUNT, TooManyClauses
 from .smallfloat import encode_norm
+
+
+class _OracleResolver(_CPResolver):
+    """ComplexPhrase pass-2 resolution against the in-memory dictionary:
+    same rewrite shapes as the engine (search.rewrite on an analyzer shim),
+    expansion = a full-dictionary predicate scan."""
+
+    def __init__(self, oracle):
+        self.oracle = oracle
+
+    def rewrite_multi(self, q):
+        from .search import rewrite
+
+        class _Shim:
+            analyzer = self.oracle.analyzer
+
+        return rewrite(q, _Shim())
+
+    def expand(self, cs):
+        got = sorted(t for t in self.oracle.postings if cs.matches(t))
+        if len(got) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"phrase-embedded expansion exceeds {MAX_CLAUSE_COUNT}"
+            )
+        return got
+
+    def fuzzy(self, fq):
+        from .complexphrase import _boolean_to_terms
+
+        return _boolean_to_terms(self.oracle._fuzzy_rewrite(fq))
 
 
 def _levenshtein(a: str, b: str, cap: int) -> int:
@@ -165,6 +201,11 @@ class OracleIndex:
             return self._bool(self._fuzzy_rewrite(q), cache, boost)
         if hasattr(q, "doc_spans"):  # span family (spans.SpanQuery)
             return self._spans(q, cache, boost * getattr(q, "boost", 1.0))
+        if isinstance(q, ComplexPhraseQuery):  # complexphrase pass 2
+            resolved = rewrite_complex_phrase(
+                q, _OracleResolver(self), analyzer=self.analyzer
+            )
+            return self._clause(resolved, cache, boost)
         if isinstance(q, ConstScoreTerms):
             out: dict[int, np.float32] = {}
             for t in q.terms:

@@ -542,6 +542,8 @@ def parse(qtext: str, min_should_match: int = 0, analyzer=None):
     tokens = _lex(qtext.strip())
     if not tokens:
         return MatchNoDocsQuery("empty query")
+    if analyzer is not None:
+        analyzer = analyzer.query_form()  # index-only filters stripped
     p = _Parser(tokens, min_should_match, analyzer)
     q = p.parse_query(0)
     if p.i < len(p.toks):

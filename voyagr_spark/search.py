@@ -40,6 +40,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import bm25
+from .analysis import REVERSE_MARKER, should_reverse
+from .complexphrase import (
+    ComplexPhraseQuery,
+    EngineResolver,
+    rewrite_complex_phrase,
+)
 from .parser import (
     MUST,
     MUST_NOT,
@@ -201,9 +207,15 @@ def rewrite(q, index):
     (<= max_expansions, FuzzyQuery.defaultMaxExpansions) into a
     boost-weighted disjunction, mirroring TopTermsBlendedFreqScoringRewrite's
     cap with per-term FuzzyTermsEnum boosts."""
+    _rw = getattr(getattr(index, "analyzer", None), "reverse_wildcards", False)
     if isinstance(q, PrefixQuery):
         if not q.prefix:
-            return ConstScoreMulti(boost=q.boost)  # `*`: every term
+            # `*`: every term — but skip the reversed twins when the
+            # ReversedWildcardFilter indexed them (marker terms sort first)
+            return ConstScoreMulti(
+                lower=_prefix_upper(REVERSE_MARKER) if _rw else None,
+                boost=q.boost,
+            )
         return ConstScoreMulti(
             lower=q.prefix, upper=_prefix_upper(q.prefix),
             include_lower=True, include_upper=False, boost=q.boost,
@@ -212,8 +224,26 @@ def rewrite(q, index):
         lit = _literal_prefix(q.pattern, wildcard=True)
         if lit == q.pattern:  # no wildcard chars: plain term
             return TermQuery(lit, boost=q.boost)
+        if _rw and should_reverse(q.pattern):
+            # ReversedWildcardFilter query side (SolrQueryParserBase.java:
+            # 786-800): run the reversed pattern against the marker+reversed
+            # twins — a leading wildcard becomes a BOUNDED prefix range scan.
+            # term t matches p iff reverse(t) matches reverse(p): `*` and `?`
+            # are direction-agnostic atoms, so char-reversing the pattern is
+            # exactly Operations.reverse of the wildcard automaton.
+            rpat = REVERSE_MARKER + q.pattern[::-1]
+            rlit = _literal_prefix(rpat, wildcard=True)  # >= the marker char
+            return ConstScoreMulti(
+                lower=rlit, upper=_prefix_upper(rlit),
+                include_lower=True, include_upper=False,
+                regex=_wildcard_regex(rpat), boost=q.boost,
+            )
         return ConstScoreMulti(
-            lower=lit or None, upper=_prefix_upper(lit) if lit else None,
+            # not reversed but the filter is active: keep the marker twins
+            # out of an unbounded-below scan (the Operations.minus false-
+            # positive subtraction, SolrQueryParserBase.java:797-804)
+            lower=lit or (_prefix_upper(REVERSE_MARKER) if _rw else None),
+            upper=_prefix_upper(lit) if lit else None,
             include_lower=True, include_upper=False,
             regex=_wildcard_regex(q.pattern), boost=q.boost,
         )
@@ -234,6 +264,11 @@ def rewrite(q, index):
         return _rewrite_fuzzy(q, index)
     if isinstance(q, CommonTermsQuery):
         return _rewrite_common_terms(q, index)
+    if isinstance(q, ComplexPhraseQuery):  # complexphrase pass 2
+        return rewrite_complex_phrase(
+            q, EngineResolver(index),
+            analyzer=getattr(index, "analyzer", None),
+        )
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             tuple((o, rewrite(s, index)) for o, s in q.clauses),

@@ -92,6 +92,8 @@ class SimpleParser:
             raise ValueError("default operator must be SHOULD or MUST")
         self.default_operator = default_operator
         self.flags = flags
+        if analyzer is not None:
+            analyzer = analyzer.query_form()  # index-only filters stripped
         self.analyzer = analyzer
 
     # -- public ------------------------------------------------------------
