@@ -151,8 +151,15 @@ def _dlt_rows(max_len: int = 10**12) -> str:
     )
 
 
+#: docmap0 id-assignment order for an index built with
+#: index_sort=("nchars", asc): global (length(text), DOC_KEY) order
+_SORTED_ORDER = ("len(text) ASC, source ASC, "
+                 "'doc/' || CAST(doc_id AS VARCHAR) ASC, md5(text) ASC")
+
+
 def _engine_base_sql(appended: tuple[str, ...] = (),
-                     appended_sql: str = "", stop: bool = True) -> str:
+                     appended_sql: str = "", stop: bool = True,
+                     order_by: str | None = None) -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
     per-(term, doc) BM25 scores with quantized norms (bit parity with the
     engine's numpy scorer; see cast discipline note above).
@@ -179,11 +186,11 @@ def _engine_base_sql(appended: tuple[str, ...] = (),
         )
     extra += appended_sql
     stop_where = f" WHERE term NOT IN {_STOP_SQL}" if stop else ""
+    ob = order_by or ("source ASC, 'doc/' || CAST(doc_id AS VARCHAR) ASC, "
+                      "md5(text) ASC")
     return f"""
 WITH docmap0 AS (
-  SELECT row_number() OVER (
-           ORDER BY source ASC, 'doc/' || CAST(doc_id AS VARCHAR) ASC,
-                    md5(text) ASC) - 1 AS doc_id,
+  SELECT row_number() OVER (ORDER BY {ob}) - 1 AS doc_id,
          text, lang
   FROM documents
 ),
@@ -252,9 +259,10 @@ def _engine_batch_sql(k: int = 10) -> str:
     return _engine_base_sql() + " UNION ALL ".join(parts)
 
 
-def _engine_topk_sql(inner: str, k: int = 10) -> str:
+def _engine_topk_sql(inner: str, k: int = 10,
+                     order_by: str | None = None) -> str:
     return (
-        _engine_base_sql()
+        _engine_base_sql(order_by=order_by)
         + f"""SELECT rank, doc_id, score FROM (
           SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                  doc_id, score
@@ -859,6 +867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ReversedWildcardFilter: leading-wildcard `*dow` answered from the
         # marker+reversed twin slice as a bounded prefix range scan
         "engine_rev_wildcard": _engine_rev_wildcard,
+        # index sort (setIndexSort): BM25 results are layout-independent —
+        # same docs, bit-identical scores, ids permuted to (nchars, DOC_KEY)
+        "engine_sorted_topk": _engine_sorted_topk,
+        # early-terminating sort-by-field collector on the sorted index:
+        # per-segment first-k match ids, no scores, docmap joined post-cut
+        "engine_sorted_field": _engine_sorted_field,
         # ComplexPhraseQueryParser: wildcard INSIDE a phrase resolves to
         # SpanNear([term, SpanOr(expansion)]) via a bounded dictionary scan
         "engine_complex_phrase": _engine_complex_phrase,
@@ -1335,6 +1349,60 @@ _SYN_CACHE: dict = {}
 _FOLD_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
 _RW_CACHE: dict = {}
+_SORTED_CACHE: dict = {}
+
+
+def _engine_sorted_index(spark: SparkSession, sf_dir: str):
+    """Index built with index_sort=("nchars", asc) — the
+    IndexWriterConfig.setIndexSort analog: doc ids assigned in global
+    (length(content), DOC_KEY) order at write time (indexer.build_index)."""
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _SORTED_CACHE:
+        return _SORTED_CACHE[key]
+    tag = hashlib.md5((key + "-idxsort").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            index_sort=("nchars", True),
+        )
+    idx.pin()
+    _SORTED_CACHE[key] = idx
+    return idx
+
+
+def _engine_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 `batch AND dup` on the nchars-sorted index: scores depend
+    only on (df, tf, doclen), so the sorted layout returns the same docs
+    with bit-identical float32 scores — only the id assignment permutes."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_sorted_index(spark, sf_dir)
+    res = search(idx, f"{_HOT} AND {_RARE}", k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_sorted_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-terminating sort-by-field (EarlyTerminatingSortingCollector /
+    TopFieldCollector.canEarlyTerminate): top-10 `batch` matches by nchars
+    asc on the nchars-sorted index — each segment emits only its first 10
+    matching doc ids (doc-id order IS the sort order), the global merge is
+    TakeOrderedAndProject, scores are never computed, and the docmap joins
+    only the surviving ids."""
+    from voyagr_spark.solr_api import solr_select
+
+    idx = _engine_sorted_index(spark, sf_dir)
+    return solr_select(idx, _HOT, fl="doc_id,nchars", sort="nchars asc",
+                       rows=10)
 
 
 def _engine_rw_index(spark: SparkSession, sf_dir: str):
@@ -2990,6 +3058,18 @@ def oracle_sql() -> dict[str, str]:
     d["engine_rev_wildcard"] = _engine_topk_sql("""
           SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
           FROM tf WHERE term LIKE '%dow'""")
+    # index sort: same BM25 inner query, doc ids assigned in the sorted
+    # index's global (len(text), DOC_KEY) order
+    d["engine_sorted_topk"] = _engine_topk_sql(
+        _SQL_AND, order_by=_SORTED_ORDER)
+    # early-terminating sort-by-field: first 10 matching ids in doc-id
+    # (== nchars, DOC_KEY) order on the sorted index, field value joined
+    d["engine_sorted_field"] = _engine_base_sql(
+        order_by=_SORTED_ORDER) + f"""
+        SELECT dm.doc_id, len(dm.text)::BIGINT AS nchars
+        FROM docmap dm
+        JOIN tf ON tf.doc_id = dm.doc_id AND tf.term = '{_HOT}'
+        ORDER BY dm.doc_id ASC LIMIT 10"""
     # ComplexPhraseQueryParser '"fast ke*"': ordered adjacency between
     # 'fast' and ANY ke-term (the SpanOr expansion), sloppyFreq 1/3 per
     # span, weight = fl(fold of idfs over {fast} u ke-terms, term asc)

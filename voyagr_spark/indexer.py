@@ -127,6 +127,10 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("commit", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("content_sha256", T.StringType()),
+        # stored char count of the content field — the index-sort key value
+        # (IndexWriterConfig.setIndexSort's numeric SortField analog) and a
+        # sortable docmap field; cheap enough to store unconditionally
+        T.StructField("nchars", T.LongType()),
         # optional stored token offsets (..._AND_OFFSETS analog; None unless
         # the index was built with index_offsets=True): varint blob of the
         # doc's pre-stop (start, end) char offsets, indexed by position
@@ -161,6 +165,7 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("commit", pa.string()),
         pa.field("lang", pa.string()),
         pa.field("content_sha256", pa.string()),
+        pa.field("nchars", pa.int64()),
         pa.field("off_blob", pa.binary()),
     ]
 )
@@ -336,6 +341,9 @@ def invert_flush(
         "doc_id": pa.array(doc_ids, type=pa.int64()),
         "doclen": pa.array(doclens, type=pa.int64()),
         "norm_byte": pa.array(norm_bytes.astype(np.int32), type=pa.int32()),
+        "nchars": pa.array(
+            contents.str.len().to_numpy(dtype=np.int64), type=pa.int64()
+        ),
         "off_blob": pa.array(off_blobs, type=pa.binary()),
     }
     for k in ("repo", "path", "commit", "lang", "content_sha256"):
@@ -418,11 +426,27 @@ def build_index(
     resume: bool = False,
     analyzer: Analyzer | None = None,
     index_offsets: bool = False,
+    index_sort: tuple[str, bool] | None = None,
 ) -> "Index":
     """Build the full index at index_dir; checkpoint-resumable per stage.
 
     num_segments here sizes the *range partitioning* (parallelism); actual
     segments are flush groups of <= docs_per_segment docs inside partitions.
+
+    index_sort=(field, ascending) is the IndexWriterConfig.setIndexSort
+    analog (lucene/core/src/java/org/apache/lucene/index/
+    IndexWriterConfig.java:480-505, Sorter.java): documents are laid out in
+    sort-key order at write time so sort-by-field queries early-terminate
+    (EarlyTerminatingSortingCollector semantics).  Spark-first divergence,
+    stronger than the reference: the sort is GLOBAL (repartitionByRange on
+    the key), not merely per-segment — doc ids are assigned in
+    (key, DOC_KEY) order, and because global doc ids never change at merge
+    time, merges preserve the sorted invariant with no Sorter.DocMap
+    renumbering at all.  field is `nchars` (length(content), stored on the
+    doc rows) or any input metadata column (`repo`, `path`, `commit`,
+    `lang`).  Appends to a sorted index clear the flag (documented
+    divergence: the reference keeps per-segment sort; we trade that for the
+    global invariant).
     """
     root = Path(index_dir)
     root.mkdir(parents=True, exist_ok=True)
@@ -445,10 +469,20 @@ def build_index(
         if num_segments is None:
             n = docs.count()
             num_segments = max(1, -(-n // docs_per_segment))
+        if index_sort is not None:
+            sfield, s_asc = index_sort
+            skey = (F.length("content") if sfield == "nchars"
+                    else F.col(sfield))
+            if sfield not in ("nchars", *DOC_KEY, "lang"):
+                raise ValueError(f"unsupported index_sort field: {sfield}")
+            sort_cols = [skey.asc() if s_asc else skey.desc(),
+                         *(F.col(c) for c in DOC_KEY)]
+        else:
+            sort_cols = [F.col(c) for c in DOC_KEY]
         ranged = (
             docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            .repartitionByRange(num_segments, *DOC_KEY)
-            .sortWithinPartitions(*DOC_KEY)
+            .repartitionByRange(num_segments, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
             .persist()
         )
         counts = (
@@ -539,6 +573,12 @@ def build_index(
             # custom chain persists with the index so queries re-analyze
             # identically on reopen (Analyzer.createComponents contract)
             meta["analyzer"] = analyzer.to_dict()
+        if index_sort is not None:
+            # the setIndexSort record (SegmentInfo sort attribute analog):
+            # global doc-id order == (key, DOC_KEY) order
+            meta["index_sort"] = {
+                "field": index_sort[0], "asc": bool(index_sort[1]),
+            }
         meta_p.write_text(json.dumps(meta))
 
     return Index(spark, index_dir)
@@ -691,10 +731,18 @@ class Index:
         return self.spark.read.parquet(str(self.dir / "segments" / "kind=doc"))
 
     def docmap(self) -> DataFrame:
-        return self.docstats().select(
-            "doc_id", "seg", "repo", "path", "commit", "lang", "content_sha256",
-            "doclen", "norm_byte",
-        )
+        ds = self.docstats()
+        cols = ["doc_id", "seg", "repo", "path", "commit", "lang",
+                "content_sha256", "doclen", "norm_byte"]
+        if "nchars" in ds.columns:  # absent on pre-index-sort indexes
+            cols.append("nchars")
+        return ds.select(*cols)
+
+    @property
+    def index_sort(self) -> dict | None:
+        """The setIndexSort record: {"field", "asc"} when doc ids were
+        assigned in (key, DOC_KEY) order at build, else None."""
+        return self.meta.get("index_sort")
 
     def stats_dirs(self) -> list[str]:
         """Live stats lineage: base dir + append-time delta dirs (LSM

@@ -1654,6 +1654,39 @@ def count(index, query_or_text) -> int:
     return int(count_df(index, query_or_text).collect()[0][0])
 
 
+def matches_first_by_docid(index, query_or_text, n: int) -> DataFrame:
+    """EarlyTerminatingSortingCollector analog (lucene/core/src/java/org/
+    apache/lucene/search/EarlyTerminatingSortingCollector.java:30-60, now
+    folded into TopFieldCollector.canEarlyTerminate): on an index built
+    with index_sort, doc-id order IS the sort order, so the top-n by the
+    sort field are simply the FIRST n matching doc ids.
+
+    Scale shape: each segment emits at most n ids (collect n per leaf,
+    then terminate — the collector's throw-CollectionTerminatedException
+    discipline re-expressed as a per-group cut), the global merge is
+    TakeOrderedAndProject over #segments * n tiny rows, scores are never
+    computed (trackScores=false), and the docmap is never joined before
+    the cut.  Returns a 1-column (doc_id) DataFrame of <= n rows."""
+    q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
+         if isinstance(query_or_text, str) else query_or_text)
+    plan = make_plan(index, q, k=n, prune=False)
+    terms = sorted(query_terms(plan.query))
+    multis = query_multis(plan.query)
+    if not terms and not multis:
+        return index.spark.createDataFrame([], "doc_id long")
+    rows = index.postings().filter(_posting_filter(terms, multis))
+    n = int(n)
+
+    def _first_n(pdf: pd.DataFrame) -> pd.DataFrame:
+        prs = _group_rows(pdf)
+        docs, scores = _clause_scorer(plan.query, prs, plan)
+        docs, _ = _apply_live_docs(docs, scores, plan)
+        return pd.DataFrame({"doc_id": docs[:n]})  # ascending already
+
+    per_seg = rows.groupBy("seg").applyInPandas(_first_n, "doc_id long")
+    return per_seg.orderBy(F.asc("doc_id")).limit(n)
+
+
 def explain(index, query_or_text, doc_id: int,
             similarity: str = "bm25") -> dict:
     """K6: Explanation tree for one (query, doc) — IndexSearcher.explain

@@ -37,7 +37,7 @@ from .search import scores
 _FQ_RE = re.compile(r"^(\w+):(.*)$")
 
 _DOCMAP_FIELDS = ("repo", "path", "commit", "lang", "doclen",
-                  "content_sha256", "seg")
+                  "content_sha256", "seg", "nchars")
 
 
 def elevate(index, qtext: str, elevate_ids: list[int],
@@ -373,6 +373,34 @@ def _coerce(v: str):
             return v
 
 
+def _sorted_fast_path(index, q, fq, fl, sort, rows, start):
+    """Early-terminating sort-by-field path; None when ineligible (the
+    generic filter-before-rank flow handles everything else)."""
+    isort = getattr(index, "index_sort", None)
+    if isort is None or fq or not sort or fl is None:
+        return None
+    field, _, direction = sort.strip().partition(" ")
+    d = direction.strip().lower() or "asc"
+    if field != isort["field"] or (d == "asc") != bool(isort["asc"]):
+        return None  # canEarlyTerminate: same field, same direction only
+    if isinstance(fl, str):
+        fl = [c.strip() for c in fl.split(",")]
+    if "score" in fl:
+        return None  # trackScores=false path only
+    unknown = [c for c in fl if c not in _DOCMAP_FIELDS and c != "doc_id"]
+    if unknown:
+        raise ValueError(f"unknown fl field(s): {unknown}")
+    from .search import matches_first_by_docid
+
+    ids = matches_first_by_docid(index, q, start + rows)
+    # the cut happened BEFORE any docmap access: join the <= start+rows
+    # surviving ids (broadcast) against the docmap scan
+    joined = index.docmap().join(F.broadcast(ids), "doc_id")
+    ordered = joined.orderBy(F.asc("doc_id"))  # == (field dir, DOC_KEY) order
+    paged = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
+    return paged.select(*fl)
+
+
 def solr_select(
     index,
     q: str,
@@ -382,7 +410,18 @@ def solr_select(
     rows: int = 10,
     start: int = 0,
 ) -> DataFrame:
-    """The /select handler: scored q, filtered by fq, sorted, paged."""
+    """The /select handler: scored q, filtered by fq, sorted, paged.
+
+    When the index was built with index_sort and the request sorts by that
+    same field in the same direction with no fq and a score-free fl, the
+    early-terminating collector path is taken (TopFieldCollector.
+    canEarlyTerminate: the query sort must be a prefix of the index sort):
+    doc-id order IS the sort order, so each segment emits only its first
+    start+rows matching ids, scores are never computed (trackScores=false),
+    and the docmap joins only the <= start+rows surviving ids."""
+    fast = _sorted_fast_path(index, q, fq, fl, sort, rows, start)
+    if fast is not None:
+        return fast
     matches = scores(index, q)
     dm = index.docmap()
     joined = matches.join(dm, "doc_id")

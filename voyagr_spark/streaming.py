@@ -144,6 +144,12 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     index.meta["max_doc"] = base + added
     index.meta["sum_total_term_freq"] = index.sum_total_term_freq + added_len
     index.meta["stream_epoch"] = epoch + 1
+    # appended ids continue from max_doc, so the GLOBAL (key, DOC_KEY)
+    # doc-id order a sorted build guarantees no longer holds — drop the
+    # flag; sort-by-field queries fall back to the generic collector
+    # (documented divergence from Lucene's per-segment index sort, see
+    # build_index docstring)
+    index.meta.pop("index_sort", None)
     index.meta.pop("stats_dir", None)  # legacy single-pointer form
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
