@@ -870,6 +870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index sort (setIndexSort): BM25 results are layout-independent —
         # same docs, bit-identical scores, ids permuted to (nchars, DOC_KEY)
         "engine_sorted_topk": _engine_sorted_topk,
+        # UpdateLog replay: a 3-doc batch logged durably, "crashed" before
+        # apply, then tlog.recover() replays it — results == clean append
+        "engine_tlog_replay": _engine_tlog_replay,
         # early-terminating sort-by-field collector on the sorted index:
         # per-segment first-k match ids, no scores, docmap joined post-cut
         "engine_sorted_field": _engine_sorted_field,
@@ -1200,6 +1203,63 @@ def _engine_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _engine_appended_index(spark, sf_dir)
     res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_TLOG_TEXTS = (
+    "dup crash replay",
+    "batch dup tlog",
+    "key fast dup",
+)
+_TLOG_CACHE: dict = {}
+
+
+def _engine_tlog_index(spark: SparkSession, sf_dir: str):
+    """UpdateLog durability path (solr/.../update/UpdateLog.java): a 3-doc
+    micro-batch is logged durably (tlog.log_batch), the apply "crashes"
+    before indexing, and tlog.recover() replays the committed-but-unapplied
+    entry through the real append path on reopen — the recovered index
+    must be indistinguishable from a clean append."""
+    from voyagr_spark import tlog
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _TLOG_CACHE:
+        return _TLOG_CACHE[key]
+    tag = hashlib.md5((key + "-tlog").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = _docs_mapped(spark, sf_dir)
+    base_n = docs.count()
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(spark, docs, idx_dir, num_segments=4)
+    if idx.max_doc == base_n:  # idempotent across reloads
+        batch = spark.createDataFrame(
+            [("tlog-repo", p, f"c{i}", "en", t)
+             for i, (p, t) in enumerate(zip("abc", _TLOG_TEXTS))],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        tlog.log_batch(idx, batch, num_partitions=2)  # durable; crash here
+        tlog.recover(idx)  # the restart replay
+    idx.pin()
+    _TLOG_CACHE[key] = idx
+    return idx
+
+
+def _engine_tlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 rare-term search over the tlog-recovered index, ranked —
+    df/avgdl/N shift with the replayed docs, so the hash gates the full
+    recovery == clean-append contract."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_tlog_index(spark, sf_dir)
+    res = search(idx, _RARE, k=10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
@@ -2502,6 +2562,13 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                    doc_id, score
             FROM ({_SQL_TERM.format(t=_HOT)})
+          ) WHERE rank <= 10""",
+        "engine_tlog_replay": _engine_base_sql(_TLOG_TEXTS) + f"""
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM ({_SQL_TERM.format(t=_RARE)})
           ) WHERE rank <= 10""",
         "engine_page2": _engine_base_sql() + f"""
             SELECT rank, doc_id, score FROM (

@@ -1,0 +1,165 @@
+"""Transaction log (UpdateLog analog — solr/core/src/java/org/apache/solr/
+update/UpdateLog.java): durable log-then-apply, versioned entries, replay
+of committed-but-unapplied tails, orphan-segment dead-listing, purge.
+"""
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from voyagr_spark import tlog
+from voyagr_spark.indexer import Index, build_index
+from voyagr_spark.search import search
+from voyagr_spark.streaming import append_batch
+
+
+def _build(spark, corpus_pdf, tmp_path_factory, name):
+    d = tmp_path_factory.mktemp(name)
+    docs = spark.createDataFrame(corpus_pdf.iloc[:250]).repartition(4)
+    return build_index(spark, docs, str(d), num_segments=3)
+
+
+def _batch(spark, corpus_pdf):
+    return spark.createDataFrame(corpus_pdf.iloc[250:280])
+
+
+def _results(idx, q="open AND file", k=10):
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["score"])
+        for r in search(idx, q, k=k).join(idx.docmap(), "doc_id").collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def twin(spark, corpus_pdf, tmp_path_factory):
+    """Reference: the same base + batch through the plain append path."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_twin")
+    append_batch(idx, _batch(spark, corpus_pdf), num_partitions=2)
+    yield idx
+    shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_durable_append_applies_and_marks(spark, corpus_pdf,
+                                          tmp_path_factory, twin):
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_da")
+    try:
+        tlog.durable_append(idx, _batch(spark, corpus_pdf),
+                            num_partitions=2)
+        assert idx.meta["tlog_applied"] == 1
+        assert tlog.pending(idx) == []
+        assert _results(idx) == _results(twin)
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_recover_replays_logged_but_unapplied(spark, corpus_pdf,
+                                              tmp_path_factory, twin):
+    """Crash between the tlog write and the apply: the entry is durable,
+    nothing was indexed — recovery replays it."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_crash1")
+    try:
+        v = tlog.log_batch(idx, _batch(spark, corpus_pdf),
+                           num_partitions=2)
+        assert [e["version"] for e in tlog.pending(idx)] == [v]
+        assert idx.max_doc == 250  # nothing applied yet
+        reopened = Index(spark, str(idx.dir))  # the restart
+        assert tlog.recover(reopened) == [v]
+        assert tlog.pending(reopened) == []
+        assert reopened.meta.get("dead_segs") is None  # no orphans existed
+        assert _results(reopened) == _results(twin)
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_recover_dead_lists_orphan_segments(spark, corpus_pdf,
+                                            tmp_path_factory, twin):
+    """Crash AFTER the segment files landed but BEFORE the meta swap: the
+    orphan seg range is dead-listed (no parquet rewrite), the epoch bumps,
+    and the replay lands in a fresh range — no duplicate doc ids, results
+    identical to the clean twin, CheckIndex clean."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_crash2")
+    try:
+        saved = (idx.dir / "meta.json").read_bytes()
+        v = tlog.log_batch(idx, _batch(spark, corpus_pdf),
+                           num_partitions=2)
+        append_batch(idx, _batch(spark, corpus_pdf), num_partitions=2,
+                     tlog_version=v)  # full apply...
+        (idx.dir / "meta.json").write_bytes(saved)  # ...whose swap "lost"
+        reopened = Index(spark, str(idx.dir))
+        assert [e["version"] for e in tlog.pending(reopened)] == [v]
+        assert tlog.recover(reopened) == [v]
+        assert len(reopened.meta["dead_segs"]) == 1
+        # no duplicate ids among visible doc rows
+        dm = reopened.docmap()
+        assert dm.count() == dm.select("doc_id").distinct().count() == 280
+        assert _results(reopened) == _results(twin)
+        # stats lineage agrees with a full recompute (CheckIndex S5 pass)
+        from voyagr_spark.checkindex import check_index
+
+        assert check_index(reopened) == {}  # empty report = clean
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_durable_delete_and_replay(spark, corpus_pdf, tmp_path_factory):
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_del")
+    try:
+        victim = idx.docmap().orderBy("doc_id").limit(1).collect()[0]
+        keys = idx.spark.createDataFrame(
+            [(victim["repo"], victim["path"], victim["commit"])],
+            "repo string, path string, commit string",
+        )
+        # crash before apply: log only, then recover
+        v = tlog.log_batch(idx, keys, op="delete_keys")
+        reopened = Index(spark, str(idx.dir))
+        assert tlog.recover(reopened) == [v]
+        assert reopened.meta["tlog_applied"] == v
+        import numpy as np
+
+        deleted = reopened.deleted_doc_ids()
+        assert deleted is not None and victim["doc_id"] in deleted
+        # applied entries do not replay twice
+        assert tlog.recover(reopened) == []
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_torn_entry_is_invisible(spark, corpus_pdf, tmp_path_factory):
+    """A payload dir without entry.json (crash mid-log) is ignored, and
+    the next version does not reuse its slot... it can, safely: the torn
+    dir has no entry.json, so log_batch overwrites the payload."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_torn")
+    try:
+        entry = idx.dir / "tlog" / "v000000000001"
+        _batch(spark, corpus_pdf).limit(2).select(
+            "repo", "path", "commit", "lang", "content"
+        ).write.mode("overwrite").parquet(str(entry / "payload"))
+        assert tlog.pending(idx) == []
+        assert tlog.recover(idx) == []
+        v = tlog.log_batch(idx, _batch(spark, corpus_pdf))
+        assert v == 1  # slot reused; entry.json now commits it
+        assert [e["version"] for e in tlog.pending(idx)] == [1]
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_purge_applied_keeps_tail(spark, corpus_pdf, tmp_path_factory):
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_purge")
+    try:
+        for lo in (250, 260, 270):
+            tlog.durable_append(
+                idx, spark.createDataFrame(corpus_pdf.iloc[lo:lo + 10]),
+                num_partitions=2,
+            )
+        assert idx.meta["tlog_applied"] == 3
+        removed = tlog.purge_applied(idx, keep=2)
+        assert removed == 1
+        left = [json.loads((p / "entry.json").read_text())["version"]
+                for _, p in tlog._entry_dirs(idx)]
+        assert left == [2, 3]
+        assert tlog.next_version(idx) == 4  # monotone past purged entries
+        assert tlog.pending(idx) == []
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)

@@ -725,10 +725,21 @@ class Index:
         live = self.live_segments
         if live is not None:
             df = df.filter(F.col("seg").isin(live))  # tombstone filter (pushdown)
+        return self._drop_dead_segs(df)
+
+    def _drop_dead_segs(self, df: DataFrame) -> DataFrame:
+        """Hide seg-id ranges orphaned by a crashed append (tlog.recover
+        dead-lists the crashed attempt's range instead of rewriting parquet
+        — the range predicates prune whole orphan files via footer
+        min/max, so a recovered index pays nothing per query)."""
+        for lo, hi in self.meta.get("dead_segs", ()):
+            df = df.filter(~((F.col("seg") >= int(lo)) & (F.col("seg") < int(hi))))
         return df
 
     def docstats(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.dir / "segments" / "kind=doc"))
+        return self._drop_dead_segs(
+            self.spark.read.parquet(str(self.dir / "segments" / "kind=doc"))
+        )
 
     def docmap(self) -> DataFrame:
         ds = self.docstats()
@@ -841,7 +852,8 @@ class Index:
             return None
         return np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
 
-    def _write_deletes(self, ids_df: DataFrame) -> None:
+    def _write_deletes(self, ids_df: DataFrame,
+                       tlog_version: int | None = None) -> None:
         (
             ids_df.select(F.col("doc_id").cast("long"))
             .withColumn(
@@ -855,6 +867,14 @@ class Index:
         )
         self.meta["has_deletes"] = True
         self.meta["delete_epoch"] = int(self.meta.get("delete_epoch", 0)) + 1
+        if tlog_version is not None:  # same atomic swap marks the tlog entry
+            self.meta["tlog_applied"] = max(
+                int(self.meta.get("tlog_applied", 0)), int(tlog_version)
+            )
+        self._swap_meta()
+
+    def _swap_meta(self) -> None:
+        """Atomic meta publish (tmp + rename — the commit point)."""
         tmp = self.dir / "meta.json.tmp"
         tmp.write_text(json.dumps(self.meta))
         import os as _os
@@ -868,7 +888,8 @@ class Index:
         df = self.spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
         self._write_deletes(df)
 
-    def delete_by_keys(self, keys: DataFrame) -> int:
+    def delete_by_keys(self, keys: DataFrame,
+                       tlog_version: int | None = None) -> int:
         """Delete by (repo, path, commit) — the update key (S2).  The id set
         stays distributed: docmap join -> tombstone write, no driver collect."""
         ids = self.docmap().join(
@@ -880,7 +901,14 @@ class Index:
         try:
             n = ids.count()
             if n:
-                self._write_deletes(ids)
+                self._write_deletes(ids, tlog_version=tlog_version)
+            elif tlog_version is not None:
+                # no-op delete still marks its tlog entry applied, or it
+                # would replay forever
+                self.meta["tlog_applied"] = max(
+                    int(self.meta.get("tlog_applied", 0)), int(tlog_version)
+                )
+                self._swap_meta()
         finally:
             ids.unpersist()
         return int(n)

@@ -30,7 +30,8 @@ STATS_COMPACT_AFTER = 4  # max stats delta dirs before compaction to one base
 
 
 def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
-                 docs_per_segment: int = 100_000) -> list[int]:
+                 docs_per_segment: int = 100_000,
+                 tlog_version: int | None = None) -> list[int]:
     """Index a micro-batch into new segments; returns the new segment ids.
 
     Per-append cost is O(batch), never O(index) (VERDICT r1 #3):
@@ -150,6 +151,12 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     # (documented divergence from Lucene's per-segment index sort, see
     # build_index docstring)
     index.meta.pop("index_sort", None)
+    if tlog_version is not None:
+        # the same atomic swap that publishes the segments marks the tlog
+        # entry applied — exactly-once no matter where a crash lands
+        index.meta["tlog_applied"] = max(
+            int(index.meta.get("tlog_applied", 0)), int(tlog_version)
+        )
     index.meta.pop("stats_dir", None)  # legacy single-pointer form
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:

@@ -1,0 +1,189 @@
+"""Transaction log — the UpdateLog analog (solr/core/src/java/org/apache/
+solr/update/UpdateLog.java; SURVEY §2.8 streaming checklist: "NRT segment
+publishing + transaction log for durability/replay").
+
+Solr's UpdateLog makes every update durable BEFORE it is applied to the
+in-memory index, assigns each a monotonically increasing version
+(UpdateLog.java `add`/`deleteByQuery` + VersionInfo), and replays
+unapplied tail entries on startup (`UpdateLog.recoverFromLog`,
+LogReplayer).  The Spark-first re-expression over the write-once index
+layout:
+
+* a tlog *entry* is a directory `tlog/v{version:012d}/` holding the raw
+  operation payload as parquet plus an `entry.json` record; the entry
+  becomes durable when `entry.json` lands via tmp+rename (the fsync'd
+  tlog-record analog) — a half-written payload with no entry.json is
+  invisible to recovery;
+* *applied* is recorded as `meta["tlog_applied"] = version` by the SAME
+  atomic meta swap that publishes the indexed segments
+  (`streaming.append_batch(tlog_version=...)` /
+  `Index.delete_by_keys(tlog_version=...)`) — the entry is applied
+  exactly-once no matter where a crash lands;
+* `recover(index)` replays committed-but-unapplied entries in version
+  order through the normal append/delete paths.  A crashed `add` attempt
+  may have written orphan segment files under the epoch's deterministic
+  seg-id range; instead of rewriting parquet, recovery *dead-lists* that
+  range in meta (`dead_segs`) and bumps the stream epoch so the replay
+  lands in a fresh range — readers push the dead-range predicates into
+  every scan, where parquet footer min/max prunes the orphan files whole
+  (`Index._drop_dead_segs`).  Recovery therefore does zero data rewrites.
+
+Single-writer discipline (one appender per index, as with Solr's one
+leader per shard) is assumed for version assignment; readers and
+recovery are safe against crashes at any point of the writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indexer import Index
+
+#: payload column set for "add" entries (the input_hint corpus shape)
+_ADD_COLS = ("repo", "path", "commit", "lang", "content")
+_KEY_COLS = ("repo", "path", "commit")
+
+
+def _tlog_dir(index: Index) -> Path:
+    return index.dir / "tlog"
+
+
+def _entry_dirs(index: Index) -> list[tuple[int, Path]]:
+    root = _tlog_dir(index)
+    if not root.exists():
+        return []
+    out = []
+    for p in sorted(root.iterdir()):
+        if p.name.startswith("v") and (p / "entry.json").exists():
+            out.append((int(p.name[1:]), p))
+    return sorted(out)
+
+
+def next_version(index: Index) -> int:
+    """Monotone version assignment (VersionInfo analog): one past the
+    highest version ever logged or applied."""
+    logged = max((v for v, _ in _entry_dirs(index)), default=0)
+    return max(logged, int(index.meta.get("tlog_applied", 0))) + 1
+
+
+def log_batch(index: Index, payload: DataFrame, op: str = "add",
+              num_partitions: int = 4) -> int:
+    """Write one durable tlog entry; returns its version.
+
+    The payload parquet lands first; `entry.json` (tmp+rename) commits the
+    entry — recovery ignores payload dirs without it, exactly as a torn
+    tlog record past the last fsync is ignored."""
+    if op == "add":
+        payload = payload.select(*_ADD_COLS)
+    elif op == "delete_keys":
+        payload = payload.select(*_KEY_COLS)
+    else:
+        raise ValueError(f"unknown tlog op: {op}")
+    v = next_version(index)
+    entry = _tlog_dir(index) / f"v{v:012d}"
+    payload.write.mode("overwrite").parquet(str(entry / "payload"))
+    rec = {"op": op, "version": v, "num_partitions": int(num_partitions)}
+    tmp = entry / "entry.json.tmp"
+    tmp.write_text(json.dumps(rec))
+    os.replace(tmp, entry / "entry.json")  # durability point
+    return v
+
+
+def durable_append(index: Index, docs: DataFrame,
+                   num_partitions: int = 4) -> list[int]:
+    """Log-then-apply add (UpdateLog.add before DirectUpdateHandler2
+    applies): the batch is durable before indexing starts; the apply marks
+    the entry via the same meta swap that publishes the segments."""
+    from .streaming import append_batch
+
+    v = log_batch(index, docs, op="add", num_partitions=num_partitions)
+    return append_batch(index, docs, num_partitions=num_partitions,
+                        tlog_version=v)
+
+
+def durable_delete(index: Index, keys: DataFrame,
+                   num_partitions: int = 4) -> int:
+    """Log-then-apply delete-by-key (UpdateLog.delete analog)."""
+    v = log_batch(index, keys, op="delete_keys",
+                  num_partitions=num_partitions)
+    return index.delete_by_keys(keys, tlog_version=v)
+
+
+def pending(index: Index) -> list[dict]:
+    """Committed-but-unapplied entries in version order (the replay tail —
+    UpdateLog.recoverFromLog's getLogList + lastAddedVersion cut)."""
+    applied = int(index.meta.get("tlog_applied", 0))
+    out = []
+    for v, p in _entry_dirs(index):
+        if v > applied:
+            rec = json.loads((p / "entry.json").read_text())
+            rec["path"] = str(p / "payload")
+            out.append(rec)
+    return out
+
+
+def recover(index: Index) -> list[int]:
+    """Replay unapplied tlog entries (LogReplayer analog); returns the
+    versions replayed.  Safe to call any time; a clean index is a no-op.
+
+    For an `add` entry whose crashed attempt may have left orphan segment
+    files, the attempt's deterministic seg-id range is dead-listed and the
+    epoch bumped BEFORE replaying — the replay lands in a fresh range and
+    the orphans become invisible (and file-pruned) everywhere.  The dead
+    range is only recorded when orphan rows actually exist (one
+    footer-pruned existence probe)."""
+    from .streaming import STREAM_PARTITION_BASE, append_batch
+
+    spark = index.spark
+    replayed = []
+    for rec in pending(index):
+        v = int(rec["version"])
+        nparts = int(rec.get("num_partitions", 4))
+        payload = spark.read.parquet(rec["path"])
+        if rec["op"] == "add":
+            epoch = int(index.meta.get("stream_epoch", 0))
+            pid_base = STREAM_PARTITION_BASE + epoch * max(nparts, 1) * 2
+            lo = pid_base << 20
+            hi = (pid_base + 2 * max(nparts, 1)) << 20
+            orphans = (
+                spark.read.parquet(str(index.dir / "segments"))
+                .filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+                .limit(1)
+                .count()
+            )
+            if orphans:
+                dead = list(index.meta.get("dead_segs", []))
+                dead.append([lo, hi])
+                index.meta["dead_segs"] = dead
+                # epoch bump moves the replay out of the dead range; the
+                # swap is atomic, so a crash here just re-runs this branch
+                index.meta["stream_epoch"] = epoch + 1
+                index._swap_meta()
+                index._postings_df = None
+                index._df_cache = None
+            append_batch(index, payload, num_partitions=nparts,
+                         tlog_version=v)
+        elif rec["op"] == "delete_keys":
+            index.delete_by_keys(payload, tlog_version=v)
+        replayed.append(v)
+    return replayed
+
+
+def purge_applied(index: Index, keep: int = 2) -> int:
+    """Drop applied tlog entries beyond the newest `keep` (UpdateLog keeps
+    a bounded number of closed tlog files for peersync; old ones are
+    deleted).  Returns the number of entries removed."""
+    import shutil
+
+    applied = int(index.meta.get("tlog_applied", 0))
+    done = [(v, p) for v, p in _entry_dirs(index) if v <= applied]
+    removed = 0
+    for v, p in done[:-keep] if keep else done:
+        shutil.rmtree(p, ignore_errors=True)
+        removed += 1
+    return removed
