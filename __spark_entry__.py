@@ -873,6 +873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UpdateLog replay: a 3-doc batch logged durably, "crashed" before
         # apply, then tlog.recover() replays it — results == clean append
         "engine_tlog_replay": _engine_tlog_replay,
+        # solrj/io TupleStream family (Spark-first: sorted/partitioned
+        # stream contracts as declared shuffles)
+        "tuple_unique": _tuple_unique,       # UniqueStream: first per run
+        "tuple_rank": _tuple_rank,           # RankStream: bounded top-N
+        "tuple_merge": _tuple_merge,         # MergeStream: ordered union
+        "tuple_reduce": _tuple_reduce,       # ReducerStream: group heads
+        "tuple_parallel": _tuple_parallel,   # ParallelStream: N workers
         # early-terminating sort-by-field collector on the sorted index:
         # per-segment first-k match ids, no scores, docmap joined post-cut
         "engine_sorted_field": _engine_sorted_field,
@@ -1207,6 +1214,68 @@ def _engine_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
     )
+
+
+def _hot_stream(spark: SparkSession, sf_dir: str, fl: list[str],
+                sort=(("lang", True), ("doc_id", True))):
+    """CloudSolrStream analog over the engine index: `batch` matches as a
+    sorted tuple stream (tuplestream.search_stream)."""
+    from voyagr_spark import tuplestream as ts
+
+    idx = _engine_index(spark, sf_dir)
+    return ts.search_stream(idx, _HOT, sort=[list(s) for s in sort], fl=fl)
+
+
+def _tuple_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueStream (UniqueStream.java:27-31): first tuple per lang run of
+    the (lang, doc_id)-sorted hot-term stream."""
+    from voyagr_spark import tuplestream as ts
+
+    s = _hot_stream(spark, sf_dir, ["doc_id", "lang"])
+    return ts.unique(s, ["lang"]).to_df().select("doc_id", "lang")
+
+
+def _tuple_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankStream (RankStream.java:30-36): top-5 by doclen desc — a
+    TakeOrderedAndProject, never a global sort."""
+    from voyagr_spark import tuplestream as ts
+
+    s = _hot_stream(spark, sf_dir, ["doc_id", "doclen"],
+                    sort=(("doc_id", True),))
+    return ts.rank(s, 5, comp=[("doclen", False)]).to_df().select(
+        "doc_id", "doclen")
+
+
+def _tuple_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeStream (MergeStream.java:18-20): ordered union of the hot and
+    rare match streams — duplicates kept (a union of streams)."""
+    from voyagr_spark import tuplestream as ts
+
+    idx = _engine_index(spark, sf_dir)
+    a = ts.search_stream(idx, _HOT, sort=[("doc_id", True)], fl=["doc_id"])
+    b = ts.search_stream(idx, _RARE, sort=[("doc_id", True)], fl=["doc_id"])
+    return ts.merge(a, b).to_df()
+
+
+def _tuple_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReducerStream (ReducerStream.java:20-30): one tuple per lang group —
+    the head tuple plus the member list (projected to its size here)."""
+    from voyagr_spark import tuplestream as ts
+
+    s = _hot_stream(spark, sf_dir, ["doc_id", "lang"])
+    return ts.reducer(s, ["lang"]).to_df().select(
+        "lang", "group_size", "doc_id")
+
+
+def _tuple_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParallelStream (ParallelStream.java:33-40): the unique combinator
+    over a 3-worker hash-partitioned stream — the declared shuffle replaces
+    the worker fan-out; same tuples as tuple_unique by construction."""
+    from voyagr_spark import tuplestream as ts
+
+    s = _hot_stream(spark, sf_dir, ["doc_id", "lang"])
+    par = ts.parallel(s, 3, ["lang"])
+    return ts.unique(par, ["lang"]).to_df().select("doc_id", "lang")
 
 
 _TLOG_TEXTS = (
@@ -3125,6 +3194,29 @@ def oracle_sql() -> dict[str, str]:
     d["engine_rev_wildcard"] = _engine_topk_sql("""
           SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
           FROM tf WHERE term LIKE '%dow'""")
+    # TupleStream combinators over the hot-term match stream: UniqueStream
+    # head = min doc_id per lang run; RankStream = bounded top-N;
+    # MergeStream = UNION ALL (duplicates kept); ReducerStream = group
+    # head + size; ParallelStream = same tuples through the worker shuffle
+    d["tuple_unique"] = _engine_base_sql() + f"""
+        SELECT min(tf.doc_id)::BIGINT AS doc_id, d.lang
+        FROM tf JOIN docmap0 d ON tf.doc_id = d.doc_id
+        WHERE tf.term = '{_HOT}' GROUP BY d.lang"""
+    d["tuple_rank"] = _engine_base_sql() + f"""
+        SELECT tf.doc_id, dl.doclen
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        WHERE tf.term = '{_HOT}'
+        ORDER BY dl.doclen DESC, tf.doc_id ASC LIMIT 5"""
+    d["tuple_merge"] = _engine_base_sql() + f"""
+        SELECT doc_id FROM tf WHERE term = '{_HOT}'
+        UNION ALL
+        SELECT doc_id FROM tf WHERE term = '{_RARE}'"""
+    d["tuple_reduce"] = _engine_base_sql() + f"""
+        SELECT d.lang, count(*)::BIGINT AS group_size,
+               min(tf.doc_id)::BIGINT AS doc_id
+        FROM tf JOIN docmap0 d ON tf.doc_id = d.doc_id
+        WHERE tf.term = '{_HOT}' GROUP BY d.lang"""
+    d["tuple_parallel"] = d["tuple_unique"]
     # index sort: same BM25 inner query, doc ids assigned in the sorted
     # index's global (len(text), DOC_KEY) order
     d["engine_sorted_topk"] = _engine_topk_sql(
