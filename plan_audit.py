@@ -194,6 +194,47 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in sp_checks],
     ))
 
+    # 10. early-terminating sorted collector: on an index_sort index the
+    # by-field cut happens on posting doc ids alone — no kind=doc scan
+    # before the cut, no scores, TakeOrderedAndProject over per-segment
+    # first-k rows (TopFieldCollector.canEarlyTerminate analog)
+    from voyagr_spark.search import matches_first_by_docid
+
+    sidx = m._engine_sorted_index(spark, "/root/testdata/sf0.001")
+    sidx.unpin()
+    try:
+        p = _plan(matches_first_by_docid(sidx, "batch AND dup", 10))
+        et_checks = [
+            ("term IN pushed to parquet",
+             any("PushedFilters" in l and "term" in l
+                 for l in p.splitlines())),
+            ("no kind=doc scan before the cut", "kind=doc" not in p),
+            ("TakeOrderedAndProject over per-segment first-k",
+             "TakeOrderedAndProject" in p),
+        ]
+        sections.append((
+            "early-terminating sorted collector (index_sort, by-field top-k)",
+            _excerpt(p, ["PushedFilters", "TakeOrderedAndProject"]),
+            [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in et_checks],
+        ))
+    finally:
+        sidx.pin()
+
+    # 11. ParallelStream: the worker fan-out is ONE declared hash shuffle;
+    # the downstream unique's window reuses it (no second hashpartitioning)
+    from voyagr_spark import tuplestream as ts
+
+    s = ts.TStream(idx.docmap().select("doc_id", "lang"),
+                   (("lang", True), ("doc_id", True)))
+    p = _plan(ts.unique(ts.parallel(s, 3, ["lang"]), ["lang"]).df)
+    n_hash = p.count("hashpartitioning")
+    sections.append((
+        "TupleStream parallel -> unique (worker shuffle reuse)",
+        _excerpt(p, ["Exchange", "Window"]),
+        [f"{'PASS' if n_hash == 1 else 'FAIL'}: one hashpartitioning total "
+         f"({n_hash}) — the unique window reuses the parallel repartition"],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
