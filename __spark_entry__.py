@@ -873,6 +873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UpdateLog replay: a 3-doc batch logged durably, "crashed" before
         # apply, then tlog.recover() replays it — results == clean append
         "engine_tlog_replay": _engine_tlog_replay,
+        # RealTimeGet: a logged-but-unapplied doc is visible to RTG (the
+        # tlog consulted before the index) while staying unsearchable
+        "engine_rtg": _engine_rtg,
         # solrj/io TupleStream family (Spark-first: sorted/partitioned
         # stream contracts as declared shuffles)
         "tuple_unique": _tuple_unique,       # UniqueStream: first per run
@@ -1332,6 +1335,44 @@ def _engine_tlog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+_RTG_KEY = ("rtg-repo", "zz-pending", "c9")
+_RTG_TEXT = "uncommitted rtg content"
+
+
+def _engine_rtg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RealTimeGet (RealTimeGetComponent.java:80-160): a doc logged
+    durably but not yet applied is returned by RTG from the tlog
+    (newest-first) while remaining invisible to search.  Idempotent: the
+    pending entry is logged once per index lifetime (it is never replayed
+    — _engine_tlog_index's recover guard only fires on a fresh build)."""
+    from voyagr_spark import tlog
+
+    idx = _engine_tlog_index(spark, sf_dir)
+    key = dict(zip(("repo", "path", "commit"), _RTG_KEY))
+    already = any(
+        spark.read.parquet(rec["path"])
+        .filter((F.col("repo") == key["repo"])
+                & (F.col("path") == key["path"])).count() > 0
+        for rec in tlog.pending(idx) if rec["op"] == "add"
+    )
+    if not already:
+        batch = spark.createDataFrame(
+            [(*_RTG_KEY, "en", _RTG_TEXT)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        tlog.log_batch(idx, batch, num_partitions=1)
+    got = tlog.realtime_get(idx, None, key)
+    assert got is not None and got["content"] == _RTG_TEXT
+    # unsearchable until applied — RTG is the only pre-commit visibility
+    from voyagr_spark.search import search
+
+    n = search(idx, "uncommitted", k=5).count()
+    return spark.createDataFrame(
+        [(got["repo"], got["path"], got["commit"], got["content"], int(n))],
+        "repo string, path string, commit string, content string, searchable_hits long",
     )
 
 
@@ -3194,6 +3235,13 @@ def oracle_sql() -> dict[str, str]:
     d["engine_rev_wildcard"] = _engine_topk_sql("""
           SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
           FROM tf WHERE term LIKE '%dow'""")
+    # RealTimeGet: the logged-but-unapplied doc comes back verbatim from
+    # the tlog and is not searchable (0 hits) — the oracle states the
+    # contract as the literal expected row
+    d["engine_rtg"] = f"""
+        SELECT '{_RTG_KEY[0]}' AS repo, '{_RTG_KEY[1]}' AS path,
+               '{_RTG_KEY[2]}' AS commit, '{_RTG_TEXT}' AS content,
+               0::BIGINT AS searchable_hits"""
     # TupleStream combinators over the hot-term match stream: UniqueStream
     # head = min doc_id per lang run; RankStream = bounded top-N;
     # MergeStream = UNION ALL (duplicates kept); ReducerStream = group

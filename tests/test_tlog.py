@@ -163,3 +163,85 @@ def test_purge_applied_keeps_tail(spark, corpus_pdf, tmp_path_factory):
         assert tlog.pending(idx) == []
     finally:
         shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_realtime_get_pending_add(spark, corpus_pdf, tmp_path_factory):
+    """RTG sees a logged-but-unapplied doc (invisible to search), and the
+    index path takes over after recovery."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_rtg")
+    try:
+        key = {"repo": "rtg-repo", "path": "pending", "commit": "c9"}
+        batch = spark.createDataFrame(
+            [(key["repo"], key["path"], key["commit"], "en",
+              "uncommitted rtg content")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        tlog.log_batch(idx, batch, num_partitions=1)  # durable, not applied
+        got = tlog.realtime_get(idx, batch, key)
+        assert got["content"] == "uncommitted rtg content"
+        assert search(idx, "uncommitted", k=5).count() == 0  # not searchable
+        tlog.recover(idx)
+        assert search(idx, "uncommitted", k=5).count() == 1
+        got2 = tlog.realtime_get(idx, batch, key)  # now the index path
+        assert got2["content"] == "uncommitted rtg content"
+        assert got2["doc_id"] == 250
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_realtime_get_pending_delete_and_lww(spark, corpus_pdf,
+                                             tmp_path_factory):
+    """A pending delete hides the doc from RTG while it is still
+    searchable; a newer pending add for the same key wins (last write)."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_rtg2")
+    try:
+        victim = idx.docmap().orderBy("doc_id").limit(1).collect()[0]
+        key = {k: victim[k] for k in ("repo", "path", "commit")}
+        keys_df = spark.createDataFrame([tuple(key.values())],
+                                        "repo string, path string, commit string")
+        tlog.log_batch(idx, keys_df, op="delete_keys")
+        assert tlog.realtime_get(idx, None, key) is None  # uncommitted delete
+        re_add = spark.createDataFrame(
+            [(key["repo"], key["path"], key["commit"], "en", "resurrected")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        tlog.log_batch(idx, re_add, num_partitions=1)
+        got = tlog.realtime_get(idx, None, key)
+        assert got["content"] == "resurrected"  # newest entry wins
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_realtime_get_applied_tombstone_and_missing(spark, corpus_pdf,
+                                                    tmp_path_factory):
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_rtg3")
+    try:
+        victim = idx.docmap().orderBy("doc_id").limit(1).collect()[0]
+        key = {k: victim[k] for k in ("repo", "path", "commit")}
+        idx.delete_docs([victim["doc_id"]])
+        assert tlog.realtime_get(idx, None, key) is None  # tombstoned
+        assert tlog.realtime_get(
+            idx, None, {"repo": "no", "path": "such", "commit": "doc"}
+        ) is None
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_realtime_get_upserted_key_newest_copy(spark, corpus_pdf,
+                                               tmp_path_factory):
+    from voyagr_spark.streaming import upsert_batch
+
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_rtg4")
+    try:
+        victim = idx.docmap().orderBy("doc_id").limit(1).collect()[0]
+        key = {k: victim[k] for k in ("repo", "path", "commit")}
+        batch = spark.createDataFrame(
+            [(key["repo"], key["path"], key["commit"], "en", "updated body")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        upsert_batch(idx, batch, num_partitions=1)
+        got = tlog.realtime_get(idx, batch, key)
+        assert got["content"] == "updated body"
+        assert got["doc_id"] == 250  # the re-added copy, not the tombstoned
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)

@@ -174,6 +174,66 @@ def recover(index: Index) -> list[int]:
     return replayed
 
 
+def realtime_get(index: Index, source: DataFrame | None,
+                 key: dict) -> dict | None:
+    """RealTimeGet (solr/core/src/java/org/apache/solr/handler/component/
+    RealTimeGetComponent.java:80-160): the LATEST copy of a doc by
+    uniqueKey, visible before any commit/reopen — the reference consults
+    the update log's in-memory maps first and only then the newest
+    searcher.  Here: pending (committed-but-unapplied) tlog entries are
+    scanned newest-first — an `add` carrying the key returns its logged
+    payload, a `delete_keys` hit returns None — then the published index
+    answers (newest live docmap row for the key, tombstone-checked,
+    hydrated from `source`).
+
+    Scale shape: each probe is a key-predicate lookup pushed into a
+    parquet scan (tlog payloads are micro-batch-sized; the docmap lookup
+    prunes via footer min/max); the tombstone check reads one doc-id
+    bucket.  Never a full scan, nothing driver-side but the one row."""
+    from .indexer import load_tombstones
+
+    spark = index.spark
+    pred = None
+    for f_ in _KEY_COLS:
+        if f_ not in key:
+            raise ValueError(f"realtime_get key must carry {f_!r}")
+        p = F.col(f_) == key[f_]
+        pred = p if pred is None else (pred & p)
+    for rec in reversed(pending(index)):  # newest first (last-write-wins)
+        rows = spark.read.parquet(rec["path"]).filter(pred).collect()
+        if rows:
+            if rec["op"] == "delete_keys":
+                return None
+            return rows[-1].asDict()
+    # published index: newest live row for the key (an upserted key keeps
+    # its tombstoned old ids in the docmap — take the max live doc_id)
+    cand = sorted(
+        index.docmap().filter(pred).select(
+            "doc_id", "repo", "path", "commit", "lang").collect(),
+        key=lambda r: -r["doc_id"],
+    )
+    ref = index.tombstone_ref()
+    live = None
+    for r in cand:
+        if ref is not None:
+            dead = load_tombstones(ref[0], ref[1], int(r["doc_id"]),
+                                   int(r["doc_id"]))
+            if dead.size and int(r["doc_id"]) in dead:
+                continue
+        live = r
+        break
+    if live is None:
+        return None
+    out = live.asDict()
+    if source is not None:
+        hyd = source.filter(pred).collect()
+        if hyd:
+            full = hyd[-1].asDict()
+            full["doc_id"] = out["doc_id"]
+            return full
+    return out
+
+
 def purge_applied(index: Index, keep: int = 2) -> int:
     """Drop applied tlog entries beyond the newest `keep` (UpdateLog keeps
     a bounded number of closed tlog files for peersync; old ones are
