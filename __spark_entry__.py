@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voyagr_spark import relational as R
+from voyagr_spark import signatures as _SIG
 from voyagr_spark import spatial as SP
 from voyagr_spark.analysis import ENGLISH_STOP_WORDS
 
@@ -58,6 +59,39 @@ scored AS (
 
 _HOT, _RARE = "batch", "dup"
 _OR3 = ["fast", "key", "vector"]
+
+# TextProfileSignature.java profile pipeline (shared by two gate entries):
+# letter-or-digit token runs of the lowercased text kept iff len > 2,
+# quant = Math.round(maxFreq * 0.01f) floored to 2 (maxFreq > 1) else 1,
+# counts rounded down to quant multiples and dropped below quant, lines
+# "token count" ordered (count desc, token asc), md5 of the \n-join
+_TEXT_PROFILE_SQL = r"""
+WITH ptoks AS (
+  SELECT doc_id, ptok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^\p{L}\p{Nd}]+')) AS ptok
+    FROM documents)
+  WHERE length(ptok) > 2),
+pcnts AS (SELECT doc_id, ptok, count(*)::INT AS cnt
+          FROM ptoks GROUP BY doc_id, ptok),
+pquant AS (
+  SELECT doc_id,
+         CASE WHEN rq < 2 THEN CASE WHEN maxf > 1 THEN 2 ELSE 1 END
+              ELSE rq END AS quant
+  FROM (SELECT doc_id, max(cnt) AS maxf,
+               CAST(floor(CAST(CAST(max(cnt) AS FLOAT) * CAST(0.01 AS FLOAT)
+                               AS FLOAT) + 0.5) AS INT) AS rq
+        FROM pcnts GROUP BY doc_id)),
+pprof AS (
+  SELECT c.doc_id, (c.cnt // q.quant) * q.quant AS qc, c.ptok
+  FROM pcnts c JOIN pquant q USING (doc_id)
+  WHERE (c.cnt // q.quant) * q.quant >= q.quant),
+lines AS (
+  SELECT doc_id,
+         md5(string_agg(ptok || ' ' || qc, chr(10) ORDER BY qc DESC, ptok ASC))
+           AS profile_md5
+  FROM pprof GROUP BY doc_id)
+"""
 
 # stratified-sample thresholds: the SAME quantized hex constants the Spark
 # side filters on (relational.SAMPLE_RATES via _rate_hex)
@@ -594,6 +628,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_by_source": lambda s, d: R.join_by_source(s, d, _RARE),
         # training-data pipeline ops
         "dedup_exact": lambda s, d: R.dedup_exact(s, d),
+        # Solr SignatureUpdateProcessor family (ingest-time dedup):
+        # MD5Signature over the sorted (fieldName, value) stream, the
+        # Nutch TextProfileSignature fuzzy profile, and overwriteDupes
+        # last-writer-wins retention (signatures.py)
+        "md5_signature": lambda s, d: _SIG.md5_signature(s, d),
+        "text_profile_signature": lambda s, d: _SIG.text_profile_signature(s, d),
+        "dedup_signature": lambda s, d: _SIG.dedup_signature(s, d),
         "minhash_signature": lambda s, d: R.minhash_signature(s, d),
         "lsh_buckets": lambda s, d: R.lsh_buckets(s, d),
         "jaccard_pairs": lambda s, d: R.jaccard_pairs(s, d, 0.7, 100),
@@ -2201,6 +2242,27 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
+        # MD5Signature: digest of the sorted (fieldName || value) stream
+        # (SignatureUpdateProcessorFactory.java:155-185); fields sorted =
+        # lang, source, text, all non-null in the test tables
+        "md5_signature": """
+            SELECT doc_id,
+                   md5('lang' || lang || 'source' || source || 'text' || text) AS sig
+            FROM documents""",
+        # TextProfileSignature (Nutch): quantized token-frequency profile,
+        # count desc / token asc (deterministic tie divergence), md5 of
+        # the newline-joined "token count" lines; empty profile -> md5('')
+        "text_profile_signature": _TEXT_PROFILE_SQL + """
+            SELECT d.doc_id, coalesce(l.profile_md5, md5('')) AS sig
+            FROM documents d LEFT JOIN lines l USING (doc_id)""",
+        # overwriteDupes=true: last add per signature term wins
+        "dedup_signature": _TEXT_PROFILE_SQL + """
+            , sigs AS (
+              SELECT d.doc_id, coalesce(l.profile_md5, md5('')) AS sig
+              FROM documents d LEFT JOIN lines l USING (doc_id))
+            SELECT sig, max(doc_id) AS kept_doc,
+                   (count(*) - 1)::BIGINT AS n_overwritten
+            FROM sigs GROUP BY sig""",
         "token_counts": r"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
