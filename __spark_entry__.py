@@ -193,7 +193,8 @@ _SORTED_ORDER = ("len(text) ASC, source ASC, "
 
 def _engine_base_sql(appended: tuple[str, ...] = (),
                      appended_sql: str = "", stop: bool = True,
-                     order_by: str | None = None) -> str:
+                     order_by: str | None = None,
+                     text_expr: str = "text") -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
     per-(term, doc) BM25 scores with quantized norms (bit parity with the
     engine's numpy scorer; see cast discipline note above).
@@ -229,7 +230,7 @@ WITH docmap0 AS (
   FROM documents
 ),
 docmap AS (
-  SELECT doc_id, text FROM docmap0
+  SELECT doc_id, {text_expr} AS text FROM docmap0
 {extra}),
 tok AS (
   SELECT doc_id, lower(t) AS term, p AS pos
@@ -294,9 +295,10 @@ def _engine_batch_sql(k: int = 10) -> str:
 
 
 def _engine_topk_sql(inner: str, k: int = 10,
-                     order_by: str | None = None) -> str:
+                     order_by: str | None = None,
+                     text_expr: str = "text") -> str:
     return (
-        _engine_base_sql(order_by=order_by)
+        _engine_base_sql(order_by=order_by, text_expr=text_expr)
         + f"""SELECT rank, doc_id, score FROM (
           SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                  doc_id, score
@@ -361,6 +363,30 @@ _SQL_PREFIX = """
 
 
 # phrase: freq = adjacent-position alignments; weight = fl-summed idfs * (k1+1)
+def _sql_phrase2(t1: str, t2: str) -> str:
+    """Two-term exact-phrase BM25 oracle (the _SQL_PHRASE shape with the
+    terms parameterized): freq = adjacent-position pair count, weight =
+    fl(fl(idf1+idf2) * fl(k1+1))."""
+    return f"""
+  SELECT ph.doc_id,
+         CAST(CAST(pw.wv * CAST(ph.freq AS FLOAT) AS FLOAT)
+              / CAST(CAST(ph.freq AS FLOAT) + qn.cache AS FLOAT) AS FLOAT) AS score
+  FROM (
+    SELECT a.doc_id, count(*)::BIGINT AS freq
+    FROM (SELECT doc_id, pos FROM tok WHERE term = '{t1}') a
+    JOIN (SELECT doc_id, pos FROM tok WHERE term = '{t2}') b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+  ) ph
+  JOIN qn ON ph.doc_id = qn.doc_id
+  CROSS JOIN (
+    SELECT CAST(CAST((SELECT idf FROM w WHERE term = '{t1}')
+                     + (SELECT idf FROM w WHERE term = '{t2}') AS FLOAT)
+                * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+                AS FLOAT) AS wv
+  ) pw"""
+
+
 _SQL_PHRASE = """
   SELECT ph.doc_id,
          CAST(CAST(pw.wv * CAST(ph.freq AS FLOAT) AS FLOAT)
@@ -787,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ASCIIFoldingFilter: accent-translated corpus + folding analyzer
         # must be bit-identical to the plain index over the original text
         "engine_fold": _engine_fold,
+        # WordDelimiterFilter (default config) over a whitespace tokenizer:
+        # phrase '"job 42"' matches only via subword splits + re-ordinaled
+        # positions; oracle substitutes the expansion textually
+        "engine_word_delimiter": _engine_word_delimiter,
         # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
         # over the index term dictionary (same oracle as the relational twin)
         "engine_suggest": _engine_suggest,
@@ -1559,6 +1589,56 @@ def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYN_CACHE: dict = {}
 _FOLD_CACHE: dict = {}
 _SHINGLE_CACHE: dict = {}
+_WDF_CACHE: dict = {}
+
+#: every 'batch' becomes a delimiter/case/possessive torture token; the
+#: default-config WordDelimiterFilter must split it to exactly
+#: 'o neil batch job 42 x' (possessive strip + delimiter split + case
+#: transition + letter->digit + digit->letter), which is what the oracle
+#: substitutes textually.  Spark regexp_replace and DuckDB's 'g' flag both
+#: replace every occurrence; \b is RE2-safe and Java-regex-safe alike.
+_WDF_SRC = r"O'Neil's-batchJob42x"
+_WDF_EXPANDED = "o neil batch job 42 x"
+
+
+def _engine_wdf_index(spark: SparkSession, sf_dir: str):
+    """Index built with WhitespaceTokenizer + default-config
+    WordDelimiterFilter (analysis/miscellaneous/WordDelimiterFilter.java:
+    50-104 — the factory pairing the reference recommends) over content
+    where every 'batch' is replaced by a delimiter/case torture token.
+    Subwords take one position each (combinations=0), so 'job' and '42'
+    are adjacent — the phrase gate exercises the re-ordinaled positions."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _WDF_CACHE:
+        return _WDF_CACHE[key]
+    tag = hashlib.md5((key + "-wdf").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    docs = _docs_mapped(spark, sf_dir).withColumn(
+        "content", F.regexp_replace("content", r"\bbatch\b", _WDF_SRC)
+    )
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, docs, idx_dir, num_segments=4,
+            analyzer=Analyzer(token_pattern=r"\S+", word_delimiter=True),
+        )
+    idx.pin()
+    _WDF_CACHE[key] = idx
+    return idx
+
+
+def _engine_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase '"job 42"' over the WDF index: both terms exist ONLY as
+    WordDelimiterFilter subwords, and the phrase match rides the
+    re-ordinaled positions the expansion assigned."""
+    from voyagr_spark.search import search
+
+    idx = _engine_wdf_index(spark, sf_dir)
+    return _rank_window(search(idx, '"job 42"', k=10))
 _RW_CACHE: dict = {}
 _SORTED_CACHE: dict = {}
 
@@ -2641,6 +2721,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, CAST(score + score AS FLOAT) AS score
           FROM ({_SQL_TERM.format(t=_RARE)})"""),
         "engine_fold": _engine_topk_sql(_SQL_TERM.format(t=_HOT)),
+        # WDF: the oracle substitutes the subword expansion textually, then
+        # runs the standard phrase oracle over the adjacent (job, 42) pair
+        "engine_word_delimiter": _engine_topk_sql(
+            _sql_phrase2("job", "42"),
+            text_expr=(r"regexp_replace(text, '\bbatch\b', '"
+                       + _WDF_EXPANDED + "', 'g')"),
+        ),
         "engine_boosting": _engine_topk_sql(f"""
           SELECT h.doc_id,
                  CASE WHEN r.doc_id IS NULL THEN h.score

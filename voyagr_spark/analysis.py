@@ -657,6 +657,51 @@ def should_reverse(
     )
 
 
+# -- WordDelimiterFilter (analysis/miscellaneous/WordDelimiterFilter.java) ---
+
+# Default factory config (WordDelimiterFilterFactory.java defaults):
+# generateWordParts=1, generateNumberParts=1, splitOnCaseChange=1,
+# splitOnNumerics=1, stemEnglishPossessive=1, catenate*/preserveOriginal=0.
+# Split rules (WordDelimiterFilter.java:50-75 javadoc + WordDelimiterIterator
+# .java:115-200): intra-word delimiters (non-alphanumerics) split and drop;
+# lower->UPPER case transitions split; an UPPER run followed by lower splits
+# before the last upper (acronym rule, WordDelimiterIterator.isBreak); letter
+# <-> digit transitions split; trailing "'s" is removed per subword.
+#
+# Re-expressed as a boundary-insertion regex chain deliberately written in
+# the RE2-safe subset (no lookaround, no backreference matching), so the
+# DuckDB gate oracle runs the IDENTICAL replacements — parity by
+# construction.  Character classes are ASCII (the reference's default
+# 256-entry table classifies Latin-1; non-ASCII here falls to
+# SUBWORD_DELIM — documented divergence, the corpus envelope is ASCII).
+_WDF_POSSESSIVE = (r"['’][sS]($|[^A-Za-z0-9])", r"\1")
+_WDF_BOUNDARIES = (
+    (r"([a-z])([A-Z])", r"\1 \2"),          # case transition
+    (r"([A-Z])([A-Z][a-z])", r"\1 \2"),     # acronym run before a word
+    (r"([A-Za-z])([0-9])", r"\1 \2"),       # letter -> digit
+    (r"([0-9])([A-Za-z])", r"\1 \2"),       # digit -> letter
+    (r"[^A-Za-z0-9]+", " "),                 # delimiters split and drop
+)
+_WDF_RULES = tuple(
+    (re.compile(p), r) for p, r in (_WDF_POSSESSIVE,) + _WDF_BOUNDARIES
+)
+
+
+def word_delimiter_parts(token: str) -> list[str]:
+    """Split one token into its WordDelimiterFilter subwords (default
+    config).  "Wi-Fi" -> [Wi, Fi]; "PowerShot" -> [Power, Shot]; "SD500" ->
+    [SD, 500]; "O'Neil's" -> [O, Neil]; "//hello---there, 'dude'" ->
+    [hello, there, dude] (WordDelimiterFilter.java:50-66 javadoc goldens).
+
+    Called at vocabulary rate (the batch path memoizes per unique token).
+    Each subword takes one position (posinc 1 per part, the
+    combinations=0 default), so callers re-ordinal the expanded stream."""
+    s = token
+    for pat, rep in _WDF_RULES:
+        s = pat.sub(rep, s)
+    return s.split()
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Configurable analysis chain: tokenizer regex -> [lowercase] ->
@@ -707,6 +752,13 @@ class Analyzer:
     #: reference shouldReverse heuristics).  Marker =
     #: ReverseStringFilter.START_OF_HEADING_MARKER '\\u0001'.
     reverse_wildcards: bool = False
+    #: WordDelimiterFilter analog (word_delimiter_parts above), default
+    #: factory config: every tokenizer token splits into its subwords, each
+    #: taking one position (combinations=0 — the expanded stream re-ordinals).
+    #: Pair with a whitespace tokenizer (token_pattern=r"\S+") as the
+    #: reference recommends (WordDelimiterFilter.java:100-104: "used after a
+    #: tokenizer that does not [remove intra-word delimiters]").
+    word_delimiter: bool = False
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
@@ -742,6 +794,7 @@ class Analyzer:
             and not self.strip_html
             and not self.shingle
             and not self.reverse_wildcards
+            and not self.word_delimiter
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -760,6 +813,7 @@ class Analyzer:
             ),
             "shingle": self.shingle,
             "reverse_wildcards": self.reverse_wildcards,
+            "word_delimiter": self.word_delimiter,
         }
 
     @staticmethod
@@ -780,6 +834,7 @@ class Analyzer:
             ),
             shingle=bool(d.get("shingle", False)),
             reverse_wildcards=bool(d.get("reverse_wildcards", False)),
+            word_delimiter=bool(d.get("word_delimiter", False)),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -789,6 +844,10 @@ class Analyzer:
         if self.strip_html:
             text = strip_html(text or "")
         toks = self._chunk(_compiled(self.token_pattern).findall(text or ""))
+        if self.word_delimiter:
+            # combinations=0: each part takes one position, the expanded
+            # stream re-ordinals (WordDelimiterFilter.java:69-71 golden)
+            toks = [p for t in toks for p in word_delimiter_parts(t)]
         terms, positions = [], []
         for pos, tok in enumerate(toks):
             t = tok.lower() if self.lowercase else tok
@@ -859,6 +918,21 @@ class Analyzer:
         mx = self.max_token_length
         if mx:
             toks = toks.map(self._chunk)
+        if self.word_delimiter:
+            # memoized per unique raw token — vocabulary-rate scalar cost,
+            # same discipline as the stemmer/folder below
+            memo: dict = {}
+
+            def _expand(lst: list) -> list:
+                out = []
+                for t in lst:
+                    parts = memo.get(t)
+                    if parts is None:
+                        parts = memo[t] = word_delimiter_parts(t)
+                    out.extend(parts)
+                return out
+
+            toks = toks.map(_expand)
         raw_lens = toks.map(len).to_numpy(dtype=np.int64)
         total = int(raw_lens.sum())
         if total == 0:
