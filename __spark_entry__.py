@@ -817,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phrase '"job 42"' matches only via subword splits + re-ordinaled
         # positions; oracle substitutes the expansion textually
         "engine_word_delimiter": _engine_word_delimiter,
+        # CoreParser XML query surface: MUST term + non-scoring filter
+        # clause — score is the term's BM25 alone, filter gates matches
+        "engine_xml_query": _engine_xml_query,
         # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
         # over the index term dictionary (same oracle as the relational twin)
         "engine_suggest": _engine_suggest,
@@ -1629,6 +1632,25 @@ def _engine_wdf_index(spark: SparkSession, sf_dir: str):
     idx.pin()
     _WDF_CACHE[key] = idx
     return idx
+
+
+def _engine_xml_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoreParser XML surface (queryparser/xml/CoreParser.java): a
+    <BooleanQuery> with a scoring MUST term and a non-scoring FILTER
+    clause (RangeQuery [dup,dup] in filter position) — the score is the
+    'batch' term's BM25 alone; the filter only gates the match set."""
+    from voyagr_spark.search import search
+    from voyagr_spark.xmlparser import parse_xml
+
+    idx = _engine_index(spark, sf_dir)
+    q = parse_xml(
+        "<BooleanQuery>"
+        f'<Clause occurs="must"><TermQuery>{_HOT}</TermQuery></Clause>'
+        '<Clause occurs="filter">'
+        f'<RangeQuery lowerTerm="{_RARE}" upperTerm="{_RARE}"/></Clause>'
+        "</BooleanQuery>"
+    )
+    return _rank_window(search(idx, q, k=10))
 
 
 def _engine_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2728,6 +2750,13 @@ def oracle_sql() -> dict[str, str]:
             text_expr=(r"regexp_replace(text, '\bbatch\b', '"
                        + _WDF_EXPANDED + "', 'g')"),
         ),
+        # XML boolean: batch's score where the doc also contains dup (the
+        # filter clause never contributes to the score)
+        "engine_xml_query": _engine_topk_sql(f"""
+          SELECT a.doc_id, a.score
+          FROM ({_SQL_TERM.format(t=_HOT)}) a
+          WHERE EXISTS (SELECT 1 FROM tf
+                        WHERE tf.doc_id = a.doc_id AND tf.term = '{_RARE}')"""),
         "engine_boosting": _engine_topk_sql(f"""
           SELECT h.doc_id,
                  CASE WHEN r.doc_id IS NULL THEN h.score
