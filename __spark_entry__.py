@@ -870,6 +870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both sides (parity by construction); comparisons are 1.0/0.0
         # doubles and ?: tests "!= 0", per JavascriptCompiler semantics
         "expr_rank": lambda s, d: _expr_rank_entry(s, d),
+        # Solr function-query syntax (FunctionQParser/ValueSourceParser):
+        # termfreq + recip + a two-pass scale() over the candidate set,
+        # compiled to one JVM-side SQL scalar
+        "func_rank": lambda s, d: _func_rank_entry(s, d),
         # Solr {!frange} / FunctionRangeQuery: expression-valued filter,
         # same compiled AST on both engines
         "expr_frange": lambda s, d: _expr_frange_entry(s, d),
@@ -1062,6 +1066,19 @@ def _expr_rank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FRANGE_EXPR = "_score + doclen / 1000"
+
+
+#: the func_rank gate function: every registered shape in one expression —
+#: n-ary sum fold, termfreq value source (absent -> 0), ReciprocalFloat,
+#: and the two-pass ScaleFloat over the candidate set
+_FUNC = ("sum(product(2,termfreq(content,'dup')), "
+         "recip(doclen,1,100,100), scale(tf,0,1))")
+
+
+def _func_rank_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.funcquery import func_rank
+
+    return func_rank(spark, sf_dir, _HOT, _FUNC, 10)
 
 
 def _expr_frange_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3577,6 +3594,31 @@ def oracle_sql() -> dict[str, str]:
                   SELECT a.doc_id FROM tf a JOIN tf b USING (doc_id)
                   WHERE a.term = (SELECT term FROM sugg)
                     AND b.term = '{_RARE}'))::BIGINT AS hits"""
+    # func_rank: same double math as the engine's rendered SQL — n-ary sum
+    # left-fold, termfreq join (absent -> 0), recip, scale with the factor
+    # (hi-lo)/(mx-mn) applied as one multiply
+    d["func_rank"] = _BASE + f"""
+        , fbase AS (
+          SELECT s.doc_id, s.tf, s.doclen, COALESCE(t2.tf, 0) AS tfd
+          FROM scored s
+          LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = '{_RARE}') t2
+            USING (doc_id)
+          WHERE s.term = '{_HOT}'
+        ), mm AS (
+          SELECT min(tf)::DOUBLE AS mn, max(tf)::DOUBLE AS mx FROM fbase
+        )
+        SELECT rank, doc_id, func4 FROM (
+          SELECT row_number() OVER (ORDER BY func4 DESC, doc_id ASC)::BIGINT
+                   AS rank, doc_id, func4
+          FROM (
+            SELECT b.doc_id,
+                   round((2.0 * b.tfd)
+                         + (100.0 / ((1.0 * b.doclen) + 100.0))
+                         + ((b.tf - mm.mn) * ((1.0 - 0.0) / (mm.mx - mm.mn))
+                            + 0.0), 4) AS func4
+            FROM fbase b CROSS JOIN mm
+          )
+        ) WHERE rank <= 10"""
     d["expr_rank"] = _BASE + f"""
         SELECT rank, doc_id, expr4 FROM (
           SELECT row_number() OVER (ORDER BY expr4 DESC, doc_id ASC)::BIGINT

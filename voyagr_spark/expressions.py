@@ -176,9 +176,11 @@ class _Parser:
 class Expression:
     """A compiled expression (JavascriptCompiler.compile analog)."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, _ast=None):
         self.source = source
-        self.ast = _Parser(_lex(source)).parse()
+        # _ast lets other front-ends (funcquery.py's Solr function syntax)
+        # reuse this renderer over a pre-built tree
+        self.ast = _ast if _ast is not None else _Parser(_lex(source)).parse()
 
     def variables(self) -> list[str]:
         """Unbound variable names, in first-use order (Bindings surface)."""
