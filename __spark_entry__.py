@@ -174,6 +174,20 @@ def _nrmf_rows(max_len: int = 10**12) -> str:
     )
 
 
+def _ssn_rows(ln_min: int, ln_max: int, steep: float,
+              max_len: int = 10**12) -> str:
+    """(lo, hi, f) VALUES rows: doclen range -> SweetSpot plateau norm
+    (computeLengthNorm over the quantized docLen, storage-requantized —
+    sweetspot.norm_table, SweetSpotSimilarity.java:137-153)."""
+    from voyagr_spark.sweetspot import norm_table
+
+    tab = norm_table(ln_min, ln_max, steep)
+    return ", ".join(
+        f"({lo}, {hi}, CAST({float(tab[b])!r} AS DOUBLE))"
+        for lo, hi, b in _norm_bands(max_len)
+    )
+
+
 def _dlt_rows(max_len: int = 10**12) -> str:
     """(lo, hi, dl) VALUES rows: doclen range -> SimilarityBase quantized
     docLen decode 1/(byte315ToFloat^2) (SimilarityBase.java:220-245)."""
@@ -939,6 +953,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # configs, same stored norm byte, log2 = ln/ln(2) exactly
         "engine_dfr_term": _engine_lm(_HOT, "dfr"),
         "engine_ib_term": _engine_lm(_HOT, "ib"),
+        # SweetSpotSimilarity (lucene/misc SweetSpotSimilarity.java): the
+        # DefaultSimilarity weight chain with a plateau length norm
+        # (norm 1.0 for docLen in [min,max], sqrt falloff outside) —
+        # non-default 2,10,0.5 config so the plateau genuinely reorders
+        "engine_sweetspot_term": _engine_lm(_HOT, "sweetspot:2,10,0.5"),
+        "engine_sweetspot_or": _engine_lm(
+            " OR ".join(_OR3), "sweetspot:2,10,0.5"),
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -3357,6 +3378,46 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(CAST(c.n AS FLOAT) + {_one} AS FLOAT)
                           AS FLOAT) AS lam
                 FROM dtfn CROSS JOIN dfrc c)""")
+    # SweetSpotSimilarity: the Classic weight chain (cidf/_cl_vals, same
+    # CTEs) with the plateau length norm rendered as a precomputed
+    # (doclen range -> norm float) VALUES table (sweetspot.norm_table for
+    # the gate's 2,10,0.5 config); tf factors are the defaults, so tf
+    # stays fl(sqrt(tf)); the OR entry carries the real coord factor
+    ss_pre = f"""
+        , ssn(lo, hi, f) AS (VALUES {_ssn_rows(2, 10, 0.5)})
+        , sn AS (SELECT dl.doc_id, CAST(q.f AS FLOAT) AS nrm
+                 FROM dl JOIN ssn q ON dl.doclen BETWEEN q.lo AND q.hi)
+    """
+
+    def _ss_score(term: str, value: str) -> str:
+        return f"""
+          SELECT tf.doc_id,
+                 CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT)
+                           * {value} AS FLOAT) * sn.nrm AS FLOAT) AS s
+          FROM tf JOIN sn ON tf.doc_id = sn.doc_id CROSS JOIN vals
+          WHERE tf.term = '{term}'"""
+
+    d["engine_sweetspot_term"] = _engine_base_sql() + classic_pre + ss_pre \
+        + _cl_vals([_HOT]) + topk_wrap.format(inner=f"""
+          SELECT doc_id, s AS score FROM ({_ss_score(_HOT, 'vals.v0')})""")
+    d["engine_sweetspot_or"] = _engine_base_sql() + classic_pre + ss_pre \
+        + _cl_vals(_OR3) + f"""
+        , ts0 AS ({_ss_score(_OR3[0], 'vals.v0')})
+        , ts1 AS ({_ss_score(_OR3[1], 'vals.v1')})
+        , ts2 AS ({_ss_score(_OR3[2], 'vals.v2')})
+        , tsu AS (SELECT doc_id FROM ts0 UNION
+                  SELECT doc_id FROM ts1 UNION SELECT doc_id FROM ts2)""" \
+        + topk_wrap.format(inner=f"""
+          SELECT tsu.doc_id,
+                 CAST(CAST(CAST(COALESCE(ts0.s, {_z}) + COALESCE(ts1.s, {_z})
+                           AS FLOAT) + COALESCE(ts2.s, {_z}) AS FLOAT)
+                      * CAST(CAST((ts0.s IS NOT NULL)::INT
+                                  + (ts1.s IS NOT NULL)::INT
+                                  + (ts2.s IS NOT NULL)::INT AS FLOAT)
+                             / CAST(3 AS FLOAT) AS FLOAT) AS FLOAT) AS score
+          FROM tsu LEFT JOIN ts0 ON tsu.doc_id = ts0.doc_id
+                   LEFT JOIN ts1 ON tsu.doc_id = ts1.doc_id
+                   LEFT JOIN ts2 ON tsu.doc_id = ts2.doc_id""")
     # ShingleFilter: rebuild the filler stream in SQL (interior holes ->
     # one '_' at prev+1, trailing holes -> one '_' after the last real
     # token), shingle = stream-adjacent pair join, doclen = distinct

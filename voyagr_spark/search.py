@@ -593,6 +593,11 @@ def _score_posting(
         from . import classic
 
         return classic.score_term(tfs, norms, plan.classic_value[term])
+    if plan.sim.startswith("sweetspot"):
+        from . import sweetspot
+
+        return sweetspot.score_term(
+            tfs, norms, plan.classic_value[term], plan.sim)
     if plan.sim in ("lmdirichlet", "lmjm"):
         from . import lm
 
@@ -794,10 +799,11 @@ def _union_scorer(should, rows, plan, min_should_match: int, boost: float = 1.0)
         pos = np.searchsorted(docs, d)
         scores32[pos] = (scores32[pos] + s).astype(np.float32)
         counts[pos] += 1
-    if plan.sim == "classic":
+    if plan.sim == "classic" or plan.sim.startswith("sweetspot"):
         # coord factor: fl(sum) * fl(overlap / maxOverlap), maxOverlap =
         # clause count (DisjunctionSumScorer.java:49, coords table built
-        # over maxCoord in BooleanWeight.java:64-78)
+        # over maxCoord in BooleanWeight.java:64-78); SweetSpot extends
+        # DefaultSimilarity, so it inherits the same real coord
         from . import classic
 
         scores32 = (scores32 * classic.coord(counts, len(should))).astype(
@@ -1192,6 +1198,16 @@ def make_plan(
         clause_terms, boosts = _classic_flat_terms(query)
         cvalues = classic.term_values(clause_terms, stats, max_doc, boosts)
         sim, prune = "classic", False
+    elif similarity.startswith("sweetspot"):
+        # SweetSpotSimilarity (sweetspot.py): a DefaultSimilarity subclass —
+        # the weight chain (idf, queryNorm, coord) IS classic.py's; only
+        # tf and the length norm differ (SweetSpotSimilarity.java:104-229)
+        from . import classic, sweetspot
+
+        sweetspot.parse_config(similarity)  # raise early on bad config
+        clause_terms, boosts = _classic_flat_terms(query)
+        cvalues = classic.term_values(clause_terms, stats, max_doc, boosts)
+        sim, prune = similarity, False
     elif similarity in ("lmdirichlet", "lmjm"):
         # LM chain (lm.py): same flat term/boolean subset as Classic;
         # coord is the Similarity.java:122 default 1.0, so boolean
