@@ -240,7 +240,7 @@ def _engine_base_sql(appended: tuple[str, ...] = (),
     return f"""
 WITH docmap0 AS (
   SELECT row_number() OVER (ORDER BY {ob}) - 1 AS doc_id,
-         text, lang
+         text, lang, source
   FROM documents
 ),
 docmap AS (
@@ -960,6 +960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_sweetspot_term": _engine_lm(_HOT, "sweetspot:2,10,0.5"),
         "engine_sweetspot_or": _engine_lm(
             " OR ".join(_OR3), "sweetspot:2,10,0.5"),
+        # /export handler (SortingResponseWriter.java): the ENTIRE match
+        # set sorted by a multi-field spec, score-free fl, no rows cap —
+        # the reference's 30k-doc PQ sweeps become one range-partitioned
+        # sort exchange
+        "solr_export": _engine_export,
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -1007,6 +1012,26 @@ def _engine_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+def _engine_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/export over the hot term: FULL match set ordered by
+    (doclen desc, repo asc, doc_id asc) with a score-free fl.  The rank
+    window here is gate-wrapper cosmetics over the already-computed
+    result (the product surface, solr_api.export, carries no window —
+    its global orderBy is a range-partitioned sort exchange)."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.solr_api import export
+
+    idx = _engine_index(spark, sf_dir)
+    res = export(idx, _HOT, sort="doclen desc, repo asc",
+                 fl="doc_id,repo,doclen")
+    w = Window.orderBy(F.desc("doclen"), F.asc("repo"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "repo", "doclen",
     )
 
 
@@ -3418,6 +3443,16 @@ def oracle_sql() -> dict[str, str]:
           FROM tsu LEFT JOIN ts0 ON tsu.doc_id = ts0.doc_id
                    LEFT JOIN ts1 ON tsu.doc_id = ts1.doc_id
                    LEFT JOIN ts2 ON tsu.doc_id = ts2.doc_id""")
+    # /export: full hot-term match set ordered by (doclen desc, repo asc,
+    # doc_id asc) — the engine's docmap repo/doclen are source / the
+    # post-stop token count, both reproduced by the base CTEs
+    d["solr_export"] = _engine_base_sql() + f"""
+        , xm AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}')
+        SELECT row_number() OVER (ORDER BY dl.doclen DESC, d0.source ASC,
+                                  xm.doc_id ASC) AS rank,
+               xm.doc_id, d0.source AS repo, dl.doclen
+        FROM xm JOIN dl ON xm.doc_id = dl.doc_id
+                JOIN docmap0 d0 ON xm.doc_id = d0.doc_id"""
     # ShingleFilter: rebuild the filler stream in SQL (interior holes ->
     # one '_' at prev+1, trailing holes -> one '_' after the last real
     # token), shingle = stream-adjacent pair join, doclen = distinct

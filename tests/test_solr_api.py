@@ -146,3 +146,56 @@ def test_cursor_requires_unique_key_sort(built_index):
         cursor_page(built_index, "file", sort="doclen desc", rows=3)
     with pytest.raises(ValueError, match="unknown sort field"):
         cursor_page(built_index, "file", sort="nosuch asc, doc_id asc")
+
+
+# ---------------------------------------------------------------------------
+# /export handler (SortingResponseWriter.java)
+# ---------------------------------------------------------------------------
+
+
+def test_export_full_sorted_match_set(built_index):
+    from voyagr_spark.solr_api import export
+
+    got = export(built_index, "file", sort="doclen desc, repo asc",
+                 fl="doc_id,repo,doclen").collect()
+    # every match, no rows cap
+    want_ids = {r["doc_id"] for r in scores(built_index, "file").collect()}
+    assert {r["doc_id"] for r in got} == want_ids
+    assert len(got) == len(want_ids) > 10
+    # globally ordered with doc_id tiebreak
+    keys = [(-r["doclen"], r["repo"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+    assert got[0].asDict().keys() == {"doc_id", "repo", "doclen"}
+
+
+def test_export_fq_filters(built_index):
+    from voyagr_spark.solr_api import export
+
+    base = export(built_index, "file", sort="doc_id asc", fl="doc_id,lang")
+    lang = sorted({r["lang"] for r in base.collect()})[0]
+    got = export(built_index, "file", sort="doc_id asc", fl="doc_id,lang",
+                 fq=f"lang:{lang}").collect()
+    assert got and all(r["lang"] == lang for r in got)
+
+
+def test_export_contract_errors(built_index):
+    import pytest
+
+    from voyagr_spark.solr_api import export
+
+    with pytest.raises(ValueError, match="No sort criteria"):
+        export(built_index, "file", sort="", fl="doc_id")
+    with pytest.raises(ValueError, match="field list"):
+        export(built_index, "file", sort="doc_id asc", fl=None)
+    with pytest.raises(ValueError, match="Scoring is not"):
+        export(built_index, "file", sort="doc_id asc", fl="doc_id,score")
+    with pytest.raises(ValueError, match="Scoring is not"):
+        export(built_index, "file", sort="score desc", fl="doc_id")
+    with pytest.raises(ValueError, match="max of 4 sorts"):
+        export(built_index, "file",
+               sort="doclen asc, repo asc, lang asc, nchars asc, doc_id asc",
+               fl="doc_id")
+    with pytest.raises(ValueError, match="unknown sort"):
+        export(built_index, "file", sort="bogus asc", fl="doc_id")
+    with pytest.raises(ValueError, match="unknown fl"):
+        export(built_index, "file", sort="doc_id asc", fl="doc_id,bogus")

@@ -263,6 +263,63 @@ def _parse_sort_clauses(sort: str) -> list[tuple[str, bool]]:
     return clauses
 
 
+def export(
+    index,
+    q: str,
+    sort: str,
+    fl: list[str] | str,
+    fq: list[str] | str | None = None,
+) -> DataFrame:
+    """The /export handler: the ENTIRE match set sorted — no rows cap.
+
+    Reference: `solr/core/src/java/org/apache/solr/response/
+    SortingResponseWriter.java` (the xsort/export writer): exports every
+    matching document ordered by the sort spec, streaming in 30,000-doc
+    priority-queue sweeps over the match bitset (:127-160).  Contract kept
+    exactly: sort is REQUIRED (:82-90), fl is REQUIRED (:106-109), scoring
+    is unsupported in either (:93-94,115-116), and at most 4 sort fields
+    (:336-338).  Tie-break is doc_id ascending (the SortDoc ordinal
+    comparison), deterministic like every engine surface.
+
+    Spark-first shape: the reference's repeated single-node PQ sweeps
+    exist because it streams one HTTP response from one process; the
+    distributed form IS a global sort — matches (score projected away
+    before any shuffle) join the docmap, fq filters push into the scan,
+    and `orderBy` runs as a range-partitioned exchange + per-partition
+    sort, the scale-correct equivalent of N queue sweeps.  No limit is
+    applied anywhere: the result is the full sorted match set, written
+    out partition-parallel instead of through one writer."""
+    if not sort or not str(sort).strip():
+        raise ValueError("No sort criteria was provided.")
+    if not fl:
+        raise ValueError("export field list (fl) must be specified.")
+    if isinstance(fl, str):
+        fl = [c.strip() for c in fl.split(",")]
+    if "score" in fl:
+        raise ValueError("Scoring is not currently supported with export.")
+    clauses = _parse_sort_clauses(sort)
+    if len(clauses) > 4:
+        raise ValueError("A max of 4 sorts can be specified")
+    if any(f == "score" for f, _ in clauses):
+        raise ValueError("Scoring is not currently supported with export.")
+    bad = [f for f, _ in clauses
+           if f not in _DOCMAP_FIELDS and f != "doc_id"]
+    if bad:
+        raise ValueError(f"unknown sort field(s): {bad}")
+    unknown = [c for c in fl if c not in _DOCMAP_FIELDS and c != "doc_id"]
+    if unknown:
+        raise ValueError(f"unknown fl field(s): {unknown}")
+    matches = scores(index, q).select("doc_id")
+    joined = index.docmap().join(matches, "doc_id")
+    if fq:
+        if isinstance(fq, str):
+            fq = [fq]
+        for f_ in fq:
+            joined = joined.filter(_fq_predicate(f_))
+    keys = [F.asc(f) if asc else F.desc(f) for f, asc in clauses]
+    return joined.orderBy(*keys, F.asc("doc_id")).select(*fl)
+
+
 def cursor_page(
     index,
     q: str,
