@@ -732,6 +732,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_enum": lambda s, d: R.terms_enum(
             s, d, lower="f", upper="m", mincount=2, limit=10, sort="count"
         ),
+        # HighFreqTerms (lucene/misc): top-N terms by docFreq or
+        # totalTermFreq, highest first, term-desc tie order (the
+        # TermStatsQueue pop order), both stats in the row
+        "high_freq_terms": lambda s, d: R.high_freq_terms(
+            s, d, num_terms=25
+        ),
+        "high_freq_terms_ttf": lambda s, d: R.high_freq_terms(
+            s, d, num_terms=25, by_ttf=True
+        ),
         # WordBreakSpellChecker: break 'batchdup' into dictionary words /
         # combine adjacent query terms into one dictionary word — candidate
         # dfs fetched in ONE pushed-down term_dfs lookup
@@ -965,6 +974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the reference's 30k-doc PQ sweeps become one range-partitioned
         # sort exchange
         "solr_export": _engine_export,
+        # CustomScoreQuery (lucene/queries CustomScoreQuery.java): subquery
+        # score x product of FunctionQuery values, fl per multiply, the
+        # whole chain one JVM-side SQL scalar
+        "engine_custom_score": _engine_custom_score,
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -1012,6 +1025,27 @@ def _engine_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
+#: CustomScoreQuery gate config: two FunctionQuery multipliers over docmap
+#: numeric fields (reciprocal doclen decay x linear nchars boost)
+_CS_FUNCS = ["recip(doclen,1,1000,1000)", "linear(nchars,0.001,1)"]
+
+
+def _engine_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CustomScoreQuery: BM25 subquery score times the product of the
+    _CS_FUNCS FunctionQuery values, float32 per multiply, top-10."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.funcquery import custom_score
+
+    idx = _engine_index(spark, sf_dir)
+    res = custom_score(idx, _HOT, _CS_FUNCS, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
     )
 
 
@@ -2643,6 +2677,14 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT term, df FROM st
              WHERE term >= 'f' AND term <= 'm' AND df >= 2
              ORDER BY df DESC, term ASC LIMIT 10""",
+        "high_freq_terms": _BASE
+        + """SELECT row_number() OVER (ORDER BY df DESC, term DESC) AS rank,
+                    term, ttf, df
+             FROM st ORDER BY df DESC, term DESC LIMIT 25""",
+        "high_freq_terms_ttf": _BASE
+        + """SELECT row_number() OVER (ORDER BY ttf DESC, term DESC) AS rank,
+                    term, ttf, df
+             FROM st ORDER BY ttf DESC, term DESC LIMIT 25""",
         "dedup_lines": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') ts FROM documents
@@ -3443,6 +3485,21 @@ def oracle_sql() -> dict[str, str]:
           FROM tsu LEFT JOIN ts0 ON tsu.doc_id = ts0.doc_id
                    LEFT JOIN ts1 ON tsu.doc_id = ts1.doc_id
                    LEFT JOIN ts2 ON tsu.doc_id = ts2.doc_id""")
+    # CustomScoreQuery: the same custom_score_sql renderer produces the
+    # oracle text (bindings swapped to the CTE columns) — parity by
+    # construction over the float32-per-multiply product chain
+    from voyagr_spark.funcquery import custom_score_sql
+
+    _cs = custom_score_sql(
+        _CS_FUNCS,
+        {"doclen": "dl.doclen", "nchars": "len(dm0.text)"},
+        sub_col="f.score",
+    )
+    d["engine_custom_score"] = _engine_topk_sql(f"""
+          SELECT f.doc_id, {_cs} AS score
+          FROM ({_SQL_TERM.format(t=_HOT)}) f
+          JOIN dl ON f.doc_id = dl.doc_id
+          JOIN docmap0 dm0 ON f.doc_id = dm0.doc_id""")
     # /export: full hot-term match set ordered by (doclen desc, repo asc,
     # doc_id asc) — the engine's docmap repo/doclen are source / the
     # post-stop token count, both reproduced by the base CTEs

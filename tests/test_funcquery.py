@@ -127,3 +127,63 @@ def test_docfreq_constant(spark):
     got = func_rank(spark, SF_DIR, "dup",
                     "if(docfreq(content,'dup'),1,0)", 3).collect()
     assert all(r.func4 == 1.0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# CustomScoreQuery (lucene/queries CustomScoreQuery.java)
+# ---------------------------------------------------------------------------
+
+
+def test_custom_score_sql_chain():
+    from voyagr_spark.funcquery import custom_score_sql
+
+    one = custom_score_sql(["recip(doclen,1,1000,1000)"], {"doclen": "dl"})
+    assert one.startswith("CAST((CAST(score AS FLOAT)) * CAST(")
+    assert one.count("AS FLOAT)") >= 3
+    two = custom_score_sql(["abs(doclen)", "sqrt(doclen)"], {"doclen": "dl"})
+    assert two.count("* CAST(") == 2  # one multiply per value source
+
+
+def test_custom_score_sql_rejects_tf_scale():
+    from voyagr_spark.funcquery import custom_score_sql
+
+    for bad in ["termfreq(text,'x')", "docfreq(text,'x')",
+                "scale(doclen,0,1)"]:
+        with pytest.raises(ExpressionError, match="custom_score"):
+            custom_score_sql([bad], {})
+
+
+def test_custom_score_engine(built_index):
+    """score == fl(fl(sub * fl(v1)) * fl(v2)) against the plain scorer."""
+    import numpy as np
+
+    from voyagr_spark.funcquery import custom_score
+    from voyagr_spark.search import scores
+
+    funcs = ["recip(doclen,1,100,100)", "linear(nchars,0.001,1)"]
+    got = {r["doc_id"]: np.float32(r["score"])
+           for r in custom_score(built_index, "file", funcs, k=10**6).collect()}
+    sub = {r["doc_id"]: np.float32(r["score"])
+           for r in scores(built_index, "file").collect()}
+    dm = {r["doc_id"]: (r["doclen"], r["nchars"])
+          for r in built_index.docmap().select(
+              "doc_id", "doclen", "nchars").collect()}
+    assert set(got) == set(sub)
+    for d, s in sub.items():
+        dl, nc = dm[d]
+        v1 = np.float32(100.0 / (1.0 * dl + 100.0))
+        v2 = np.float32(0.001 * nc + 1.0)
+        want = np.float32(np.float32(s * v1) * v2)
+        assert got[d] == want, (d, got[d], want)
+
+
+def test_custom_score_identity_without_funcs(built_index):
+    import numpy as np
+
+    from voyagr_spark.funcquery import custom_score
+    from voyagr_spark.search import search
+
+    got = custom_score(built_index, "file", [], k=10).collect()
+    want = search(built_index, "file", k=10).collect()
+    assert [(r["doc_id"], np.float32(r["score"])) for r in got] == \
+        [(r["doc_id"], np.float32(r["score"])) for r in want]

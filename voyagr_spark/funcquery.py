@@ -256,6 +256,62 @@ def _scale_sql(inner_sql: str, lo: float, hi: float,
             f"CAST({lo} AS DOUBLE))")
 
 
+def custom_score_sql(funcs: list[str], bindings: dict[str, str],
+                     sub_col: str = "score") -> str:
+    """Render the CustomScoreQuery default score chain as ONE SQL scalar:
+    fl(...fl(fl(sub * fl(v1)) * fl(v2))...) — subQueryScore times each
+    FunctionQuery value, every multiply rounded to float32
+    (CustomScoreProvider.java:75-111 default customScore: the product
+    fold over valSrcScores; CustomScorer.java:294-308 applies them as
+    float multiplies).  Each value source is computed in double and cast
+    once to float (FunctionValues.floatVal).  The SAME text runs on the
+    Spark side (F.expr) and in the DuckDB oracle — parity by
+    construction, the expressions.py discipline."""
+    expr = f"CAST({sub_col} AS FLOAT)"
+    for src in funcs:
+        fq = parse_func(src)
+        if fq.tf_refs or fq.df_refs or fq.scale is not None:
+            raise ExpressionError(
+                "custom_score value sources cover field/constant functions;"
+                " termfreq/docfreq/scale ride func_rank's relational flow")
+        vsql = fq.expr.sql(bindings)
+        expr = f"CAST(({expr}) * CAST(({vsql}) AS FLOAT) AS FLOAT)"
+    return expr
+
+
+def custom_score(index, qtext: str, funcs: list[str], k: int = 10):
+    """CustomScoreQuery (lucene/queries/src/java/org/apache/lucene/queries/
+    CustomScoreQuery.java): wrap a scoring subquery and multiply its score
+    by one or more FunctionQuery values — the default
+    ``ModifiedScore = subQueryScore * prod(valSrcScores)`` provider
+    (CustomScoreProvider.java:100-111).
+
+    Spark shape: the subquery's full match set (search.scores — the same
+    scorers as search, float32 contract) joins the docmap ONCE, the whole
+    product chain evaluates as one JVM-side F.expr scalar (whole-stage
+    codegen, zero Python), and the k-cut is orderBy().limit — Catalyst's
+    TakeOrderedAndProject per-partition top-k + driver merge.  Value
+    sources may reference any numeric docmap field; termfreq/docfreq
+    value sources are served by the relational func_rank flow."""
+    from pyspark.sql import functions as F
+
+    from .search import scores
+
+    sub = scores(index, qtext)
+    fields: list[str] = []
+    for src in funcs:
+        for v in parse_func(src).field_vars():
+            if v not in fields:
+                fields.append(v)
+    joined = sub.join(index.docmap().select("doc_id", *fields), "doc_id") \
+        if fields else sub
+    expr = custom_score_sql(funcs, {v: v for v in fields})
+    return (
+        joined.select("doc_id", F.expr(expr).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    )
+
+
 def func_rank(spark, sf_dir: str, term: str, func: str, k: int):
     """Relational twin of sort-by-function (Solr ``sort=func() desc``):
     rank one term's matches by a Solr function over doc stats

@@ -914,6 +914,29 @@ def terms_enum(spark, sf_dir, prefix: str | None = None,
     return st.orderBy(*order).limit(limit)
 
 
+def high_freq_terms(spark, sf_dir, num_terms: int = 100,
+                    by_ttf: bool = False) -> DataFrame:
+    """q: HighFreqTerms (lucene/misc/src/java/org/apache/lucene/misc/
+    HighFreqTerms.java): the top-N most frequent terms with BOTH stats,
+    ordered by docFreq (DocFreqComparator, :138-150) or totalTermFreq
+    (-t flag, TotalTermFreqComparator, :154-168), highest first.
+    -> (rank, term, ttf, df).
+
+    Tie order kept faithful: the comparator falls through to termtext
+    compareTo, and the queue pops highest-first, so equal-frequency terms
+    emit in term DESC order (:124-131).  Scale shape: one partial-agg
+    stats pass + TakeOrderedAndProject for the N-row cut — never a full
+    sort, never a driver-side term list."""
+    st = term_stats(spark, sf_dir)
+    key = "ttf" if by_ttf else "df"
+    w = Window.orderBy(F.desc(key), F.desc("term"))
+    return (
+        st.orderBy(F.desc(key), F.desc("term")).limit(num_terms)
+        .select(F.row_number().over(w).cast("long").alias("rank"),
+                "term", "ttf", "df")
+    )
+
+
 def fingerprint(spark, sf_dir) -> DataFrame:
     """q: document fingerprint (content hash + sha256 row invariant)."""
     return documents(spark, sf_dir).select(
