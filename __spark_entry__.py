@@ -978,6 +978,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # score x product of FunctionQuery values, fl per multiply, the
         # whole chain one JVM-side SQL scalar
         "engine_custom_score": _engine_custom_score,
+        # FuzzyLikeThisQuery (lucene/sandbox FuzzyLikeThisQuery.java):
+        # fuzzify all source terms, rank variants by boost^2 x source idf
+        # (avg variant df when the source is absent), top-maxNumTerms,
+        # score with the artificial df=1 TermContext
+        "engine_flt": _engine_flt,
+        # DuplicateFilter (lucene/sandbox DuplicateFilter.java): one master
+        # doc per key-field value (first/last in doc-id order over the
+        # WHOLE index), intersected with the query's matches
+        "engine_dup_filter": _engine_dup_filter,
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -1042,6 +1051,40 @@ def _engine_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _engine_index(spark, sf_dir)
     res = custom_score(idx, _HOT, _CS_FUNCS, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
+    )
+
+
+def _engine_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuplicateFilter: hot-term matches restricted to each repo's LAST
+    doc (KM_USE_LAST_OCCURRENCE masters over the whole index), top-10."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.solr_api import duplicate_filter
+
+    idx = _engine_index(spark, sf_dir)
+    res = duplicate_filter(idx, _HOT, "repo", keep="last", k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
+    )
+
+
+def _engine_flt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyLikeThisQuery over the misspelled 'batcj': variants ranked by
+    boost^2 x source-idf (avg-df fallback: the source term is absent),
+    global top-3, scored as a term-asc SHOULD group with the artificial
+    df=1 TermContext."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.fuzzylike import fuzzy_like_this
+
+    idx = _engine_index(spark, sf_dir)
+    res = fuzzy_like_this(idx, "batcj", max_num_terms=3, k=10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return res.select(
         F.row_number().over(w).cast("long").alias("rank"),
@@ -3500,6 +3543,78 @@ def oracle_sql() -> dict[str, str]:
           FROM ({_SQL_TERM.format(t=_HOT)}) f
           JOIN dl ON f.doc_id = dl.doc_id
           JOIN docmap0 dm0 ON f.doc_id = dm0.doc_id""")
+    # FuzzyLikeThisQuery: variant selection (sim > 0.5, per-source top-50
+    # by boost, global top-3 by fl(boost^2) x fl(classic idf over the int
+    # avg variant df)), then the BM25 chain with the artificial df=1 idf;
+    # fold order = term asc (the engine's group clause order)
+    _fz = "CAST(0 AS FLOAT)"
+
+    def _flt_s(ord_: int) -> str:
+        return f"""
+          SELECT tf.doc_id,
+                 CAST(CAST(w_.wv * CAST(tf.tf AS FLOAT) AS FLOAT)
+                      / CAST(CAST(tf.tf AS FLOAT) + qn.cache AS FLOAT)
+                      AS FLOAT) AS s
+          FROM tf JOIN qn ON tf.doc_id = qn.doc_id
+          JOIN (SELECT term, wv FROM fw WHERE ord = {ord_}) w_
+            ON tf.term = w_.term"""
+
+    d["engine_flt"] = _engine_base_sql() + f"""
+        , fvc AS (
+            SELECT term, df,
+                   (1.0 - levenshtein(term, 'batcj') * 1.0
+                        / least(length(term), 5) - 0.5) * 2.0 AS boost
+            FROM st
+            WHERE 1.0 - levenshtein(term, 'batcj') * 1.0
+                      / least(length(term), 5) > 0.5)
+        , fv50 AS (SELECT term, df, boost FROM (
+            SELECT term, df, boost,
+                   row_number() OVER (ORDER BY boost DESC, term ASC) AS rn
+            FROM fvc) WHERE rn <= 50)
+        , fdf AS (SELECT sum(df) // count(*) AS avgdf FROM fv50)
+        , fidf AS (SELECT CAST(ln(CAST(cs.n AS DOUBLE) / (fdf.avgdf + 1))
+                               + 1.0 AS FLOAT) AS i
+                   FROM fdf CROSS JOIN cs)
+        , fsc AS (SELECT term,
+                         CAST(CAST(CAST(boost AS FLOAT)
+                                   * CAST(boost AS FLOAT) AS FLOAT)
+                              * (SELECT i FROM fidf) AS FLOAT) AS vs
+                  FROM fv50)
+        , ford AS (SELECT term, vs,
+                          row_number() OVER (ORDER BY term ASC) AS ord
+                   FROM (SELECT term, vs,
+                                row_number() OVER (ORDER BY vs DESC,
+                                                   term ASC) AS rk
+                         FROM fsc) WHERE rk <= 3)
+        , fidf1 AS (SELECT CAST(ln(1.0 + (CAST(cs.n AS DOUBLE) - 1 + 0.5)
+                                       / (1 + 0.5)) AS FLOAT) AS i1
+                    FROM cs)
+        , fw AS (SELECT ord, term,
+                        CAST(CAST((SELECT i1 FROM fidf1) * vs AS FLOAT)
+                             * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
+                                    AS FLOAT) AS FLOAT) AS wv
+                 FROM ford)
+        , ffs1 AS ({_flt_s(1)})
+        , ffs2 AS ({_flt_s(2)})
+        , ffs3 AS ({_flt_s(3)})
+        , ffu AS (SELECT doc_id FROM ffs1 UNION SELECT doc_id FROM ffs2
+                  UNION SELECT doc_id FROM ffs3)""" + topk_wrap.format(
+        inner=f"""
+          SELECT ffu.doc_id,
+                 CAST(CAST(COALESCE(a.s, {_fz}) + COALESCE(b.s, {_fz})
+                           AS FLOAT) + COALESCE(c.s, {_fz}) AS FLOAT)
+                   AS score
+          FROM ffu LEFT JOIN ffs1 a ON ffu.doc_id = a.doc_id
+                   LEFT JOIN ffs2 b ON ffu.doc_id = b.doc_id
+                   LEFT JOIN ffs3 c ON ffu.doc_id = c.doc_id""")
+    # DuplicateFilter: masters = max(doc_id) per source over the whole
+    # docmap, semi-joined with the hot term's float32 BM25 matches
+    d["engine_dup_filter"] = _engine_base_sql() + f"""
+        , dfm AS (SELECT max(doc_id) AS doc_id FROM docmap0
+                  GROUP BY source)""" + topk_wrap.format(inner=f"""
+          SELECT f.doc_id, f.score
+          FROM ({_SQL_TERM.format(t=_HOT)}) f
+          WHERE f.doc_id IN (SELECT doc_id FROM dfm)""")
     # /export: full hot-term match set ordered by (doclen desc, repo asc,
     # doc_id asc) — the engine's docmap repo/doclen are source / the
     # post-stop token count, both reproduced by the base CTEs

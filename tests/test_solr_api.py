@@ -199,3 +199,50 @@ def test_export_contract_errors(built_index):
         export(built_index, "file", sort="bogus asc", fl="doc_id")
     with pytest.raises(ValueError, match="unknown fl"):
         export(built_index, "file", sort="doc_id asc", fl="doc_id,bogus")
+
+
+# ---------------------------------------------------------------------------
+# DuplicateFilter (lucene/sandbox DuplicateFilter.java)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_filter_masters(built_index):
+    from voyagr_spark.solr_api import duplicate_filter
+
+    dm = {r["doc_id"]: r["lang"]
+          for r in built_index.docmap().select("doc_id", "lang").collect()}
+    last = {}
+    first = {}
+    for d in sorted(dm):
+        last[dm[d]] = d
+        first.setdefault(dm[d], d)
+    matches = {r["doc_id"] for r in scores(built_index, "file").collect()}
+    got_last = {r["doc_id"] for r in duplicate_filter(
+        built_index, "file", "lang", keep="last", k=10**6).collect()}
+    assert got_last == matches & set(last.values())
+    got_first = {r["doc_id"] for r in duplicate_filter(
+        built_index, "file", "lang", keep="first", k=10**6).collect()}
+    assert got_first == matches & set(first.values())
+
+
+def test_duplicate_filter_scores_unchanged(built_index):
+    import numpy as np
+
+    from voyagr_spark.solr_api import duplicate_filter
+
+    base = {r["doc_id"]: np.float32(r["score"])
+            for r in scores(built_index, "file").collect()}
+    for r in duplicate_filter(built_index, "file", "lang",
+                              k=10**6).collect():
+        assert np.float32(r["score"]) == base[r["doc_id"]]
+
+
+def test_duplicate_filter_errors(built_index):
+    import pytest
+
+    from voyagr_spark.solr_api import duplicate_filter
+
+    with pytest.raises(ValueError, match="keep"):
+        duplicate_filter(built_index, "file", "lang", keep="middle")
+    with pytest.raises(ValueError, match="unknown field"):
+        duplicate_filter(built_index, "file", "bogus")

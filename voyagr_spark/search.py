@@ -1174,6 +1174,7 @@ def make_plan(
     after: tuple[float, int] | None = None,
     k1: float = None, b: float = None,
     similarity: str = "bm25", sim_param: float = None,
+    df_overrides: dict[str, int] | None = None,
 ) -> QueryPlan:
     """Bind global stats on the driver (createNormalizedWeight analog).
 
@@ -1185,6 +1186,12 @@ def make_plan(
     query = rewrite(query, index)
     terms = sorted(query_terms(query))
     stats = index.term_dfs(terms) if terms else {}
+    if df_overrides:
+        # artificial TermContext stats (FuzzyLikeThisQuery.newTermQuery:
+        # a df the caller dictates instead of the index's) — only terms
+        # that exist keep matching; absent terms stay absent
+        stats = {**stats,
+                 **{t: v for t, v in df_overrides.items() if t in stats}}
     max_doc = index.max_doc
     idf = {t: bm25.idf(stats[t], max_doc) for t in stats}
     avgdl = bm25.avg_field_length(index.sum_total_term_freq, max_doc)
@@ -1404,6 +1411,7 @@ def search(
     k1: float = None, b: float = None,
     use_cache: bool = False,
     similarity: str = "bm25", sim_param: float = None,
+    df_overrides: dict[str, int] | None = None,
 ) -> DataFrame:
     """Top-k search -> DataFrame(doc_id, score), Lucene-rank-identical.
 
@@ -1430,6 +1438,7 @@ def search(
             cache = index._result_cache = OrderedDict()
         cache_key = (
             repr(q), k, prune, after, k1, b, similarity, sim_param,
+            None if df_overrides is None else tuple(sorted(df_overrides.items())),
             _index_version(index),
         )
         hit = cache.get(cache_key)
@@ -1437,7 +1446,8 @@ def search(
             cache.move_to_end(cache_key)  # LRU touch (LRUQueryCache.java)
             return index.spark.createDataFrame(hit, RESULT_SCHEMA)
     plan = make_plan(index, q, k, prune, after, k1=k1, b=b,
-                     similarity=similarity, sim_param=sim_param)
+                     similarity=similarity, sim_param=sim_param,
+                     df_overrides=df_overrides)
     q = plan.query  # post-rewrite (multi-term expansion)
     terms = sorted(query_terms(q))
     multis = query_multis(q)

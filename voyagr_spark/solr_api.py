@@ -320,6 +320,36 @@ def export(
     return joined.orderBy(*keys, F.asc("doc_id")).select(*fl)
 
 
+def duplicate_filter(
+    index,
+    q: str,
+    field: str,
+    keep: str = "last",
+    k: int = 10,
+) -> DataFrame:
+    """DuplicateFilter (lucene/sandbox/src/java/org/apache/lucene/sandbox/
+    queries/DuplicateFilter.java): keep at most ONE document per value of
+    `field` — the "master" is the first or last occurrence in doc-id order
+    (KeepMode KM_USE_FIRST/LAST_OCCURRENCE, :53-55, default last, :79) —
+    and intersect the query's matches with those masters.  Masters are
+    chosen over the WHOLE index, not the match set (getDocIdSet walks
+    every term of the field per segment, :89-175).
+
+    Spark shape: masters = one partial-agg min/max(doc_id) per key (the
+    PM_FULL_VALIDATION single pass), then a semi join against the match
+    set — broadcast when the key cardinality is small; the reference's
+    per-segment bitset flips become Catalyst predicates.  Top-k is
+    TakeOrderedAndProject."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first or last, got {keep!r}")
+    if field not in _DOCMAP_FIELDS:
+        raise ValueError(f"unknown field {field!r}")
+    agg = F.min("doc_id") if keep == "first" else F.max("doc_id")
+    masters = index.docmap().groupBy(field).agg(agg.alias("doc_id"))
+    res = scores(index, q).join(masters.select("doc_id"), "doc_id", "semi")
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def cursor_page(
     index,
     q: str,
