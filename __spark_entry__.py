@@ -649,6 +649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, _HOT, "n_chars", 0, 4000, 500
         ),
         "facet_pivot": lambda s, d: R.facet_pivot(s, d, _RARE, "lang", "source"),
+        # facet.interval (IntervalFacets.java): arbitrary overlapping
+        # intervals with open/closed ends and '*' bounds, one-scan counts
+        "facet_interval": lambda s, d: R.facet_interval(
+            s, d, _RARE, "n_chars",
+            ["[*,500)", "[500,1500)", "(1000,2000]", "[2000,*]"],
+        ),
         "stats_nchars": lambda s, d: R.stats_field(s, d, _HOT, "n_chars"),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "group_topk": lambda s, d: R.group_topk(s, d, _HOT, 3),
@@ -2329,6 +2335,19 @@ def oracle_sql() -> dict[str, str]:
               JOIN documents d USING (doc_id)
               WHERE d.n_chars >= 0 AND d.n_chars < 4000
               GROUP BY 1""",
+        "facet_interval": _BASE
+        + f"""
+           , fim AS (SELECT DISTINCT tf.doc_id FROM tf WHERE term = '{_RARE}')
+           , fiv AS (SELECT f.doc_id, d.n_chars AS v
+                     FROM fim f JOIN documents d ON f.doc_id = d.doc_id)
+           SELECT 0::BIGINT AS pos, '[*,500)' AS interval,
+                  (SELECT count(*) FROM fiv WHERE v < 500)::BIGINT AS n
+           UNION ALL SELECT 1::BIGINT, '[500,1500)',
+                  (SELECT count(*) FROM fiv WHERE v >= 500 AND v < 1500)::BIGINT
+           UNION ALL SELECT 2::BIGINT, '(1000,2000]',
+                  (SELECT count(*) FROM fiv WHERE v > 1000 AND v <= 2000)::BIGINT
+           UNION ALL SELECT 3::BIGINT, '[2000,*]',
+                  (SELECT count(*) FROM fiv WHERE v >= 2000)::BIGINT""",
         "facet_pivot": _BASE
         + f"""SELECT d.lang, d.source, count(*)::BIGINT AS n
               FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m

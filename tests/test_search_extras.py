@@ -225,3 +225,22 @@ def test_collate_spelling(spark, built_index, corpus_pdf):
     # nothing misspelled -> query unchanged
     row2 = collate_spelling(built_index, src, "file OR handle").collect()[0]
     assert row2["collation"] == "file OR handle"
+
+
+# ---------------------------------------------------------------------------
+# facet.interval parse rules (IntervalFacets.java FacetInterval)
+# ---------------------------------------------------------------------------
+
+
+def test_facet_interval_parse():
+    import pytest
+
+    from voyagr_spark.relational import parse_facet_interval as p
+
+    assert p("[1,5]") == ("[1,5]", 1.0, 5.0, False, False)
+    assert p("(1,5)") == ("(1,5)", 1.0, 5.0, True, True)
+    assert p("[*,5)") == ("[*,5)", None, 5.0, False, True)
+    assert p("(1,*]") == ("(1,*]", 1.0, None, True, False)
+    for bad in ["", "1,5]", "[1,5", "[1 5]", "[1,2,3]", "[,5]", "[5,1]"]:
+        with pytest.raises(ValueError):
+            p(bad)
