@@ -993,6 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc per key-field value (first/last in doc-id order over the
         # WHOLE index), intersected with the query's matches
         "engine_dup_filter": _engine_dup_filter,
+        # TermAutomatonQuery (lucene/sandbox): the proximity-automaton
+        # generalization of phrase/multi-phrase/span-near — linear
+        # automaton == exact phrase bit-exactly; alternation counts every
+        # occurrence of either term under the summed-idf weight
+        "engine_taq_seq": _engine_taq("seq"),
+        "engine_taq_or": _engine_taq("or"),
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -1062,6 +1068,40 @@ def _engine_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rank"),
         "doc_id", "score",
     )
+
+
+def _engine_taq(kind: str):
+    """TermAutomatonQuery gates: 'seq' = the linear fast->key automaton
+    (rank/score-identical to the exact phrase — same summed-idf weight,
+    same adjacency freq); 'or' = the one-step batch|dup alternation
+    (freq = tf_batch + tf_dup under the summed-idf weight)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from voyagr_spark.search import search
+        from voyagr_spark.termautomaton import TermAutomatonBuilder
+
+        idx = _engine_index(spark, sf_dir)
+        b = TermAutomatonBuilder()
+        if kind == "seq":
+            s0, s1, s2 = (b.create_state() for _ in range(3))
+            b.add_transition(s0, s1, "fast")
+            b.add_transition(s1, s2, "key")
+            b.set_accept(s2, True)
+        else:
+            s0, acc = b.create_state(), b.create_state()
+            b.add_transition(s0, acc, _HOT)
+            b.add_transition(s0, acc, _RARE)
+            b.set_accept(acc, True)
+        res = search(idx, b.finish(), k=10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return res.select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id", "score",
+        )
+
+    return run
 
 
 def _engine_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3626,6 +3666,27 @@ def oracle_sql() -> dict[str, str]:
           FROM ffu LEFT JOIN ffs1 a ON ffu.doc_id = a.doc_id
                    LEFT JOIN ffs2 b ON ffu.doc_id = b.doc_id
                    LEFT JOIN ffs3 c ON ffu.doc_id = c.doc_id""")
+    # TermAutomatonQuery: the linear automaton IS the exact phrase
+    # (identical summed-idf weight + adjacency freq); the alternation
+    # automaton's freq is tf_batch + tf_dup, idf fold in term-add order
+    d["engine_taq_seq"] = _engine_topk_sql(_SQL_PHRASE)
+    d["engine_taq_or"] = _engine_topk_sql(f"""
+          SELECT u.doc_id,
+                 CAST(CAST(tw.wv * CAST(u.f AS FLOAT) AS FLOAT)
+                      / CAST(CAST(u.f AS FLOAT) + qn.cache AS FLOAT)
+                      AS FLOAT) AS score
+          FROM (
+            SELECT doc_id, sum(tf)::BIGINT AS f FROM tf
+            WHERE term IN ('{_HOT}', '{_RARE}') GROUP BY doc_id
+          ) u
+          JOIN qn ON u.doc_id = qn.doc_id
+          CROSS JOIN (
+            SELECT CAST(CAST((SELECT idf FROM w WHERE term = '{_HOT}')
+                             + (SELECT idf FROM w WHERE term = '{_RARE}')
+                        AS FLOAT)
+                        * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
+                               AS FLOAT) AS FLOAT) AS wv
+          ) tw""")
     # DuplicateFilter: masters = max(doc_id) per source over the whole
     # docmap, semi-joined with the hot term's float32 BM25 matches
     d["engine_dup_filter"] = _engine_base_sql() + f"""

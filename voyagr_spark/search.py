@@ -123,6 +123,8 @@ def query_terms(q) -> set[str]:
         return out
     if hasattr(q, "all_terms"):  # span family (spans.SpanQuery)
         return q.all_terms()
+    if hasattr(q, "any_step"):  # TermAutomatonQuery
+        return set(q.terms)
     return set()
 
 
@@ -664,6 +666,10 @@ def _clause_scorer(
         from .spans import span_scorer
 
         return span_scorer(q, rows, plan, boost * q.boost)
+    if hasattr(q, "any_step"):  # TermAutomatonQuery: position-DFA scorer
+        from .termautomaton import taq_scorer
+
+        return taq_scorer(q, rows, plan, boost)
     raise TypeError(f"unsupported query {type(q)}")
 
 
@@ -1892,6 +1898,8 @@ def NORM_TABLE_LEN(nb: int) -> float:
 def _has_phrase(q) -> bool:
     """True when executing q needs the pos_blob column (E11 two-phase)."""
     if isinstance(q, (PhraseQuery, MultiPhraseQuery)):
+        return True
+    if hasattr(q, "any_step"):  # TermAutomatonQuery runs the position DFA
         return True
     if hasattr(q, "doc_spans"):  # span family consumes positions
         return True
