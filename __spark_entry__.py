@@ -629,6 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HTMLStripCharFilter: markup-wrapped docs char-filtered then
         # tokenized — must equal the plain-text tf table + one 'extra'/doc
         "html_strip_tf": lambda s, d: R.html_terms_tf(s, d),
+        # NGram / EdgeNGram token filters (analysis/ngram): per-doc gram
+        # tf through the pluggable Analyzer chain; short tokens drop
+        "edge_ngram_tf": lambda s, d: R.gram_terms_tf(
+            s, d, 2, 4, edge=True),
+        "ngram_tf": lambda s, d: R.gram_terms_tf(s, d, 3, 3, edge=False),
         "doclen": lambda s, d: R.doclen(s, d),
         "term_stats": lambda s, d: R.term_stats(s, d),
         "collection_stats": lambda s, d: R.collection_stats(s, d),
@@ -2325,6 +2330,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, count(*)::BIGINT AS tf
             FROM terms GROUP BY doc_id, term""",
         "doclen": _BASE + "SELECT doc_id, doclen FROM dl",
+        # EdgeNGram(2,4): front-anchored grams, sizes 2..min(4, len);
+        # NGram(3,3): every 3-char window; short tokens drop entirely
+        "edge_ngram_tf": _BASE
+        + """SELECT doc_id, substring(term, 1, g) AS term,
+                    count(*)::BIGINT AS tf
+             FROM terms CROSS JOIN range(2, 5) r(g)
+             WHERE length(term) >= 2 AND g <= least(4, length(term))
+             GROUP BY doc_id, substring(term, 1, g)""",
+        "ngram_tf": _BASE
+        + """SELECT doc_id, substring(term, s, 3) AS term,
+                    count(*)::BIGINT AS tf
+             FROM terms CROSS JOIN range(1, 256) r(s)
+             WHERE length(term) >= 3 AND s <= length(term) - 2
+             GROUP BY doc_id, substring(term, s, 3)""",
         "term_stats": _BASE + "SELECT term, df, ttf FROM st",
         "collection_stats": _BASE
         + """SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,

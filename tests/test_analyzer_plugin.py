@@ -117,3 +117,83 @@ def test_append_uses_index_analyzer(custom_index, spark):
     hits = {r["doc_id"] for r in search(idx, "Appended", k=10).collect()}
     assert len(hits) == 1  # case-sensitive custom chain applied to the append
     assert not [r for r in search(idx, "appended", k=10).collect()]
+
+
+# ---------------------------------------------------------------------------
+# NGram / EdgeNGram token filters (analysis/ngram)
+# ---------------------------------------------------------------------------
+
+
+def test_token_grams_goldens():
+    from voyagr_spark.analysis import _token_grams
+
+    # NGramTokenFilter order: per start position, sizes ascending
+    assert _token_grams("abcde", 1, 3, edge=False) == [
+        "a", "ab", "abc", "b", "bc", "bcd", "c", "cd", "cde", "d", "de", "e"]
+    # EdgeNGram: front-anchored, sizes mn..min(mx, len)
+    assert _token_grams("abcde", 2, 4, edge=True) == ["ab", "abc", "abcd"]
+    assert _token_grams("ab", 2, 4, edge=True) == ["ab"]
+    assert _token_grams("a", 2, 4, edge=True) == []  # shorter than minGram
+
+
+def test_ngram_analyzer_chain():
+    import numpy as np
+    import pandas as pd
+
+    from voyagr_spark.analysis import Analyzer
+
+    an = Analyzer(edge_ngram=(2, 4))
+    terms, pos = an.analyze_text("Hello x world")
+    # 'x' drops (< minGram) leaving a position hole; grams share positions
+    assert terms == ["he", "hel", "hell", "wo", "wor", "worl"]
+    assert pos == [0, 0, 0, 2, 2, 2]
+    # flat path parity + doclen discount for the dropped short token
+    t2, p2, d2, dl = an.analyze_flat(pd.Series(["Hello x world"]))
+    assert list(t2) == terms and list(p2) == pos
+    assert dl[0] == 2  # 3 tokens - 1 dropped
+    assert list(d2) == [0] * 6
+    # round trip through meta serialization
+    an2 = Analyzer.from_dict(an.to_dict())
+    assert an2 == an and an2.analyze_text("Hello x world") == (terms, pos)
+    # query form strips the gram filter
+    assert an.query_form().edge_ngram is None
+
+
+def test_ngram_analyzer_validation():
+    import pytest
+
+    from voyagr_spark.analysis import Analyzer
+
+    with pytest.raises(ValueError, match="minGram must be greater"):
+        Analyzer(ngram=(0, 2))
+    with pytest.raises(ValueError, match="not be greater than maxGram"):
+        Analyzer(ngram=(3, 2))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Analyzer(ngram=(1, 2), edge_ngram=(1, 2))
+    with pytest.raises(ValueError, match="do not compose"):
+        Analyzer(ngram=(1, 2), shingle=True)
+
+
+def test_edge_ngram_index_prefix_search(spark, tmp_path):
+    """An edge-ngram index answers bare-prefix term queries directly —
+    the autocomplete idiom (query analyzer has no gram filter)."""
+    import pandas as pd
+
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import build_index
+    from voyagr_spark.search import search
+
+    pdf = pd.DataFrame({
+        "repo": ["r"] * 3,
+        "path": [f"p{i}" for i in range(3)],
+        "commit": ["c"] * 3,
+        "lang": ["x"] * 3,
+        "content": ["wombat writes", "wombat wins", "zebra sleeps"],
+    })
+    idx = build_index(
+        spark, spark.createDataFrame(pdf), str(tmp_path / "ix"),
+        num_segments=1, analyzer=Analyzer(edge_ngram=(2, 4)))
+    got = {r["doc_id"] for r in search(idx, "womb", k=10).collect()}
+    assert len(got) == 2
+    assert search(idx, "zebr", k=10).count() == 1
+    assert search(idx, "qqqq", k=10).count() == 0

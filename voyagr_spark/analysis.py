@@ -759,6 +759,21 @@ class Analyzer:
     #: reference recommends (WordDelimiterFilter.java:100-104: "used after a
     #: tokenizer that does not [remove intra-word delimiters]").
     word_delimiter: bool = False
+    #: NGramTokenFilter analog (analysis/ngram/NGramTokenFilter.java):
+    #: (minGram, maxGram) — every token expands to ALL its n-grams (per
+    #: start position, sizes ascending — incrementToken:120-135), all at
+    #: the source token's position (first gram carries the posinc, rest 0,
+    #: so doclen counts the source token once); tokens shorter than
+    #: minGram are REMOVED (the CodepointCountFilter wrap, :74), leaving a
+    #: position hole and shrinking the norm length.  INDEX-side only
+    #: (query_form strips it — the reference schema idiom pairs an
+    #: n-gram index analyzer with a plain query analyzer).
+    ngram: tuple | None = None
+    #: EdgeNGramTokenFilter analog (analysis/ngram/EdgeNGramTokenFilter
+    #: .java:82-118): front-anchored grams only, sizes min..min(max, len);
+    #: shorter-than-minGram tokens are skipped with their position
+    #: increments accumulated (savePosIncr, :94).  INDEX-side only.
+    edge_ngram: tuple | None = None
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
@@ -770,6 +785,22 @@ class Analyzer:
             raise ValueError(
                 "shingle + synonyms in one chain is not supported"
             )
+        if self.ngram is not None and self.edge_ngram is not None:
+            raise ValueError("ngram and edge_ngram are mutually exclusive")
+        grams = self.ngram or self.edge_ngram
+        if grams is not None:
+            mn, mx = grams
+            if mn < 1:
+                raise ValueError("minGram must be greater than zero")
+            if mn > mx:
+                raise ValueError("minGram must not be greater than maxGram")
+            if self.shingle or self.synonyms or self.reverse_wildcards:
+                raise ValueError(
+                    "ngram filters do not compose with shingle/synonyms/"
+                    "reversed-wildcard chains")
+            object.__setattr__(
+                self, "ngram" if self.ngram else "edge_ngram",
+                (int(mn), int(mx)))
 
     def query_form(self) -> "Analyzer":
         """The chain as applied to QUERY text: identical, minus the
@@ -777,9 +808,15 @@ class Analyzer:
         *index* analyzer only (ReversedWildcardFilterFactory.java:50-59
         schema example) — query terms/phrases must analyze to the original
         tokens; only the wildcard rewrite targets the twins."""
-        if not self.reverse_wildcards:
-            return self
-        return replace(self, reverse_wildcards=False)
+        out = self
+        if out.reverse_wildcards:
+            out = replace(out, reverse_wildcards=False)
+        if out.ngram is not None or out.edge_ngram is not None:
+            # n-gram filters live in the INDEX analyzer only (the Solr
+            # schema idiom for partial/autocomplete matching): query
+            # tokens search as typed against the gram dictionary
+            out = replace(out, ngram=None, edge_ngram=None)
+        return out
 
     @property
     def is_standard(self) -> bool:
@@ -795,6 +832,8 @@ class Analyzer:
             and not self.shingle
             and not self.reverse_wildcards
             and not self.word_delimiter
+            and self.ngram is None
+            and self.edge_ngram is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -814,6 +853,8 @@ class Analyzer:
             "shingle": self.shingle,
             "reverse_wildcards": self.reverse_wildcards,
             "word_delimiter": self.word_delimiter,
+            "ngram": list(self.ngram) if self.ngram else None,
+            "edge_ngram": list(self.edge_ngram) if self.edge_ngram else None,
         }
 
     @staticmethod
@@ -835,6 +876,9 @@ class Analyzer:
             shingle=bool(d.get("shingle", False)),
             reverse_wildcards=bool(d.get("reverse_wildcards", False)),
             word_delimiter=bool(d.get("word_delimiter", False)),
+            ngram=tuple(d["ngram"]) if d.get("ngram") else None,
+            edge_ngram=(tuple(d["edge_ngram"])
+                        if d.get("edge_ngram") else None),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -861,6 +905,15 @@ class Analyzer:
             from .porter import stem as _pstem
 
             terms = [_pstem(t) for t in terms]
+        if self.ngram or self.edge_ngram:
+            mn, mx = self.ngram or self.edge_ngram
+            edge = self.edge_ngram is not None
+            t2, p2 = [], []
+            for t, p in zip(terms, positions):
+                for g in _token_grams(t, mn, mx, edge):
+                    t2.append(g)  # all grams share the source position
+                    p2.append(p)
+            terms, positions = t2, p2
         if self.shingle:
             terms, positions = _shingle_stream(terms, positions, len(toks))
         if self.reverse_wildcards:
@@ -971,6 +1024,30 @@ class Analyzer:
             codes, uniq = pd.factorize(out_terms)
             stemmed = np.array([_pstem(u) for u in uniq], dtype=object)
             out_terms = stemmed[codes]
+        if (self.ngram or self.edge_ngram) and out_terms.size:
+            # vocabulary-rate gram computation (factorize once, expand per
+            # unique), token-rate numpy repeats for positions/doc ids;
+            # dropped short tokens shrink the norm length like the
+            # reference's CodepointCountFilter removal
+            mn, mx = self.ngram or self.edge_ngram
+            edge = self.edge_ngram is not None
+            codes, uniq = pd.factorize(out_terms)
+            per_uniq = [
+                np.asarray(_token_grams(u, mn, mx, edge), dtype=object)
+                for u in uniq
+            ]
+            counts = np.array([g.size for g in per_uniq], dtype=np.int64)
+            tok_counts = counts[codes]
+            dropped = tok_counts == 0
+            if dropped.any():
+                np.add.at(doclens, out_doc[dropped], -1)
+            out_pos = np.repeat(out_pos, tok_counts)
+            out_doc = np.repeat(out_doc, tok_counts)
+            if int(tok_counts.sum()):
+                out_terms = np.concatenate(
+                    [per_uniq[c] for c in codes if per_uniq[c].size])
+            else:
+                out_terms = np.zeros(0, dtype=object)
         if self.shingle and out_terms.size:
             out_terms, out_pos, out_doc, doclens = _shingle_flat(
                 out_terms, out_pos, out_doc, raw_lens, len(texts)
@@ -1027,6 +1104,21 @@ class Analyzer:
         # unavailable, every doc reports count 0 (callers re-analyze)
         z = np.zeros(0, dtype=np.int64)
         return base + ((z, z, np.zeros(len(texts), dtype=np.int64)),)
+
+
+def _token_grams(t: str, mn: int, mx: int, edge: bool) -> list[str]:
+    """All grams of one token in the reference's emission order: edge =
+    front-anchored sizes mn..min(mx, len) (EdgeNGramTokenFilter.java:98-
+    112); full = per start position, sizes ascending
+    (NGramTokenFilter.java:120-135).  Empty when len(t) < mn (the
+    CodepointCountFilter drop)."""
+    L = len(t)
+    if L < mn:
+        return []
+    if edge:
+        return [t[:g] for g in range(mn, min(mx, L) + 1)]
+    return [t[s:s + g] for s in range(0, L - mn + 1)
+            for g in range(mn, min(mx, L - s) + 1)]
 
 
 STANDARD_ANALYZER = Analyzer()

@@ -958,6 +958,31 @@ def facet_query(spark, sf_dir, queries: dict[str, str]) -> DataFrame:
     )
 
 
+def gram_terms_tf(spark, sf_dir, mn: int = 2, mx: int = 4,
+                  edge: bool = True) -> DataFrame:
+    """q: NGram/EdgeNGram token-filter gate surface
+    (analysis/ngram/NGramTokenFilter.java / EdgeNGramTokenFilter.java):
+    documents analyzed through `Analyzer(edge_ngram=(mn,mx))` (or
+    `ngram=`), per-doc gram tf — tokens shorter than minGram drop, every
+    gram lands at its source token's position. -> (doc_id, term, tf)."""
+    from .analysis import Analyzer
+
+    an = Analyzer(edge_ngram=(mn, mx)) if edge else Analyzer(ngram=(mn, mx))
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms, _pos, docidx, _dl = an.analyze_flat(pdf["text"])
+        ids = pdf["doc_id"].to_numpy()[docidx]
+        out = pd.DataFrame({"doc_id": ids, "term": terms})
+        g = out.groupby(["doc_id", "term"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    return docs.mapInPandas(
+        lambda it: (run(pdf) for pdf in it),
+        "doc_id long, term string, tf long",
+    )
+
+
 def terms_enum(spark, sf_dir, prefix: str | None = None,
                lower: str | None = None, upper: str | None = None,
                mincount: int = 1, limit: int = 10,
