@@ -693,6 +693,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sig": _simhash_entry,
         "jaccard3_pairs": lambda s, d: R.jaccard_ngram_pairs(s, d, 3, 0.8, 500),
         "quality_stats": lambda s, d: R.quality_stats(s, d),
+        # langid contrib (LanguageIdentifierUpdateProcessor): detect ->
+        # lcmap normalize -> whitelist -> threshold -> fallback-field chain
+        "langid_update": lambda s, d: R.langid_update(
+            s, d, threshold=0.5, whitelist=("eng",),
+            fallback_fields=("lang",), fallback_value="und",
+            lcmap={"en": "eng"},
+        ),
         "langid_heuristic": lambda s, d: R.langid_heuristic(s, d),
         "fingerprint": lambda s, d: R.fingerprint(s, d),
         "token_counts": lambda s, d: R.token_counts(s, d),
@@ -2561,6 +2568,18 @@ def oracle_sql() -> dict[str, str]:
                                / count(*) >= 0.05
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
+        "langid_update": _BASE
+        + f"""SELECT q.doc_id,
+                     CASE WHEN q.cert >= 0.5 THEN 'eng'
+                          ELSE coalesce(d.lang, 'und') END AS language,
+                     q.cert AS certainty
+              FROM (SELECT doc_id,
+                           least(1.0, round(round(
+                             sum(CASE WHEN term IN {_STOP_SQL}
+                                 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                             * 10, 4)) AS cert
+                    FROM tok GROUP BY doc_id) q
+              JOIN documents d ON q.doc_id = d.doc_id""",
         "fingerprint": "SELECT doc_id, md5(text) AS fp, sha256(text) AS sha256 FROM documents",
         # MD5Signature: digest of the sorted (fieldName || value) stream
         # (SignatureUpdateProcessorFactory.java:155-185); fields sorted =

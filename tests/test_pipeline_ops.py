@@ -416,3 +416,34 @@ def test_gopher_quality_rules(spark, docs_dir):
     assert d0["stop_hits"] == 2  # 'the', 'with'
     d2 = rows[2]  # gibberish: no stop words, digits in every token
     assert d2["stop_hits"] == 0
+
+
+# ---------------------------------------------------------------------------
+# langid update processor (solr/contrib/langid)
+# ---------------------------------------------------------------------------
+
+
+def test_langid_update_resolution_chain(spark):
+    """Threshold gating, whitelist rejection, and the fallback-field
+    chain (LanguageIdentifierUpdateProcessor.resolveLanguage)."""
+    from voyagr_spark.relational import langid_update
+
+    sf = "/root/testdata/sf0.001"
+    rows = langid_update(
+        spark, sf, threshold=0.5, whitelist=("eng",),
+        fallback_fields=("lang",), fallback_value="und",
+        lcmap={"en": "eng"}).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["certainty"] <= 1.0
+        if r["certainty"] >= 0.5:
+            assert r["language"] == "eng"  # lcmap applied
+        else:
+            assert r["language"] != "eng"  # fell back to the lang field
+    # whitelist rejection forces the fallback everywhere
+    rej = langid_update(spark, sf, threshold=0.0, whitelist=("fr",),
+                        fallback_fields=(), fallback_value="und").collect()
+    assert rej and all(r["language"] == "und" for r in rej)
+    # empty whitelist accepts any detection
+    acc = langid_update(spark, sf, threshold=0.0, whitelist=()).collect()
+    assert acc and all(r["language"] == "en" for r in acc)

@@ -742,6 +742,40 @@ def quality_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def langid_update(spark, sf_dir, threshold: float = 0.5,
+                  whitelist: tuple = ("en",),
+                  fallback_fields: tuple = ("lang",),
+                  fallback_value: str = "",
+                  lcmap: dict | None = None) -> DataFrame:
+    """q: the langid update-processor resolution chain (solr/contrib/langid
+    LanguageIdentifierUpdateProcessor.java): detect -> normalize via
+    langid.lcmap (:382-390) -> whitelist check -> certainty >= threshold
+    else fallback (:326-350) -> fallback = first present fallback FIELD
+    value, else langid.fallback value, else "" (:284-298).
+
+    Detector: the engine's deterministic stopword-ratio heuristic as the
+    DetectedLanguage source — lang 'en' with certainty
+    least(1.0, stop_ratio * 10) (the abstract detectLanguage slot; the
+    reference's Tika/langdetect backends are external libraries).  One
+    scan, one per-doc aggregate — ingest-shaped, no shuffle beyond the
+    token groupBy. -> (doc_id, language, certainty)."""
+    lcmap = lcmap or {}
+    q = quality_stats(spark, sf_dir)
+    d = documents(spark, sf_dir).select("doc_id", *fallback_fields)
+    base = q.select("doc_id", "stop_ratio").join(d, "doc_id")
+    cert = F.least(F.lit(1.0), F.round(F.col("stop_ratio") * 10, 4))
+    detected = lcmap.get("en", "en")
+    fb = F.coalesce(
+        *[F.col(f) for f in fallback_fields], F.lit(fallback_value),
+        F.lit(""))
+    in_wl = F.lit(not whitelist or detected in whitelist)
+    lang = F.when(in_wl & (cert >= threshold), F.lit(detected)).otherwise(fb)
+    return base.select(
+        "doc_id", lang.alias("language"),
+        cert.cast("double").alias("certainty"),
+    )
+
+
 def langid_heuristic(spark, sf_dir) -> DataFrame:
     """q: n-gram/stopword language-ID heuristic: English iff stopword-ratio
     above threshold (the corpus embeds English stopwords in every doc)."""
