@@ -695,6 +695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": lambda s, d: R.quality_stats(s, d),
         # langid contrib (LanguageIdentifierUpdateProcessor): detect ->
         # lcmap normalize -> whitelist -> threshold -> fallback-field chain
+        # Product quantization ANN (Jegou et al. TPAMI 2011): train ->
+        # encode (M codes/vector) -> ADC top-k; rows-only entry (the
+        # seeded k-means codebook is not SQL-expressible; correctness is
+        # pinned by test_pq: ADC identity, nearest-centroid encode,
+        # recall vs exact brute force, seeded determinism)
+        "ann_pq_topk": _ann_pq_topk,
         "langid_update": lambda s, d: R.langid_update(
             s, d, threshold=0.5, whitelist=("eng",),
             fallback_fields=("lang",), fallback_value="und",
@@ -1064,6 +1070,21 @@ def _engine_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CustomScoreQuery gate config: two FunctionQuery multipliers over docmap
 #: numeric fields (reciprocal doclen decay x linear nchars boost)
 _CS_FUNCS = ["recip(doclen,1,1000,1000)", "linear(nchars,0.001,1)"]
+
+
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN end-to-end at the gate sf: seeded codebooks, Arrow-batch
+    encode, ADC top-10 (query = vec 0, excluded)."""
+    import numpy as np
+
+    from voyagr_spark.pipeline import pq_encode, pq_topk, pq_train_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train_codebooks(emb, m=8, ksub=64, iters=5, seed=42)
+    codes = pq_encode(emb, books)
+    row = emb.filter(emb.vec_id == 0).collect()[0]
+    q = np.array(row["embedding"], dtype=np.float64)
+    return pq_topk(codes, books, q, k=10, exclude_vec_id=0)
 
 
 def _engine_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -552,3 +552,165 @@ def ivf_topk(
     # not funnel every probed cell's candidates through one window reducer
     by = [("cos4", False), ("vec_id", True)]
     return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "cos4"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed ANN scale path beyond SQ8.
+#
+# Public reference: Jegou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011) — split the vector into M subspaces, run
+# k-means per subspace (ksub centroids each), store M small codes per
+# vector, and answer queries by Asymmetric Distance Computation (ADC): a
+# per-query (M, ksub) lookup table of subquery-centroid dot products, so a
+# vector's score is M table gathers + a sum.  Memory: M bytes/vector at
+# ksub<=256 vs 4*dim float32 — the path that makes billion-vector corpora
+# scannable.  Same engine discipline as IVF above: train on a seeded
+# driver-side sample (codebook is KBs, broadcast), encode/score one numpy
+# matmul per Arrow batch, top-k via distributed_topk (never a single
+# reducer).
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded per-subspace Lloyd's k-means -> (m, ksub, dim//m) codebooks.
+
+    Vectors are L2-normalized first (cosine ANN); dim must divide by m.
+    Same sampling shape as ivf_train_centroids: orderBy(rand(seed)).limit
+    compiles to TakeOrderedAndProject — an unbiased seeded sample with no
+    global sort."""
+    pdf = emb.select(vec_col).orderBy(F.rand(seed)).limit(sample_rows) \
+        .toPandas()
+    x = _l2_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        k = min(ksub, sub.shape[0])
+        cents = sub[rng.choice(sub.shape[0], size=k, replace=False)]
+        for _ in range(iters):
+            # nearest by euclidean distance within the subspace
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(cents.shape[0]):
+                members = sub[assign == c]
+                if members.shape[0]:
+                    cents[c] = members.mean(axis=0)
+        if k < ksub:  # degenerate tiny sample: pad by repeating
+            cents = np.concatenate(
+                [cents, np.repeat(cents[:1], ksub - k, axis=0)])
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> DataFrame(vec_id, code array<long> len m): per-subspace nearest
+    centroid, one distance matmul per subspace per Arrow batch."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    sel = emb.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("vec"))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("code", T.ArrayType(T.LongType())),
+    ])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            if not len(pdf):
+                continue
+            x = _l2_normalize(np.array(pdf["vec"].tolist(), dtype=np.float64))
+            codes = np.empty((x.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; ||s||^2 constant
+                # per row, so argmin over (-2 s.c + ||c||^2)
+                d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "code": list(codes)},
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("code", pa.list_(pa.int64()))]),
+            )
+
+    return sel.mapInArrow(kernel, schema)
+
+
+def pq_adc_table(codebooks: np.ndarray, query_vec: np.ndarray) -> np.ndarray:
+    """The per-query ADC lookup table -> (m, ksub) of subquery-centroid
+    dot products (cosine form: both sides unit-normalized)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    return np.stack([books[j] @ qn[j * dsub:(j + 1) * dsub]
+                     for j in range(m)])
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """-> DataFrame(rank, vec_id, adc4): top-k by the ADC approximate
+    cosine — per batch, M table gathers + a sum; the codes table is the
+    only thing scanned (M int codes/vector, not the float vectors)."""
+    lut = pq_adc_table(codebooks, query_vec)
+    m = lut.shape[0]
+    sel = codes
+    if exclude_vec_id is not None:
+        sel = sel.filter(F.col("vec_id") != int(exclude_vec_id))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc4", T.DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            if not len(pdf):
+                continue
+            c = np.array(pdf["code"].tolist(), dtype=np.int64)
+            adc = np.zeros(c.shape[0], dtype=np.float64)
+            for j in range(m):
+                adc += lut[j][c[:, j]]
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "adc4": np.round(adc, 4)},
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("adc4", pa.float64())]),
+            )
+
+    scored = sel.select("vec_id", "code").mapInArrow(kernel, schema)
+    from .relational import _ranked, distributed_topk
+
+    by = [("adc4", False), ("vec_id", True)]
+    return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "adc4"])
+
+
+def pq_reconstruct(codebooks: np.ndarray, code: np.ndarray) -> np.ndarray:
+    """Decode one PQ code back to its centroid concatenation (the ADC
+    identity anchor: adc(q, code) == dot(q_norm, reconstruct(code)))."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    return np.concatenate([books[j][int(code[j])]
+                           for j in range(books.shape[0])])
