@@ -1017,6 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # occurrence of either term under the summed-idf weight
         "engine_taq_seq": _engine_taq("seq"),
         "engine_taq_or": _engine_taq("or"),
+        # QueryRescorer (lucene/core QueryRescorer.java): second-pass
+        # linear combine over the first-pass top-N, fl(first + w*second)
+        "engine_query_rescore": _engine_query_rescore,
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -1135,6 +1138,23 @@ def _engine_taq(kind: str):
         )
 
     return run
+
+
+def _engine_query_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryRescorer linear combine: hot-term top-30 re-ranked by
+    first + 2.0 * rare-term score (non-matches keep the first score)."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import query_rescore, search
+
+    idx = _engine_index(spark, sf_dir)
+    first = search(idx, _HOT, k=30)
+    res = query_rescore(idx, first, _RARE, weight=2.0, top_n=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
+    )
 
 
 def _engine_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3746,6 +3766,22 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
                                AS FLOAT) AS FLOAT) AS wv
           ) tw""")
+    # QueryRescorer: hot top-30 first pass, fl(first + 2.0*second) where
+    # the rare term matches, first score kept otherwise
+    d["engine_query_rescore"] = _engine_base_sql() + f"""
+        , qrf AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+          FROM ({_SQL_TERM.format(t=_HOT)})
+        )""" + topk_wrap.format(inner=f"""
+          SELECT qrf.doc_id,
+                 CASE WHEN r.score IS NULL THEN qrf.score
+                      ELSE CAST(CAST(qrf.score AS DOUBLE)
+                                + 2.0 * CAST(r.score AS DOUBLE) AS FLOAT)
+                 END AS score
+          FROM qrf LEFT JOIN ({_SQL_TERM.format(t=_RARE)}) r
+            ON qrf.doc_id = r.doc_id
+          WHERE qrf.rn <= 30""")
     # DuplicateFilter: masters = max(doc_id) per source over the whole
     # docmap, semi-joined with the hot term's float32 BM25 matches
     d["engine_dup_filter"] = _engine_base_sql() + f"""

@@ -244,3 +244,36 @@ def test_facet_interval_parse():
     for bad in ["", "1,5]", "[1,5", "[1 5]", "[1,2,3]", "[,5]", "[5,1]"]:
         with pytest.raises(ValueError):
             p(bad)
+
+
+# ---------------------------------------------------------------------------
+# QueryRescorer (lucene/core QueryRescorer.java linear combine)
+# ---------------------------------------------------------------------------
+
+
+def test_query_rescore_combine(built_index):
+    import numpy as np
+
+    from voyagr_spark.search import query_rescore, scores, search
+
+    first = search(built_index, "file", k=20)
+    got = {r["doc_id"]: np.float32(r["score"])
+           for r in query_rescore(built_index, first, "merge",
+                                  weight=2.0, top_n=10**6).collect()}
+    f = {r["doc_id"]: np.float32(r["score"]) for r in first.collect()}
+    s = {r["doc_id"]: np.float32(r["score"])
+         for r in scores(built_index, "merge").collect()}
+    assert set(got) == set(f)  # only first-pass docs, all of them
+    for d, v in got.items():
+        if d in s:
+            want = np.float32(float(f[d]) + 2.0 * float(s[d]))
+        else:
+            want = f[d]  # non-matching docs keep the first-pass score
+        assert v == want, (d, v, want)
+
+
+def test_query_rescore_topn_cut(built_index):
+    from voyagr_spark.search import query_rescore, search
+
+    first = search(built_index, "file", k=20)
+    assert query_rescore(built_index, first, "merge", 1.0, top_n=5).count() == 5

@@ -1655,6 +1655,33 @@ def search_by_field(
     )
 
 
+def query_rescore(index, first_pass: DataFrame, query_or_text,
+                  weight: float = 1.0, top_n: int = 10) -> DataFrame:
+    """QueryRescorer (lucene/core/src/java/org/apache/lucene/search/
+    QueryRescorer.java:167-178, the linear-combine sugar): re-rank a
+    first-pass hit set by `first + weight * second` where `second` is a
+    second query's score for hits it matches (non-matches keep the first
+    score, :101-105).  The += runs in double and narrows to float once —
+    fl(first + weight * second) — reproduced exactly.
+
+    Spark shape: the first pass is top-N sized, so it broadcasts against
+    the second query's match scores (the reference iterates the second
+    Weight only over the first-pass docs — here Catalyst's broadcast join
+    does the same pruning); re-sort + cut is N rows."""
+    second = scores(index, query_or_text).withColumnRenamed("score", "s2")
+    joined = second.join(F.broadcast(first_pass), "doc_id", "right")
+    combined = F.when(
+        F.col("s2").isNotNull(),
+        (F.col("score").cast("double")
+         + F.lit(float(weight)) * F.col("s2").cast("double")).cast("float"),
+    ).otherwise(F.col("score"))
+    return (
+        joined.select("doc_id", combined.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+
+
 def count_df(index, query_or_text) -> DataFrame:
     """TotalHitCountCollector analog as a 1-row DataFrame `(n_hits)` — the
     distributed form of `count` (P3/K5): per-segment match counts summed by
