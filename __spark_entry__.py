@@ -1020,6 +1020,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # QueryRescorer (lucene/core QueryRescorer.java): second-pass
         # linear combine over the first-pass top-N, fl(first + w*second)
         "engine_query_rescore": _engine_query_rescore,
+        # SortRescorer (lucene/core SortRescorer.java): first-pass top-N
+        # re-ordered by a field sort, scores carried through
+        "engine_sort_rescore": _engine_sort_rescore,
         # ShingleFilter chain: bigram term search on a shingled index,
         # BM25 over the overlap-discounted (distinct-position) doclens
         "engine_shingle": _engine_shingle,
@@ -1138,6 +1141,23 @@ def _engine_taq(kind: str):
         )
 
     return run
+
+
+def _engine_sort_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortRescorer: hot-term top-30 re-ordered by doclen asc, top-10,
+    first-pass scores carried through unchanged."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search, sort_rescore
+
+    idx = _engine_index(spark, sf_dir)
+    first = search(idx, _HOT, k=30)
+    res = sort_rescore(idx, first, "doclen", ascending=True, top_n=10)
+    w = Window.orderBy(F.asc("sort_value"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "sort_value", "score",
+    )
 
 
 def _engine_query_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3766,6 +3786,20 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
                                AS FLOAT) AS FLOAT) AS wv
           ) tw""")
+    # SortRescorer: hot top-30 re-ordered by (doclen asc, doc_id asc)
+    d["engine_sort_rescore"] = _engine_base_sql() + f"""
+        , srf AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+          FROM ({_SQL_TERM.format(t=_HOT)})
+        )
+        SELECT rank, doc_id, sort_value, score FROM (
+          SELECT row_number() OVER (ORDER BY dl.doclen ASC,
+                                    srf.doc_id ASC)::BIGINT AS rank,
+                 srf.doc_id, dl.doclen AS sort_value, srf.score
+          FROM srf JOIN dl ON srf.doc_id = dl.doc_id
+          WHERE srf.rn <= 30
+        ) WHERE rank <= 10"""
     # QueryRescorer: hot top-30 first pass, fl(first + 2.0*second) where
     # the rare term matches, first score kept otherwise
     d["engine_query_rescore"] = _engine_base_sql() + f"""

@@ -277,3 +277,19 @@ def test_query_rescore_topn_cut(built_index):
 
     first = search(built_index, "file", k=20)
     assert query_rescore(built_index, first, "merge", 1.0, top_n=5).count() == 5
+
+
+def test_sort_rescore(built_index):
+    import numpy as np
+
+    from voyagr_spark.search import search, sort_rescore
+
+    first = search(built_index, "file", k=20)
+    got = sort_rescore(built_index, first, "doclen", ascending=True,
+                       top_n=20).collect()
+    f = {r["doc_id"]: np.float32(r["score"]) for r in first.collect()}
+    assert {r["doc_id"] for r in got} == set(f)
+    keys = [(r["sort_value"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)  # field order with doc_id tiebreak
+    for r in got:  # scores carried through unchanged (trackScores=true)
+        assert np.float32(r["score"]) == f[r["doc_id"]]

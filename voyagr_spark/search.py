@@ -1682,6 +1682,26 @@ def query_rescore(index, first_pass: DataFrame, query_or_text,
     )
 
 
+def sort_rescore(index, first_pass: DataFrame, field: str,
+                 ascending: bool = True, top_n: int = 10) -> DataFrame:
+    """SortRescorer (lucene/core/src/java/org/apache/lucene/search/
+    SortRescorer.java): re-order the first-pass top-N by a field sort
+    instead of relevance (the TopFieldCollector replay over the hit set,
+    :43-100); scores are carried through unchanged (trackScores=true).
+
+    Spark shape: the N-row hit set broadcasts against the docmap, sort +
+    cut are N rows; doc_id is the deterministic tie-break (the reference
+    falls to docID via the collector's tie rules)."""
+    joined = index.docmap().select("doc_id", field).join(
+        F.broadcast(first_pass), "doc_id")
+    key = F.asc(field) if ascending else F.desc(field)
+    return (
+        joined.orderBy(key, F.asc("doc_id"))
+        .limit(top_n)
+        .select("doc_id", F.col(field).alias("sort_value"), "score")
+    )
+
+
 def count_df(index, query_or_text) -> DataFrame:
     """TotalHitCountCollector analog as a 1-row DataFrame `(n_hits)` — the
     distributed form of `count` (P3/K5): per-segment match counts summed by
