@@ -634,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_ngram_tf": lambda s, d: R.gram_terms_tf(
             s, d, 2, 4, edge=True),
         "ngram_tf": lambda s, d: R.gram_terms_tf(s, d, 3, 3, edge=False),
+        # LengthFilter (analysis/miscellaneous): tokens outside [3,8] drop
+        "length_filter_tf": lambda s, d: R.length_terms_tf(s, d, 3, 8),
         "doclen": lambda s, d: R.doclen(s, d),
         "term_stats": lambda s, d: R.term_stats(s, d),
         "collection_stats": lambda s, d: R.collection_stats(s, d),
@@ -2412,6 +2414,10 @@ def oracle_sql() -> dict[str, str]:
              FROM terms CROSS JOIN range(1, 256) r(s)
              WHERE length(term) >= 3 AND s <= length(term) - 2
              GROUP BY doc_id, substring(term, s, 3)""",
+        "length_filter_tf": _BASE
+        + """SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM terms WHERE length(term) BETWEEN 3 AND 8
+             GROUP BY doc_id, term""",
         "term_stats": _BASE + "SELECT term, df, ttf FROM st",
         "collection_stats": _BASE
         + """SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,

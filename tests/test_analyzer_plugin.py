@@ -197,3 +197,23 @@ def test_edge_ngram_index_prefix_search(spark, tmp_path):
     assert len(got) == 2
     assert search(idx, "zebr", k=10).count() == 1
     assert search(idx, "qqqq", k=10).count() == 0
+
+
+def test_length_filter():
+    import pandas as pd
+    import pytest
+
+    from voyagr_spark.analysis import Analyzer
+
+    an = Analyzer(length_filter=(3, 5))
+    terms, pos = an.analyze_text("go widely known word xx")
+    assert terms == ["known", "word"]
+    assert pos == [2, 3]  # holes for dropped tokens, like stopwords
+    t2, p2, d2, dl = an.analyze_flat(pd.Series(["go widely known word xx"]))
+    assert list(t2) == terms and list(p2) == pos and dl[0] == 2
+    an2 = Analyzer.from_dict(an.to_dict())
+    assert an2 == an
+    with pytest.raises(ValueError, match="greater than or equal to zero"):
+        Analyzer(length_filter=(-1, 5))
+    with pytest.raises(ValueError, match="not be greater than"):
+        Analyzer(length_filter=(5, 3))

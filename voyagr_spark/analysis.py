@@ -774,6 +774,11 @@ class Analyzer:
     #: shorter-than-minGram tokens are skipped with their position
     #: increments accumulated (savePosIncr, :94).  INDEX-side only.
     edge_ngram: tuple | None = None
+    #: LengthFilter analog (analysis/miscellaneous/LengthFilter.java:40-60):
+    #: (min, max) — tokens outside the length band drop like stopwords
+    #: (FilteringTokenFilter keeps position increments, so holes remain);
+    #: applied at the stop-filter stage, before stemming/grams.
+    length_filter: tuple | None = None
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
@@ -787,6 +792,15 @@ class Analyzer:
             )
         if self.ngram is not None and self.edge_ngram is not None:
             raise ValueError("ngram and edge_ngram are mutually exclusive")
+        if self.length_filter is not None:
+            lmn, lmx = self.length_filter
+            if lmn < 0:
+                raise ValueError(
+                    "minimum length must be greater than or equal to zero")
+            if lmn > lmx:
+                raise ValueError(
+                    "maximum length must not be greater than minimum length")
+            object.__setattr__(self, "length_filter", (int(lmn), int(lmx)))
         grams = self.ngram or self.edge_ngram
         if grams is not None:
             mn, mx = grams
@@ -834,6 +848,7 @@ class Analyzer:
             and not self.word_delimiter
             and self.ngram is None
             and self.edge_ngram is None
+            and self.length_filter is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -855,6 +870,8 @@ class Analyzer:
             "word_delimiter": self.word_delimiter,
             "ngram": list(self.ngram) if self.ngram else None,
             "edge_ngram": list(self.edge_ngram) if self.edge_ngram else None,
+            "length_filter": (list(self.length_filter)
+                              if self.length_filter else None),
         }
 
     @staticmethod
@@ -879,6 +896,8 @@ class Analyzer:
             ngram=tuple(d["ngram"]) if d.get("ngram") else None,
             edge_ngram=(tuple(d["edge_ngram"])
                         if d.get("edge_ngram") else None),
+            length_filter=(tuple(d["length_filter"])
+                           if d.get("length_filter") else None),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -893,12 +912,15 @@ class Analyzer:
             # stream re-ordinals (WordDelimiterFilter.java:69-71 golden)
             toks = [p for t in toks for p in word_delimiter_parts(t)]
         terms, positions = [], []
+        lf = self.length_filter
         for pos, tok in enumerate(toks):
             t = tok.lower() if self.lowercase else tok
             if self.fold_ascii:
                 t = fold_to_ascii(t)
             if t in self.stopwords:
                 continue
+            if lf is not None and not (lf[0] <= len(t) <= lf[1]):
+                continue  # LengthFilter drop: position hole remains
             terms.append(t)
             positions.append(pos)
         if self.stem == "porter":
@@ -1008,6 +1030,10 @@ class Analyzer:
             ~flat.isin(self.stopwords) if self.stopwords
             else pd.Series(True, index=flat.index)
         )
+        if self.length_filter is not None:
+            lens = flat.str.len()
+            keep &= (lens >= self.length_filter[0]) & (
+                lens <= self.length_filter[1])
         doc_starts = np.concatenate(([0], np.cumsum(raw_lens)[:-1]))
         pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, raw_lens)
         docidx = np.repeat(np.arange(len(texts), dtype=np.int64), raw_lens)

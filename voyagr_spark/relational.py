@@ -992,16 +992,17 @@ def facet_query(spark, sf_dir, queries: dict[str, str]) -> DataFrame:
     )
 
 
-def gram_terms_tf(spark, sf_dir, mn: int = 2, mx: int = 4,
-                  edge: bool = True) -> DataFrame:
-    """q: NGram/EdgeNGram token-filter gate surface
-    (analysis/ngram/NGramTokenFilter.java / EdgeNGramTokenFilter.java):
-    documents analyzed through `Analyzer(edge_ngram=(mn,mx))` (or
-    `ngram=`), per-doc gram tf — tokens shorter than minGram drop, every
-    gram lands at its source token's position. -> (doc_id, term, tf)."""
+def length_terms_tf(spark, sf_dir, mn: int = 3, mx: int = 8) -> DataFrame:
+    """q: LengthFilter gate surface (analysis/miscellaneous/
+    LengthFilter.java): per-doc tf through Analyzer(length_filter=(mn,mx))
+    — tokens outside the band drop like stopwords."""
     from .analysis import Analyzer
 
-    an = Analyzer(edge_ngram=(mn, mx)) if edge else Analyzer(ngram=(mn, mx))
+    return _analyzer_terms_tf(spark, sf_dir, Analyzer(length_filter=(mn, mx)))
+
+
+def _analyzer_terms_tf(spark, sf_dir, an) -> DataFrame:
+    """Per-doc (doc_id, term, tf) through an arbitrary Analyzer chain."""
     docs = documents(spark, sf_dir).select("doc_id", "text")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1015,6 +1016,19 @@ def gram_terms_tf(spark, sf_dir, mn: int = 2, mx: int = 4,
         lambda it: (run(pdf) for pdf in it),
         "doc_id long, term string, tf long",
     )
+
+
+def gram_terms_tf(spark, sf_dir, mn: int = 2, mx: int = 4,
+                  edge: bool = True) -> DataFrame:
+    """q: NGram/EdgeNGram token-filter gate surface
+    (analysis/ngram/NGramTokenFilter.java / EdgeNGramTokenFilter.java):
+    documents analyzed through `Analyzer(edge_ngram=(mn,mx))` (or
+    `ngram=`), per-doc gram tf — tokens shorter than minGram drop, every
+    gram lands at its source token's position. -> (doc_id, term, tf)."""
+    from .analysis import Analyzer
+
+    an = Analyzer(edge_ngram=(mn, mx)) if edge else Analyzer(ngram=(mn, mx))
+    return _analyzer_terms_tf(spark, sf_dir, an)
 
 
 def terms_enum(spark, sf_dir, prefix: str | None = None,
