@@ -1022,6 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # QueryRescorer (lucene/core QueryRescorer.java): second-pass
         # linear combine over the first-pass top-N, fl(first + w*second)
         "engine_query_rescore": _engine_query_rescore,
+        # IndexWriter.addIndexes: two split-built indexes merged by the
+        # posting-level doc-id re-base (no re-analysis) == the single
+        # build bit-exactly
+        "engine_add_indexes": _engine_add_indexes,
         # SortRescorer (lucene/core SortRescorer.java): first-pass top-N
         # re-ordered by a field sort, scores carried through
         "engine_sort_rescore": _engine_sort_rescore,
@@ -1093,6 +1097,49 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = emb.filter(emb.vec_id == 0).collect()[0]
     q = np.array(row["embedding"], dtype=np.float64)
     return pq_topk(codes, books, q, k=10, exclude_vec_id=0)
+
+
+_ADDIDX_CACHE: dict = {}
+
+
+def _engine_add_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexWriter.addIndexes gate: the corpus split at its DOC_KEY
+    midpoint into two independently-built indexes, the second merged into
+    the first via the posting-level re-base (no re-analysis) — hot-term
+    top-10 must equal the single-build oracle BIT-EXACTLY (ids, scores,
+    stats all line up because the split respects global DOC_KEY order)."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.indexer import build_index
+    from voyagr_spark.merge import add_indexes
+    from voyagr_spark.search import search
+
+    key = sf_dir.rstrip("/")
+    idx = _ADDIDX_CACHE.get(key)
+    if idx is None:
+        import hashlib
+        import shutil
+
+        docs = _docs_mapped(spark, sf_dir)
+        keyed = docs.withColumn(
+            "__k", F.concat_ws("\x01", "repo", "path", "commit"))
+        keys = sorted(r["__k"] for r in keyed.select("__k").collect())
+        boundary = keys[len(keys) // 2 - 1]
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        d = f"/tmp/voyagr_addidx_{tag}"
+        shutil.rmtree(d, ignore_errors=True)
+        a = build_index(spark, keyed.filter(F.col("__k") <= boundary)
+                        .drop("__k"), f"{d}/a", num_segments=2)
+        b = build_index(spark, keyed.filter(F.col("__k") > boundary)
+                        .drop("__k"), f"{d}/b", num_segments=2)
+        add_indexes(a, b)
+        idx = _ADDIDX_CACHE[key] = a
+    res = search(idx, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id", "score",
+    )
 
 
 def _engine_custom_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3806,6 +3853,9 @@ def oracle_sql() -> dict[str, str]:
           FROM srf JOIN dl ON srf.doc_id = dl.doc_id
           WHERE srf.rn <= 30
         ) WHERE rank <= 10"""
+    # addIndexes: the re-based two-index merge must reproduce the single
+    # build exactly, so the oracle IS the plain hot-term top-k oracle
+    d["engine_add_indexes"] = d["engine_topk_hot"]
     # QueryRescorer: hot top-30 first pass, fl(first + 2.0*second) where
     # the rare term matches, first score kept otherwise
     d["engine_query_rescore"] = _engine_base_sql() + f"""

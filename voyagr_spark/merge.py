@@ -266,3 +266,184 @@ def run_tiered_merge(index: Index, seg_buckets: int = 1) -> int:
         merge_segments(index, group, next_seg, seg_buckets=seg_buckets)
         next_seg += 1
     return len(merges)
+
+
+# ---------------------------------------------------------------------------
+# addIndexes — merge a foreign index into this one without re-tokenizing
+# ---------------------------------------------------------------------------
+
+
+def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
+    """IndexWriter.addIndexes analog (`lucene/core/src/java/org/apache/
+    lucene/index/IndexWriter.java` addIndexes(Directory...): copy another
+    index's segments in, re-basing doc ids, WITHOUT re-analyzing).
+
+    Spark shape: one executor-parallel pass over the source segment rows
+    (mapInArrow).  Doc ids here are GLOBAL with per-term absolute restarts,
+    so re-basing a posting row only shifts the stream's first value — the
+    kernel decodes the doc-delta stream, adds the base, re-encodes with the
+    same block grid (tf/pos/norm blobs and their directories pass through
+    untouched); kind=doc rows just shift doc_id.  Stats merge as an
+    LSM delta dir (df/ttf sums, max/min bounds — associative), the meta
+    swap publishes atomically; src files are never modified.
+
+    Reference constraints kept: the destination's analyzer/codec must
+    match (our meta records both; Lucene trusts the caller on analyzers —
+    we refuse loudly instead), and a source carrying deletions is refused
+    (the Directory variant copies segments whole; re-base the tombstone
+    set first by force-merging the source)."""
+    import pyarrow as pa
+
+    from .codec import decode_stream, encode_stream
+    from .streaming import STREAM_PARTITION_BASE
+
+    if src.meta.get("analyzer") != dest.meta.get("analyzer"):
+        raise ValueError("addIndexes: source analyzer differs from dest")
+    if bool(src.meta.get("offsets")) != bool(dest.meta.get("offsets")):
+        raise ValueError("addIndexes: offsets setting differs from dest")
+    if src.tombstone_ref() is not None:
+        raise ValueError(
+            "addIndexes: source index carries deletions; force-merge it "
+            "first so tombstones are reclaimed")
+    spark = dest.spark
+    base = dest.max_doc
+    epoch = int(dest.meta.get("stream_epoch", 0))
+    src_live = src.live_segments
+    src_segs = sorted(
+        src_live if src_live is not None else
+        [r["seg"] for r in src.postings().select("seg").distinct().collect()]
+    )
+    pid_base = max(
+        STREAM_PARTITION_BASE + epoch * max(len(src_segs), 1) * 2,
+        int(dest.meta.get("pid_hwm", 0)),
+    )
+    seg_map = {s: (pid_base + i) << 20 for i, s in enumerate(src_segs)}
+
+    def _remap_seg(seg_np):
+        idx = np.searchsorted(src_seg_arr, seg_np)
+        return new_seg_arr[idx]
+
+    src_seg_arr = np.asarray(src_segs, dtype=np.int64)
+    new_seg_arr = np.asarray([seg_map[s] for s in src_segs], dtype=np.int64)
+
+    def post_kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            names = b.schema.names
+            col = {nm: b.column(i) for i, nm in enumerate(names)}
+            seg_np = col["seg"].to_numpy(zero_copy_only=False)
+            keep = np.isin(seg_np, src_seg_arr)
+            if not keep.all():
+                b = b.filter(pa.array(keep))
+                if b.num_rows == 0:
+                    continue
+                col = {nm: b.column(i) for i, nm in enumerate(names)}
+                seg_np = col["seg"].to_numpy(zero_copy_only=False)
+            dfs = col["df"].to_numpy(zero_copy_only=False)
+            blobs = col["docs_blob"].to_pylist()
+            boffs = col["block_doc_boff"].to_pylist()
+            new_blobs, new_boffs = [], []
+            for blob, boff, df_ in zip(blobs, boffs, dfs):
+                df_ = int(df_)
+                vals = decode_stream(
+                    blob, np.asarray(boff, dtype=np.int64), df_
+                ).astype(np.int64)
+                vals[0] += base  # the per-term absolute restart re-bases
+                nblocks = -(-df_ // BLOCK_SIZE)
+                starts = np.arange(nblocks, dtype=np.int64) * BLOCK_SIZE
+                counts = np.minimum(df_ - starts, BLOCK_SIZE)
+                nb, noff = encode_stream(vals.astype(np.uint64), starts,
+                                         counts)
+                new_blobs.append(nb)
+                new_boffs.append(noff.tolist())
+            bmd = col["block_max_doc"]
+            flat = bmd.flatten().to_numpy(zero_copy_only=False) + base
+            new_bmd = pa.ListArray.from_arrays(
+                bmd.offsets, pa.array(flat, type=pa.int64()))
+            out = {
+                **{nm: col[nm] for nm in names},
+                "seg": pa.array(_remap_seg(seg_np), type=pa.int64()),
+                "first_doc": pa.array(
+                    col["first_doc"].to_numpy(zero_copy_only=False) + base,
+                    type=pa.int64()),
+                "docs_blob": pa.array(new_blobs, type=pa.binary()),
+                "block_doc_boff": pa.array(
+                    new_boffs, type=pa.list_(pa.int64())),
+                "block_max_doc": new_bmd,
+            }
+            yield pa.RecordBatch.from_arrays(
+                [out[nm] for nm in names], names)
+
+    def doc_kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            names = b.schema.names
+            col = {nm: b.column(i) for i, nm in enumerate(names)}
+            seg_np = col["seg"].to_numpy(zero_copy_only=False)
+            keep = np.isin(seg_np, src_seg_arr)
+            if not keep.all():
+                b = b.filter(pa.array(keep))
+                if b.num_rows == 0:
+                    continue
+                col = {nm: b.column(i) for i, nm in enumerate(names)}
+                seg_np = col["seg"].to_numpy(zero_copy_only=False)
+            out = {
+                **{nm: col[nm] for nm in names},
+                "seg": pa.array(_remap_seg(seg_np), type=pa.int64()),
+                "doc_id": pa.array(
+                    col["doc_id"].to_numpy(zero_copy_only=False) + base,
+                    type=pa.int64()),
+            }
+            yield pa.RecordBatch.from_arrays(
+                [out[nm] for nm in names], names)
+
+    seg_dir = dest.dir / "segments"
+    for kind, kern in (("posting", post_kernel), ("doc", doc_kernel)):
+        part = spark.read.parquet(str(src.dir / "segments" / f"kind={kind}"))
+        (
+            part.repartition(num_partitions)
+            .mapInArrow(kern, part.schema)
+            .write.mode("append")
+            .option("parquet.block.size", str(4 * 1024 * 1024))
+            .parquet(str(seg_dir / f"kind={kind}"))
+        )
+    dest._postings_df = None
+    dest._stats_df = None
+    dest._df_cache = None
+
+    # stats: the source's already-aggregated table IS the delta
+    delta_rel = f"term_stats_d{epoch + 1}"
+    (
+        src.term_stats()
+        .repartition(1, "term").sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(str(dest.dir / delta_rel))
+    )
+    stats_dirs = dest.stats_dirs() + [delta_rel]
+
+    new_segs = sorted(seg_map.values())
+    live = dest.live_segments
+    dest.meta["max_doc"] = base + src.max_doc
+    dest.meta["sum_total_term_freq"] = (
+        dest.sum_total_term_freq + src.sum_total_term_freq)
+    dest.meta["stream_epoch"] = epoch + 1
+    dest.meta["pid_hwm"] = pid_base + max(len(src_segs), 1)
+    dest.meta.pop("index_sort", None)  # appended ids break the global sort
+    dest.meta.pop("stats_dir", None)
+    dest.meta["stats_dirs"] = stats_dirs
+    if live is not None:
+        dest.meta["live_segments"] = sorted(set(live) | set(new_segs))
+    tmp = dest.dir / "meta.json.tmp"
+    tmp.write_text(json.dumps(dest.meta))
+    os.replace(tmp, dest.dir / "meta.json")
+    dest._stats_df = None
+    _append_manifest(
+        dest.spark, dest.dir / "manifest", f"add_indexes_{epoch}",
+        [(s, -1, 0) for s in new_segs], 0.0,
+    )
+    return new_segs

@@ -69,8 +69,13 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
         offsets[pid] = acc
         acc += cnt
 
-    # segment ids: (epoch-salted partition) << 20 | flush — disjoint per batch
-    pid_base = STREAM_PARTITION_BASE + epoch * max(num_partitions, 1) * 2
+    # segment ids: (epoch-salted partition) << 20 | flush — disjoint per
+    # batch; the pid high-water mark keeps ranges disjoint even when batch
+    # partition counts vary or add_indexes interleaves with appends
+    pid_base = max(
+        STREAM_PARTITION_BASE + epoch * max(num_partitions, 1) * 2,
+        int(index.meta.get("pid_hwm", 0)),
+    )
     fn = make_invert_fn(offsets, docs_per_segment, pid_offset=pid_base,
                         analyzer=index.analyzer,
                         want_offsets=bool(index.meta.get("offsets")))
@@ -145,6 +150,7 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     index.meta["max_doc"] = base + added
     index.meta["sum_total_term_freq"] = index.sum_total_term_freq + added_len
     index.meta["stream_epoch"] = epoch + 1
+    index.meta["pid_hwm"] = pid_base + 2 * max(num_partitions, 1)
     # appended ids continue from max_doc, so the GLOBAL (key, DOC_KEY)
     # doc-id order a sorted build guarantees no longer holds — drop the
     # flag; sort-by-field queries fall back to the generic collector
