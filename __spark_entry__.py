@@ -703,6 +703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned by test_pq: ADC identity, nearest-centroid encode,
         # recall vs exact brute force, seeded determinism)
         "ann_pq_topk": _ann_pq_topk,
+        # exact-substring dedup (Lee et al. 2022, window-hash form):
+        # 10-token windows in >= 2 distinct docs, merged to maximal spans
+        "substring_dup_spans": lambda s, d: R.substring_dup_spans(
+            s, d, window=10, min_docs=2),
         "langid_update": lambda s, d: R.langid_update(
             s, d, threshold=0.5, whitelist=("eng",),
             fallback_fields=("lang",), fallback_value="und",
@@ -2682,6 +2686,35 @@ def oracle_sql() -> dict[str, str]:
                                / count(*) >= 0.05
                           THEN 'en' ELSE 'other' END AS pred_lang
               FROM tok GROUP BY doc_id""",
+        "substring_dup_spans": """
+            WITH sdtok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                     unnest(range(len(string_split(text, ' ')))) AS p
+              FROM documents),
+            sdwin AS (
+              SELECT doc_id, p AS start,
+                     md5(string_agg(t, ' ') OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)) AS h,
+                     count(*) OVER (PARTITION BY doc_id) AS nt
+              FROM sdtok),
+            sdw AS (SELECT doc_id, start, h FROM sdwin WHERE start <= nt - 10),
+            sddup AS (SELECT h FROM sdw GROUP BY h
+                      HAVING count(DISTINCT doc_id) >= 2),
+            sdhit AS (SELECT doc_id, start, start + 10 AS e
+                      FROM sdw JOIN sddup USING (h)),
+            sdg AS (
+              SELECT doc_id, start, e,
+                     sum(CASE WHEN pm IS NULL OR start > pm THEN 1 ELSE 0
+                         END) OVER (PARTITION BY doc_id ORDER BY start) AS grp
+              FROM (SELECT doc_id, start, e,
+                           max(e) OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pm
+                    FROM sdhit))
+            SELECT doc_id, min(start)::BIGINT AS span_start,
+                   max(e)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+            FROM sdg GROUP BY doc_id, grp""",
         "langid_update": _BASE
         + f"""SELECT q.doc_id,
                      CASE WHEN q.cert >= 0.5 THEN 'eng'

@@ -447,3 +447,37 @@ def test_langid_update_resolution_chain(spark):
     # empty whitelist accepts any detection
     acc = langid_update(spark, sf, threshold=0.0, whitelist=()).collect()
     assert acc and all(r["language"] == "en" for r in acc)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup spans (Lee et al. 2022, window-hash form)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dup_spans_planted(spark, tmp_path):
+    """Two docs share a verbatim 12-token run; a third is unique.  The
+    shared run must come back as ONE maximal span per doc covering every
+    duplicate window, and the unique doc must be absent."""
+    import pandas as pd
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"aaa bbb {shared} ccc ddd",
+                 f"{shared} xxx yyy zzz www qqq",
+                 "totally different words here entirely unique " * 3],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [0, 0, 0],
+    })
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(d + "/documents.parquet")
+    from voyagr_spark.relational import substring_dup_spans
+
+    rows = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+            for r in substring_dup_spans(spark, d, window=10,
+                                         min_docs=2).collect()}
+    # doc 0: shared run is tokens [2, 14) -> windows start 2..4 merge to
+    # one span [2, 14); doc 1: tokens [0, 12) -> windows 0..2 -> [0, 12)
+    assert rows[0] == (2, 14, 3)
+    assert rows[1] == (0, 12, 3)
+    assert 2 not in rows

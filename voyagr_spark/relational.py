@@ -1865,6 +1865,61 @@ def chunk_documents(spark, sf_dir, window: int = 64, stride: int = 48) -> DataFr
     )
 
 
+def substring_dup_spans(spark, sf_dir, window: int = 10,
+                        min_docs: int = 2) -> DataFrame:
+    """q: exact-substring dedup spans (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2022 — the window-hash practical
+    form of the paper's suffix-array pass): hash EVERY `window`-token
+    window, keep hashes appearing in >= min_docs DISTINCT documents, and
+    merge each doc's overlapping duplicate windows into maximal token
+    spans -> (doc_id, span_start, span_end (exclusive), n_windows).
+    Callers cut [span_start, span_end) to remove verbatim cross-document
+    text.
+
+    Scale shape: window extraction is one JVM-side slice/md5 expression
+    per position (token-rate rows — the algorithm's granularity; the
+    shuffle key is the hash, so dup detection is one partial-agg);
+    surviving windows are a tiny fraction, and the span merge is a
+    per-document gaps-and-islands window (doc-sized partitions)."""
+    d = documents(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    n = F.size("toks")
+    wins = (
+        d.filter(n >= window)
+        .withColumn("ci", F.explode(F.sequence(F.lit(0),
+                                               (n - window).cast("int"))))
+        .select(
+            "doc_id",
+            F.col("ci").cast("long").alias("start"),
+            F.md5(F.concat_ws(
+                " ", F.slice("toks", F.col("ci") + 1, window))).alias("h"),
+        )
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h").select(
+        "doc_id", "start", (F.col("start") + window).alias("end"))
+    w1 = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max("end").over(
+        w1.rowsBetween(Window.unboundedPreceding, -1))
+    grp = F.sum(
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1)
+        .otherwise(0)
+    ).over(w1)
+    return (
+        hits.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.min("start").alias("span_start"),
+             F.max("end").alias("span_end"),
+             F.count("*").alias("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
 # -- PII redaction (training-data pipeline op) -------------------------------
 
 #: redaction patterns, ordered; each pattern is in the common RE2/Java
