@@ -164,3 +164,30 @@ def test_engine_disjunction_automaton(built_index, oracle_index):
         nb = oracle_index.norm_bytes[d]
         want[d] = bm25.score(np.array([f]), np.array([nb]), cache, wv)[0]
     assert got == want
+
+
+def test_random_linear_taq_equals_phrase_sweep(built_index, oracle_index):
+    """40 random 2-3 term linear automatons must be rank- AND
+    score-identical to the PhraseQuery each one generalizes (no ANY arcs,
+    DISTINCT terms: a repeated term legitimately diverges — the automaton
+    weight sums idf over UNIQUE terms via the getTermID map
+    (TermAutomatonWeight:346-356) while PhraseWeight counts repeats)."""
+    from voyagr_spark.search import search
+
+    rng = np.random.default_rng(11)
+    terms = sorted(oracle_index.postings,
+                   key=lambda t: -len(oracle_index.postings[t]))[:30]
+    checked = 0
+    for _ in range(40):
+        k = int(rng.integers(2, 4))
+        seq = list(np.array(terms)[rng.choice(len(terms), size=k,
+                                              replace=False)])
+        taq = [(r["doc_id"], np.float32(r["score"]))
+               for r in search(built_index, _linear(*seq), k=10**6).collect()]
+        ph = [(r["doc_id"], np.float32(r["score"]))
+              for r in search(built_index,
+                              PhraseQuery(tuple(seq), tuple(range(k))),
+                              k=10**6).collect()]
+        assert taq == ph, seq
+        checked += 1 if taq else 0
+    assert checked >= 5  # enough generated phrases actually matched
