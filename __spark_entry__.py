@@ -665,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_nchars": lambda s, d: R.stats_field(s, d, _HOT, "n_chars"),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "group_topk": lambda s, d: R.group_topk(s, d, _HOT, 3),
+        # ExpandComponent (collapse/expand pair): per collapsed-page group,
+        # the other members ranked by score, representatives excluded
+        "expand_groups": lambda s, d: R.expand_groups(s, d, _HOT, 10, 2),
         # solr/contrib/clustering (Carrot2): result-set tf-idf labeling
         "cluster_results": lambda s, d: R.cluster_results(s, d, _RARE),
         # solr/contrib/analytics: unique/median/discrete-percentile stats
@@ -3283,6 +3286,25 @@ def oracle_sql() -> dict[str, str]:
               FROM scored s JOIN documents d USING (doc_id)
               WHERE s.term = '{_HOT}'
             ) WHERE grank <= 3""",
+        "expand_groups": _BASE + f"""
+            , xall AS (
+              SELECT d.lang, s.doc_id, round(s.score, 4) AS score4
+              FROM scored s JOIN documents d USING (doc_id)
+              WHERE s.term = '{_HOT}')
+            , xreps AS (
+              SELECT lang, doc_id AS rep_id FROM (
+                SELECT lang, doc_id, score4,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY score4 DESC, doc_id ASC) AS rn
+                FROM xall)
+              WHERE rn = 1 ORDER BY score4 DESC, doc_id ASC LIMIT 10)
+            SELECT lang, grank, doc_id, score4 FROM (
+              SELECT x.lang, x.doc_id, x.score4,
+                     row_number() OVER (PARTITION BY x.lang
+                       ORDER BY x.score4 DESC, x.doc_id ASC)::BIGINT AS grank
+              FROM xall x JOIN xreps r
+                ON x.lang = r.lang AND x.doc_id != r.rep_id)
+            WHERE grank <= 2""",
         "infix_suggest": _BASE + """
             SELECT term, df FROM (
               SELECT term, df,

@@ -426,6 +426,40 @@ def group_topk(spark, sf_dir, term: str, k_per_group: int = 3) -> DataFrame:
     )
 
 
+def expand_groups(spark, sf_dir, term: str, rows: int = 10,
+                  expand_rows: int = 2) -> DataFrame:
+    """q: Solr ExpandComponent (solr/core/src/java/org/apache/solr/handler/
+    component/ExpandComponent.java, the collapse/expand pair): the main
+    list collapses to one best doc per group; `expand=true` then returns,
+    for each group PRESENT on the collapsed page, up to expand.rows OTHER
+    group members ranked by score (:120-210 — the expanded section is
+    keyed by group value, representatives excluded).
+    -> (lang, grank, doc_id, score4).
+
+    Scale shape: the collapsed page is rows-sized, so the group-key set
+    broadcasts; the expansion is one window over only those groups'
+    matches."""
+    s = bm25_term(spark, sf_dir, term)
+    d = documents(spark, sf_dir).select("doc_id", "lang")
+    j = s.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("score4"), F.asc("doc_id"))
+    reps = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("doc_id").alias("rep_id"),
+                F.col("score4").alias("rep_s"))
+        .orderBy(F.desc("rep_s"), F.asc("rep_id"))
+        .limit(rows)  # the collapsed page: top groups by their best doc
+    )
+    return (
+        j.join(F.broadcast(reps), "lang")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .withColumn("grank", F.row_number().over(w).cast("long"))
+        .filter(F.col("grank") <= expand_rows)
+        .select("lang", "grank", "doc_id", "score4")
+    )
+
+
 def infix_suggest(spark, sf_dir, fragment: str, top: int = 10) -> DataFrame:
     """q: infix completion (AnalyzingInfixSuggester.java:75-95 semantics —
     suggestions whose ANALYZED form contains the typed fragment anywhere,
