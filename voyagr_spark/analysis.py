@@ -779,6 +779,15 @@ class Analyzer:
     #: (FilteringTokenFilter keeps position increments, so holes remain);
     #: applied at the stop-filter stage, before stemming/grams.
     length_filter: tuple | None = None
+    #: PhoneticFilter analog (lucene/analysis/phonetic/PhoneticFilter
+    #: .java:55-98) with the commons-codec Soundex encoder (phonetic.py).
+    #: None or "soundex"; applied after stop/length/stem.  With
+    #: phonetic_inject=True the code joins the token as a posinc-0
+    #: same-position twin (doclen unchanged, discountOverlaps); with
+    #: False the code REPLACES the token.  Letterless tokens (empty
+    #: code) always pass through unchanged, as the reference filter does.
+    phonetic: str | None = None
+    phonetic_inject: bool = True
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
@@ -815,6 +824,13 @@ class Analyzer:
             object.__setattr__(
                 self, "ngram" if self.ngram else "edge_ngram",
                 (int(mn), int(mx)))
+        if self.phonetic is not None:
+            if self.phonetic != "soundex":
+                raise ValueError(
+                    f"unknown phonetic encoder {self.phonetic!r}")
+            if self.shingle or self.ngram or self.edge_ngram:
+                raise ValueError(
+                    "phonetic does not compose with shingle/ngram chains")
 
     def query_form(self) -> "Analyzer":
         """The chain as applied to QUERY text: identical, minus the
@@ -849,6 +865,7 @@ class Analyzer:
             and self.ngram is None
             and self.edge_ngram is None
             and self.length_filter is None
+            and self.phonetic is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -872,6 +889,8 @@ class Analyzer:
             "edge_ngram": list(self.edge_ngram) if self.edge_ngram else None,
             "length_filter": (list(self.length_filter)
                               if self.length_filter else None),
+            "phonetic": self.phonetic,
+            "phonetic_inject": self.phonetic_inject,
         }
 
     @staticmethod
@@ -898,6 +917,8 @@ class Analyzer:
                         if d.get("edge_ngram") else None),
             length_filter=(tuple(d["length_filter"])
                            if d.get("length_filter") else None),
+            phonetic=d.get("phonetic"),
+            phonetic_inject=bool(d.get("phonetic_inject", True)),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -927,6 +948,24 @@ class Analyzer:
             from .porter import stem as _pstem
 
             terms = [_pstem(t) for t in terms]
+        if self.phonetic:
+            from .phonetic import soundex as _sdx
+
+            t2, p2 = [], []
+            for t, p in zip(terms, positions):
+                code = _sdx(t)
+                if not code or code == t:
+                    t2.append(t)
+                    p2.append(p)
+                elif self.phonetic_inject:
+                    # code first, original restored at posinc 0
+                    # (PhoneticFilter.java:84-96)
+                    t2.extend((code, t))
+                    p2.extend((p, p))
+                else:
+                    t2.append(code)
+                    p2.append(p)
+            terms, positions = t2, p2
         if self.ngram or self.edge_ngram:
             mn, mx = self.ngram or self.edge_ngram
             edge = self.edge_ngram is not None
@@ -1050,6 +1089,32 @@ class Analyzer:
             codes, uniq = pd.factorize(out_terms)
             stemmed = np.array([_pstem(u) for u in uniq], dtype=object)
             out_terms = stemmed[codes]
+        if self.phonetic and out_terms.size:
+            # encode the batch VOCABULARY once, map back by code — the
+            # stemmer's vocabulary-rate discipline.  Letterless/identical
+            # codes pass the token through untouched.
+            from .phonetic import soundex as _sdx
+
+            codes, uniq = pd.factorize(out_terms)
+            enc = np.array([_sdx(u) for u in uniq], dtype=object)
+            applies = np.array(
+                [bool(e) and e != u for e, u in zip(enc, uniq)])
+            tok_applies = applies[codes]
+            if self.phonetic_inject:
+                if tok_applies.any():
+                    # posinc-0 twins: doclens unchanged (discountOverlaps)
+                    out_terms = np.concatenate(
+                        (out_terms, enc[codes][tok_applies]))
+                    out_pos = np.concatenate(
+                        (out_pos, out_pos[tok_applies]))
+                    out_doc = np.concatenate(
+                        (out_doc, out_doc[tok_applies]))
+                    order = np.lexsort((out_pos, out_doc))
+                    out_terms = out_terms[order]
+                    out_pos, out_doc = out_pos[order], out_doc[order]
+            else:
+                repl = np.where(applies, enc, uniq)
+                out_terms = repl[codes]
         if (self.ngram or self.edge_ngram) and out_terms.size:
             # vocabulary-rate gram computation (factorize once, expand per
             # unique), token-rate numpy repeats for positions/doc ids;

@@ -165,3 +165,95 @@ def bbox_filtered_bm25(
     scored = bm25_term(spark, sf_dir, term)
     box = bbox_search(spark, sf_dir, min_lat, max_lat, min_lon, max_lon)
     return scored.join(box.select("doc_id"), "doc_id")
+
+
+def _centi(v: float, name: str) -> int:
+    c = round(v * 100)
+    if abs(v * 100 - c) > 1e-6:
+        raise ValueError(
+            f"{name}={v}: heatmap geom must lie on the synthetic lattice's "
+            "0.01-degree resolution")
+    return int(c)
+
+
+def heatmap_bounds(
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float,
+    level: int,
+) -> tuple:
+    """Driver-side (no data pass) heatmap region snap, integer-exact.
+
+    SpatialHeatmapFacets.java:94-146 / HeatmapFacetCounter.calcFacets:
+    the requested geom snaps OUTWARD to the prefix-tree cell lattice at
+    `level` — edge cells that overlap the geom are included whole.  Our
+    lattice is the quad form (SpatialPrefixTree.java:35-50): level L
+    splits the world into 2^L x 2^L cells; the synthetic corpus
+    coordinates live on a 0.01-degree integer grid, so levels 1..4 keep
+    every cell boundary integer in centi-degrees and the whole
+    computation exact in both engines.
+
+    Returns (row0, row1, col0, col1, wlat, wlon) — inclusive global cell
+    index ranges plus the cell sides in centi-degrees.
+    """
+    if not (1 <= level <= 4):
+        raise ValueError("facet.heatmap.gridLevel should be > 0 and <= 4")
+    if min_lat > max_lat or min_lon > max_lon:
+        raise ValueError("heatmap geom: min must not exceed max")
+    wlat = 18000 // (1 << level)
+    wlon = 36000 // (1 << level)
+    lat0, lat1 = _centi(min_lat + 90, "min_lat"), _centi(max_lat + 90, "max_lat")
+    lon0, lon1 = _centi(min_lon + 180, "min_lon"), _centi(max_lon + 180, "max_lon")
+    if not (0 <= lat0 and lat1 <= 18000 and 0 <= lon0 and lon1 <= 36000):
+        raise ValueError("heatmap geom outside world bounds")
+    row0, row1 = lat0 // wlat, min(lat1 // wlat, (1 << level) - 1)
+    col0, col1 = lon0 // wlon, min(lon1 // wlon, (1 << level) - 1)
+    return row0, row1, col0, col1, wlat, wlon
+
+
+def heatmap_facet(
+    spark: SparkSession, sf_dir: str,
+    min_lat: float, max_lat: float, min_lon: float, max_lon: float,
+    level: int = 4, max_cells: int = 100_000,
+    where: str | None = None,
+) -> DataFrame:
+    """facet.heatmap (SpatialHeatmapFacets.java:77-160 +
+    HeatmapFacetCounter.java:93-180): per-grid-cell doc counts over the
+    cells intersecting the requested geom, the optional `where` predicate
+    playing the filtered-DocSet role.  Too many cells raises, as the
+    reference does (HeatmapFacetCounter.java:123-125).
+
+    Spark-first: cell ids are two integer divisions on the coordinate
+    columns, the count is ONE partial-aggregated groupBy — at 100 TB this
+    is a scan plus a (#cells)-sized shuffle, nothing driver-side.  Rows
+    come back sparse ((col, row) present only when count > 0 — the dense
+    ints2D render is a driver-side reshape of at most max_cells values);
+    col/row are heatmap-local indices exactly like the reference's counts
+    array, with the cell's min corner in degrees alongside.
+    """
+    row0, row1, col0, col1, wlat, wlon = heatmap_bounds(
+        min_lat, max_lat, min_lon, max_lon, level)
+    ncells = (row1 - row0 + 1) * (col1 - col0 + 1)
+    if ncells > max_cells:
+        raise ValueError(
+            f"Too many cells ({col1 - col0 + 1} x {row1 - row0 + 1}) "
+            f"for level {level}")
+    p = geo_points(spark, sf_dir)
+    if where:
+        d = documents(spark, sf_dir).filter(where).select("doc_id")
+        p = p.join(d, "doc_id")
+    lati = (F.col("doc_id") * F.lit(7919)) % F.lit(18000)
+    loni = (F.col("doc_id") * F.lit(104729)) % F.lit(36000)
+    g = p.withColumn("grow", (lati / F.lit(wlat)).cast("long")) \
+         .withColumn("gcol", (loni / F.lit(wlon)).cast("long")) \
+         .filter(
+             (F.col("grow") >= row0) & (F.col("grow") <= row1)
+             & (F.col("gcol") >= col0) & (F.col("gcol") <= col1))
+    out = g.groupBy("gcol", "grow").count()
+    return out.select(
+        (F.col("gcol") - F.lit(col0)).alias("col"),
+        (F.col("grow") - F.lit(row0)).alias("row"),
+        ((F.col("gcol") * F.lit(wlon)).cast("double") / F.lit(100.0)
+         - F.lit(180.0)).alias("cell_min_lon"),
+        ((F.col("grow") * F.lit(wlat)).cast("double") / F.lit(100.0)
+         - F.lit(90.0)).alias("cell_min_lat"),
+        F.col("count").alias("n"),
+    ).orderBy("col", "row")
