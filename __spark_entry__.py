@@ -612,6 +612,57 @@ def _engine_simpleqp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_window(search(idx, q, k=10))
 
 
+def _dih_entity():
+    from voyagr_spark.dih import Entity, Field
+
+    return Entity(
+        name="order_docs",
+        table="orders",
+        pk="o_orderkey",
+        delta_column="o_orderdate",
+        fields=(
+            Field(name="id", column="o_orderkey"),
+            Field(name="content",
+                  template="order ${order_docs.o_orderpriority} "
+                           "status ${order_docs.o_orderstatus}"),
+            Field(name="urgency", column="o_orderpriority",
+                  regex=r"^(\d+)-", group=1, cast="int"),
+            Field(name="placed", column="o_orderdate",
+                  date_fmt="yyyy-MM-dd"),
+            Field(name="total_cents", column="o_totalprice", cast="bigint"),
+        ),
+    )
+
+
+_DIH_ENTITY = _dih_entity()
+
+
+def _dih_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voyagr_spark.dih import full_import
+
+    return full_import(spark, sf_dir, _DIH_ENTITY)
+
+
+def _extract_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractingDocumentLoader over a synthesized binary column: PNG
+    magic + utf-8 text + a NUL + the 2-char uppercased lang (both framing
+    fragments fall below the 4-char printable-run floor, so the extracted
+    text is the document body alone)."""
+    from voyagr_spark.extraction import extract
+
+    docs = R.documents(spark, sf_dir).select("doc_id", "text", "lang")
+    binmade = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"\x89PNG\r\n\x1a\n"),
+            F.encode("text", "utf-8"),
+            F.lit(b"\x00"),
+            F.encode(F.upper("lang"), "utf-8"),
+        ).alias("data"),
+    )
+    return extract(binmade, id_cols=("doc_id",))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full engine (tokenize -> segments -> BM25 -> top-k) on sf0.001."""
     return _engine_search("fast AND key", k=10)(spark, "/root/testdata/sf0.001")
@@ -1064,6 +1115,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ComplexPhraseQueryParser: wildcard INSIDE a phrase resolves to
         # SpanNear([term, SpanOr(expansion)]) via a bounded dictionary scan
         "engine_complex_phrase": _engine_complex_phrase,
+        # facet.heatmap (SpatialHeatmapFacets + HeatmapFacetCounter):
+        # lattice-snapped grid counts, edge cells whole, lang filter as
+        # the DocSet
+        "heatmap_facet": lambda s, d: SP.heatmap_facet(
+            s, d, -33.75, 33.75, -90.0, 90.0, level=4, where="lang = 'en'"
+        ),
+        # PhoneticFilter replace mode (lucene/analysis/phonetic): every
+        # token becomes its commons-codec Soundex code
+        "phonetic_tf": lambda s, d: R.phonetic_terms_tf(s, d),
+        # PhoneticFilter inject mode on the engine surface: 'dup' expands
+        # to the same-position OR (D100, dup) via the persisted analyzer
+        "engine_phonetic": _engine_phonetic,
+        # DataImportHandler (solr/contrib/dataimporthandler): entity full
+        # import with Template/Regex/DateFormat/NumberFormat transformers
+        # compiled to one declarative plan over the orders "JDBC" source
+        "dih_full": _dih_full,
+        # delta-import: deltaQuery as an indexed-source predicate
+        "dih_delta": lambda s, d: __import__(
+            "voyagr_spark.dih", fromlist=["delta_import"]
+        ).delta_import(s, d, _DIH_ENTITY, "1997-06-01"),
+        # extraction contrib (Solr Cell): magic-byte sniff + printable-run
+        # text over a synthesized binary column, one mapInPandas pass
+        "extract_text": _extract_text_entry,
     }
     return q
 
@@ -1888,6 +1962,46 @@ def _engine_nostop_index(spark: SparkSession, sf_dir: str):
     idx.pin()
     _NOSTOP_CACHE[key] = idx
     return idx
+
+
+_PHON_CACHE: dict = {}
+
+
+def _engine_phonetic_index(spark: SparkSession, sf_dir: str):
+    """Index built with the Soundex PhoneticFilter in inject mode
+    (PhoneticFilter.java:84-96): every token ALSO indexes its code as a
+    posinc-0 twin; the chain persists in meta so query parsing expands
+    'dup' to the same-position OR (D100, dup)."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _PHON_CACHE:
+        return _PHON_CACHE[key]
+    tag = hashlib.md5((key + "-phonetic").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            analyzer=Analyzer(phonetic="soundex"),
+        )
+    idx.pin()
+    _PHON_CACHE[key] = idx
+    return idx
+
+
+def _engine_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query 'dup' through the persisted phonetic analyzer: the parser
+    expands it to the same-position OR (D100, dup); the code term's
+    postings aggregate EVERY source token whose Soundex is D100, so hits
+    include phonetic matches that never contain 'dup', each scoring
+    fl(s_code + s_orig) with the code term's own df."""
+    from voyagr_spark.search import search
+
+    idx = _engine_phonetic_index(spark, sf_dir)
+    return _rank_window(search(idx, _RARE, k=10))
 
 
 def _engine_custom_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4256,4 +4370,110 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
             WHERE dl.doclen BETWEEN 50 AND 200
           ) WHERE rn <= 10"""
+    # facet.heatmap: same lattice snap (bounds computed by the same
+    # driver-side heatmap_bounds arithmetic), integer cell ids, edge
+    # cells counted whole
+    from voyagr_spark.spatial import heatmap_bounds as _hmb
+
+    _r0, _r1, _c0, _c1, _wlat, _wlon = _hmb(-33.75, 33.75, -90.0, 90.0, 4)
+    d["heatmap_facet"] = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 (doc_id * 7919) % 18000 AS lati,
+                 (doc_id * 104729) % 36000 AS loni
+          FROM documents WHERE lang = 'en'
+        ),
+        g AS (
+          SELECT loni // {_wlon} AS gcol, lati // {_wlat} AS grow FROM p
+          WHERE lati // {_wlat} BETWEEN {_r0} AND {_r1}
+            AND loni // {_wlon} BETWEEN {_c0} AND {_c1}
+        )
+        SELECT gcol - {_c0} AS col, grow - {_r0} AS row,
+               CAST(gcol * {_wlon} AS DOUBLE) / 100.0 - 180.0
+                 AS cell_min_lon,
+               CAST(grow * {_wlat} AS DOUBLE) / 100.0 - 90.0
+                 AS cell_min_lat,
+               count(*)::BIGINT AS n
+        FROM g GROUP BY gcol, grow"""
+    # PhoneticFilter: the commons Soundex scan as a recursive CTE over
+    # the vocabulary (phonetic.soundex_sql — bit-exact by the randomized
+    # differential sweep in test_phonetic.py)
+    from voyagr_spark.phonetic import soundex_sql as _sdx_sql
+
+    d["phonetic_tf"] = (
+        _BASE.replace("\nWITH tok", "\nWITH RECURSIVE tok", 1)
+        + ","
+        + _sdx_sql("terms")
+        + """
+        SELECT t.doc_id,
+               CASE WHEN s.code = '' THEN t.term ELSE s.code END AS term,
+               count(*)::BIGINT AS tf
+        FROM terms t JOIN sdx s ON t.term = s.term
+        GROUP BY t.doc_id,
+                 CASE WHEN s.code = '' THEN t.term ELSE s.code END"""
+    )
+    # engine surface, inject mode: 'dup' -> same-position OR (D100, dup);
+    # the code term's postings sum every D100-source token's tf, its df
+    # is the distinct-doc count of those postings, norms unchanged
+    # (posinc-0 twins are overlap-discounted)
+    d["engine_phonetic"] = (
+        _engine_base_sql().replace(
+            "\nWITH docmap0", "\nWITH RECURSIVE docmap0", 1)
+        + ","
+        + _sdx_sql("tf")
+        + f""",
+        ctf AS (
+          SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS tf
+          FROM tf JOIN sdx s ON tf.term = s.term
+          WHERE s.code = 'D100'
+          GROUP BY tf.doc_id
+        ),
+        cw AS (
+          SELECT CAST(CAST(ln(1.0 + (CAST(cs.n AS DOUBLE) - d.df + 0.5)
+                               / (d.df + 0.5)) AS FLOAT)
+                   * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT) AS FLOAT)
+                   AS FLOAT) AS wv
+          FROM (SELECT count(*)::BIGINT AS df FROM ctf) d CROSS JOIN cs
+        ),
+        cscored AS (
+          SELECT ctf.doc_id,
+                 CAST(CAST(cw.wv * CAST(ctf.tf AS FLOAT) AS FLOAT)
+                      / CAST(CAST(ctf.tf AS FLOAT) + qn.cache AS FLOAT)
+                      AS FLOAT) AS score
+          FROM ctf JOIN qn ON ctf.doc_id = qn.doc_id CROSS JOIN cw
+        )
+        SELECT rank, doc_id, score FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+                   AS rank, doc_id, score
+          FROM (
+            SELECT c.doc_id,
+                   CAST(c.score + COALESCE(p.score, CAST(0 AS FLOAT))
+                        AS FLOAT) AS score
+            FROM cscored c
+            LEFT JOIN (SELECT doc_id, score FROM fscored
+                       WHERE term = '{_RARE}') p USING (doc_id)
+          )
+        ) WHERE rank <= 10"""
+    )
+    # DataImportHandler: the transformer chain re-expressed verbatim
+    _dih_select = r"""
+        SELECT o_orderkey AS id,
+               'order ' || o_orderpriority || ' status ' || o_orderstatus
+                 AS content,
+               CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS INT)
+                 AS urgency,
+               strftime(o_orderdate, '%Y-%m-%d') AS placed,
+               CAST(trunc(o_totalprice) AS BIGINT) AS total_cents
+        FROM orders"""
+    d["dih_full"] = _dih_select
+    d["dih_delta"] = (
+        _dih_select
+        + " WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'")
+    # extraction: the framing fragments ('PNG', the 2-char lang) fall
+    # below the 4-char printable-run floor; the body is one run
+    d["extract_text"] = """
+        SELECT doc_id, 'image/png' AS content_type,
+               CASE WHEN length(text) >= 4 THEN text ELSE '' END AS text,
+               (8 + strlen(text) + 3)::BIGINT AS stream_size
+        FROM documents"""
     return d

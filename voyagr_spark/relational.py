@@ -1035,6 +1035,17 @@ def length_terms_tf(spark, sf_dir, mn: int = 3, mx: int = 8) -> DataFrame:
     return _analyzer_terms_tf(spark, sf_dir, Analyzer(length_filter=(mn, mx)))
 
 
+def phonetic_terms_tf(spark, sf_dir) -> DataFrame:
+    """q: PhoneticFilter gate surface (lucene/analysis/phonetic/
+    PhoneticFilter.java, inject=false): per-doc tf with every token
+    REPLACED by its commons-codec Soundex code (letterless tokens pass
+    through unchanged)."""
+    from .analysis import Analyzer
+
+    return _analyzer_terms_tf(
+        spark, sf_dir, Analyzer(phonetic="soundex", phonetic_inject=False))
+
+
 def _analyzer_terms_tf(spark, sf_dir, an) -> DataFrame:
     """Per-doc (doc_id, term, tf) through an arbitrary Analyzer chain."""
     docs = documents(spark, sf_dir).select("doc_id", "text")
