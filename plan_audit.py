@@ -235,6 +235,46 @@ def main() -> None:
          f"({n_hash}) — the unique window reuses the parallel repartition"],
     ))
 
+    # 12. facet.heatmap: one aggregation exchange total (scan -> partial
+    # agg -> #cells-sized shuffle), no join, no Python
+    from voyagr_spark import spatial as sp  # noqa: F811
+
+    p = _plan(sp.heatmap_facet(spark, "/root/testdata/sf0.001",
+                           -33.75, 33.75, -90.0, 90.0, 4))
+    hm_checks = [
+        ("partial aggregation before the exchange",
+         "partial_count" in p or "HashAggregate" in p),
+        ("no join", "Join" not in p),
+        ("no Python in the row path",
+         "Python" not in p and "InPandas" not in p),
+    ]
+    sections.append((
+        "facet.heatmap (grid counts)",
+        _excerpt(p, ["HashAggregate", "Exchange"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in hm_checks],
+    ))
+
+    # 13. DIH delta-import: the stamp predicate reaches the source scan
+    # (PushedFilters), transformers are one whole-stage projection
+    import __spark_entry__ as entrymod
+
+    p = _plan(entrymod.queries()["dih_delta"](
+        spark, "/root/testdata/sf0.001"))
+    dih_checks = [
+        ("delta stamp predicate pushed to the source scan",
+         any("PushedFilters" in l and "o_orderdate" in l
+             for l in p.splitlines())),
+        ("no shuffle (scan -> filter -> transformer project)",
+         "Exchange" not in p),
+        ("no Python in the row path",
+         "Python" not in p and "InPandas" not in p),
+    ]
+    sections.append((
+        "DIH delta-import (pushdown + codegen transformers)",
+        _excerpt(p, ["PushedFilters", "Project"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in dih_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
