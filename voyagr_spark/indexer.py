@@ -614,11 +614,11 @@ class Index:
         self.dir = Path(index_dir)
         self.meta = json.loads((self.dir / "meta.json").read_text())
         codec = self.meta.get("codec")
-        if codec != CODEC_VERSION:
-            raise ValueError(
-                f"index at {index_dir} was written by codec {codec!r}; "
-                f"this reader is {CODEC_VERSION!r} — rebuild the index"
-            )
+        # backward-codecs: current + registered legacy versions readable,
+        # everything written from here on is stamped CODEC_VERSION
+        from .backward_codecs import check_readable
+
+        check_readable(codec, index_dir)
         self._gc_stale_stats()
 
     def _gc_stale_stats(self) -> None:
