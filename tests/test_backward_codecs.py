@@ -102,6 +102,54 @@ def test_version_registry():
         check_readable(None, "d")
 
 
+def test_upgrade_index(spark, built_index, tmp_path):
+    """IndexUpgrader: a legacy-stamped index force-merges through the
+    current codec and comes out stamped CODEC_VERSION with identical
+    results; an already-current index is a no-op."""
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.merge import upgrade_index
+    from voyagr_spark.search import search
+
+    before = [(r.doc_id, r.score) for r in search(built_index, "the OR a",
+                                                  k=10).collect()]
+    d = tmp_path / "legacy_up"
+    shutil.copytree(built_index.dir, d)
+    meta = json.loads((d / "meta.json").read_text())
+    meta["codec"] = "for128-1"
+    (d / "meta.json").write_text(json.dumps(meta))
+    idx = Index(spark, str(d))
+    new_seg = upgrade_index(idx)
+    assert new_seg is not None
+    assert idx.meta["codec"] == CODEC_VERSION          # stamp bumped on write
+    assert idx.meta["live_segments"] == [new_seg]      # forceMerge(1)
+    reopened = Index(spark, str(d))
+    after = [(r.doc_id, r.score) for r in search(reopened, "the OR a",
+                                                 k=10).collect()]
+    assert after == before
+    assert upgrade_index(reopened) is None             # current -> no-op
+
+
+def test_write_bumps_legacy_stamp(spark, built_index, corpus_pdf, tmp_path):
+    """Appending to a legacy-stamped index republishes meta with the
+    current codec stamp (new blobs use the current encoder)."""
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.streaming import append_batch
+
+    d = tmp_path / "legacy_app"
+    shutil.copytree(built_index.dir, d)
+    meta = json.loads((d / "meta.json").read_text())
+    meta["codec"] = "for128-1"
+    (d / "meta.json").write_text(json.dumps(meta))
+    idx = Index(spark, str(d))
+    from pyspark.sql import functions as F
+
+    batch = spark.createDataFrame(corpus_pdf.head(5)).withColumn(
+        "path", F.concat_ws("/", F.lit("new"), "path")
+    )
+    append_batch(idx, batch)
+    assert json.loads((d / "meta.json").read_text())["codec"] == CODEC_VERSION
+
+
 def test_reader_opens_legacy_stamp(spark, built_index, tmp_path):
     """An index stamped for128-1 opens and serves identical results; an
     unregistered stamp is still refused (test_resume's guard)."""

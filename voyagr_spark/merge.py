@@ -35,7 +35,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from .codec import BLOCK_SIZE, decode_postings, encode_postings, varint_decode, varint_encode
+from .codec import (
+    BLOCK_SIZE,
+    CODEC_VERSION,
+    decode_postings,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
 from .indexer import SEGMENT_SCHEMA, Index, _append_manifest
 from .smallfloat import NORM_TABLE
 
@@ -222,6 +229,9 @@ def merge_segments(
         live = [r["seg"] for r in index.postings().select("seg").distinct().collect()]
     new_live = sorted((set(live) - set(seg_ids)) | {new_seg})
     index.meta["live_segments"] = new_live
+    # merged blobs are written by the CURRENT encoder — bump the stamp so a
+    # legacy-only reader refuses the index (SegmentInfos version-on-write)
+    index.meta["codec"] = CODEC_VERSION
     tmp = index.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")
@@ -266,6 +276,30 @@ def run_tiered_merge(index: Index, seg_buckets: int = 1) -> int:
         merge_segments(index, group, next_seg, seg_buckets=seg_buckets)
         next_seg += 1
     return len(merges)
+
+
+def upgrade_index(index: Index, seg_buckets: int = 1) -> int | None:
+    """IndexUpgrader analog (lucene/core IndexUpgrader.java:48-86).
+
+    The reference upgrades by force-merging every segment not already on the
+    current format (UpgradeIndexMergePolicy wraps forceMerge(1)), so all
+    postings are rewritten through the current codec.  Here the stamp is
+    index-wide, so a legacy stamp means "some blob may predate the current
+    encoder": rewrite ALL live segments into one via the normal merge path
+    (``_merge_term`` always decode/re-encodes), which also bumps the stamp.
+    Already-current indexes are left untouched, like the reference's no-op
+    when every segment is current.  Returns the new segment id, or None.
+    """
+    if index.meta.get("codec") == CODEC_VERSION:
+        return None
+    live = index.live_segments
+    if live is None:
+        live = sorted(
+            r["seg"] for r in index.postings().select("seg").distinct().collect()
+        )
+    new_seg = max(live) + 1
+    merge_segments(index, list(live), new_seg, seg_buckets=seg_buckets)
+    return new_seg
 
 
 # ---------------------------------------------------------------------------
@@ -438,6 +472,7 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
     dest.meta["stats_dirs"] = stats_dirs
     if live is not None:
         dest.meta["live_segments"] = sorted(set(live) | set(new_segs))
+    dest.meta["codec"] = CODEC_VERSION  # re-based doc blobs use the current encoder
     tmp = dest.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(dest.meta))
     os.replace(tmp, dest.dir / "meta.json")

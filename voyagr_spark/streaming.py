@@ -167,6 +167,11 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
         index.meta["live_segments"] = keep
+    # appended blobs use the CURRENT encoder — stamp on write, like
+    # SegmentInfos bumping the index version (backward_codecs policy)
+    from .codec import CODEC_VERSION
+
+    index.meta["codec"] = CODEC_VERSION
     tmp = index.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")  # atomic publish (reopen point)
