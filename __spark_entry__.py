@@ -208,7 +208,8 @@ _SORTED_ORDER = ("len(text) ASC, source ASC, "
 def _engine_base_sql(appended: tuple[str, ...] = (),
                      appended_sql: str = "", stop: bool = True,
                      order_by: str | None = None,
-                     text_expr: str = "text") -> str:
+                     text_expr: str = "text",
+                     docmap_sql: str | None = None) -> str:
     """WITH prefix mapping documents -> engine doc ids, tf/doclen, float32
     per-(term, doc) BM25 scores with quantized norms (bit parity with the
     engine's numpy scorer; see cast discipline note above).
@@ -216,7 +217,11 @@ def _engine_base_sql(appended: tuple[str, ...] = (),
     `appended` adds extra docs AFTER the base corpus with consecutive ids
     (the NRT-append analog: append_batch continues ids from max_doc in
     DOC_KEY order) — df/avgdl/N recompute over the union, matching the
-    engine's incremental LSM stats == full-recompute contract."""
+    engine's incremental LSM stats == full-recompute contract.
+
+    `docmap_sql` replaces the whole docmap0/docmap CTE pair for corpora
+    with a different block layout (e.g. block join parents interleaved in
+    key order); it must define a CTE named `docmap(doc_id, text)`."""
     # cache[nb] = fl(1.2f * fl(0.25f + fl(fl(0.75f*qlen)/avgdl)))  (bm25.norm_cache)
     cache = (
         "CAST(CAST(1.2 AS FLOAT) * CAST(CAST(0.25 AS FLOAT) + "
@@ -237,15 +242,16 @@ def _engine_base_sql(appended: tuple[str, ...] = (),
     stop_where = f" WHERE term NOT IN {_STOP_SQL}" if stop else ""
     ob = order_by or ("source ASC, 'doc/' || CAST(doc_id AS VARCHAR) ASC, "
                       "md5(text) ASC")
-    return f"""
-WITH docmap0 AS (
+    docmap_cte = docmap_sql or f"""docmap0 AS (
   SELECT row_number() OVER (ORDER BY {ob}) - 1 AS doc_id,
          text, lang, source
   FROM documents
 ),
 docmap AS (
   SELECT doc_id, {text_expr} AS text FROM docmap0
-{extra}),
+{extra})"""
+    return f"""
+WITH {docmap_cte},
 tok AS (
   SELECT doc_id, lower(t) AS term, p AS pos
   FROM (
@@ -1084,6 +1090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # posting-level doc-id re-base (no re-analysis) == the single
         # build bit-exactly
         "engine_add_indexes": _engine_add_indexes,
+        # lucene/join ToParentBlockJoinQuery: child hits aggregate per
+        # parent block (Max order-free; Total = doc-id-ordered double
+        # accumulation cast to float — BlockJoinScorer.setScoreAndFreq)
+        "engine_block_join_max": _engine_block_join("max"),
+        "engine_block_join_total": _engine_block_join("total"),
+        # lucene/join ToChildBlockJoinQuery: children of matching parents
+        # inherit the parent's score unchanged
+        "engine_child_join": _engine_child_join,
         # SortRescorer (lucene/core SortRescorer.java): first-pass top-N
         # re-ordered by a field sort, scores carried through
         "engine_sort_rescore": _engine_sort_rescore,
@@ -2092,6 +2106,56 @@ def _engine_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_window(search(idx, '"job 42"', k=10))
 _RW_CACHE: dict = {}
 _SORTED_CACHE: dict = {}
+_BLOCK_CACHE: dict = {}
+
+
+def _block_index(spark: SparkSession, sf_dir: str):
+    """Block index (lucene/join): children = the mapped corpus, one parent
+    row per source whose path is 0x7f (sorts LAST in its block under the
+    engine's (repo, path, commit) id order — the addDocuments layout),
+    plus the blocks/ sidecar (blockjoin.build_block_index)."""
+    from voyagr_spark.blockjoin import build_block_index
+    from voyagr_spark.indexer import Index
+
+    key = sf_dir.rstrip("/")
+    if key in _BLOCK_CACHE:
+        return _BLOCK_CACHE[key]
+    tag = hashlib.md5((key + "-blocks").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+        if not idx.meta.get("has_blocks"):
+            raise ValueError("not a block index")
+    except Exception:
+        idx = build_block_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4
+        )
+    idx.pin()
+    _BLOCK_CACHE[key] = idx
+    return idx
+
+
+def _engine_block_join(mode: str):
+    """ToParentBlockJoinQuery top-10 for the hot child term under the given
+    ScoreMode; Total accumulates child float32 scores in doc-id order into
+    a double and casts at the end (BlockJoinScorer.setScoreAndFreq)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from voyagr_spark.blockjoin import to_parent_topk
+
+        idx = _block_index(spark, sf_dir)
+        return _rank_window(to_parent_topk(idx, _HOT, k=10, score_mode=mode))
+
+    return run
+
+
+def _engine_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToChildBlockJoinQuery top-10: parents matched by the which-term
+    ('parentdoc'), every child inherits its parent's score unchanged."""
+    from voyagr_spark.blockjoin import PARENT_TOKEN, to_child_topk
+
+    idx = _block_index(spark, sf_dir)
+    return _rank_window(to_child_topk(idx, PARENT_TOKEN, k=10))
 
 
 def _engine_sorted_index(spark: SparkSession, sf_dir: str):
@@ -4025,6 +4089,63 @@ def oracle_sql() -> dict[str, str]:
     # addIndexes: the re-based two-index merge must reproduce the single
     # build exactly, so the oracle IS the plain hot-term top-k oracle
     d["engine_add_indexes"] = d["engine_topk_hot"]
+    # Block join (lucene/join): the corpus gains one parent row per source
+    # (path = chr(127) sorts after every 'doc/...' child path, so ids land
+    # children-then-parent per block); stats (N, avgdl, df) recompute over
+    # the combined corpus exactly like the engine's block index.
+    block_docmap = """docmap0 AS (
+  SELECT source, path, ck, text FROM (
+    SELECT source, 'doc/' || CAST(doc_id AS VARCHAR) AS path,
+           md5(text) AS ck, text
+    FROM documents
+    UNION ALL
+    SELECT source, chr(127) AS path, md5('parentdoc') AS ck,
+           'parentdoc' AS text
+    FROM (SELECT DISTINCT source FROM documents)
+  )
+),
+bdoc AS (
+  SELECT row_number() OVER (ORDER BY source ASC, path ASC, ck ASC) - 1
+           AS doc_id,
+         source, path, text
+  FROM docmap0
+),
+docmap AS (SELECT doc_id, text FROM bdoc)"""
+    block_base = _engine_base_sql(docmap_sql=block_docmap) + """
+        , pm AS (
+          SELECT source, doc_id AS parent_doc FROM bdoc
+          WHERE path = chr(127)
+        ),
+        cj AS (
+          SELECT pm.parent_doc, f.doc_id, f.score
+          FROM fscored f
+          JOIN bdoc b ON f.doc_id = b.doc_id
+          JOIN pm ON b.source = pm.source
+          WHERE f.term = '{hot}' AND b.path <> chr(127)
+        )""".format(hot=_HOT)
+    d["engine_block_join_max"] = block_base + topk_wrap.format(inner="""
+          SELECT parent_doc AS doc_id, CAST(MAX(score) AS FLOAT) AS score
+          FROM cj GROUP BY parent_doc""")
+    # Total: child float32 scores accumulate in doc-id order into a DOUBLE,
+    # float cast at the end (BlockJoinScorer.setScoreAndFreq) — the ordered
+    # aggregate reproduces the same accumulation order bit-exactly
+    d["engine_block_join_total"] = block_base + topk_wrap.format(inner="""
+          SELECT parent_doc AS doc_id,
+                 CAST(SUM(CAST(score AS DOUBLE) ORDER BY doc_id) AS FLOAT)
+                   AS score
+          FROM cj GROUP BY parent_doc""")
+    d["engine_child_join"] = _engine_base_sql(docmap_sql=block_docmap) + """
+        , pm AS (
+          SELECT source, doc_id AS parent_doc FROM bdoc
+          WHERE path = chr(127)
+        )""" + topk_wrap.format(inner="""
+          SELECT b.doc_id, ps.score
+          FROM bdoc b
+          JOIN pm ON b.source = pm.source
+          JOIN (SELECT doc_id AS parent_doc, score FROM fscored
+                WHERE term = 'parentdoc') ps
+            ON pm.parent_doc = ps.parent_doc
+          WHERE b.path <> chr(127)""")
     # QueryRescorer: hot top-30 first pass, fl(first + 2.0*second) where
     # the rare term matches, first score kept otherwise
     d["engine_query_rescore"] = _engine_base_sql() + f"""

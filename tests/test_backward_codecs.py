@@ -110,7 +110,7 @@ def test_upgrade_index(spark, built_index, tmp_path):
     from voyagr_spark.merge import upgrade_index
     from voyagr_spark.search import search
 
-    before = [(r.doc_id, r.score) for r in search(built_index, "the OR a",
+    before = [(r.doc_id, r.score) for r in search(built_index, "open OR file",
                                                   k=10).collect()]
     d = tmp_path / "legacy_up"
     shutil.copytree(built_index.dir, d)
@@ -123,7 +123,7 @@ def test_upgrade_index(spark, built_index, tmp_path):
     assert idx.meta["codec"] == CODEC_VERSION          # stamp bumped on write
     assert idx.meta["live_segments"] == [new_seg]      # forceMerge(1)
     reopened = Index(spark, str(d))
-    after = [(r.doc_id, r.score) for r in search(reopened, "the OR a",
+    after = [(r.doc_id, r.score) for r in search(reopened, "open OR file",
                                                  k=10).collect()]
     assert after == before
     assert upgrade_index(reopened) is None             # current -> no-op
@@ -156,7 +156,7 @@ def test_reader_opens_legacy_stamp(spark, built_index, tmp_path):
     from voyagr_spark.indexer import Index
     from voyagr_spark.search import search
 
-    before = [(r.doc_id, r.score) for r in search(built_index, "the OR a",
+    before = [(r.doc_id, r.score) for r in search(built_index, "open OR file",
                                                   k=10).collect()]
     d = tmp_path / "legacy"
     shutil.copytree(built_index.dir, d)
@@ -164,6 +164,6 @@ def test_reader_opens_legacy_stamp(spark, built_index, tmp_path):
     meta["codec"] = "for128-1"
     (d / "meta.json").write_text(json.dumps(meta))
     idx = Index(spark, str(d))  # must open: registered legacy version
-    after = [(r.doc_id, r.score) for r in search(idx, "the OR a",
+    after = [(r.doc_id, r.score) for r in search(idx, "open OR file",
                                                  k=10).collect()]
     assert after == before
