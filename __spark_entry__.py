@@ -1098,6 +1098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lucene/join ToChildBlockJoinQuery: children of matching parents
         # inherit the parent's score unchanged
         "engine_child_join": _engine_child_join,
+        # lucene/queries payloads: PayloadScoreQuery over the DPTF-annotated
+        # index — span BM25 x MAX payload fold / SUM fold alone
+        "engine_payload_max": _engine_payload("max", True),
+        "engine_payload_sum": _engine_payload("sum", False),
         # SortRescorer (lucene/core SortRescorer.java): first-pass top-N
         # re-ordered by a field sort, scores carried through
         "engine_sort_rescore": _engine_sort_rescore,
@@ -2107,6 +2111,66 @@ def _engine_word_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RW_CACHE: dict = {}
 _SORTED_CACHE: dict = {}
 _BLOCK_CACHE: dict = {}
+_PAYLOAD_CACHE: dict = {}
+
+# per-token payload weights for the payload gates: token at pre-stop
+# position p annotates as `tok|((p%4)+1)*0.5`, except every 7th token
+# which stays bare (exercises the no-payload/NaN skip path)
+_PAY_WEIGHTS = ("0.5", "1.0", "1.5", "2.0")
+
+
+def _docs_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapped corpus with DelimitedPayloadTokenFilter annotations —
+    payload strip restores the exact token stream, so BM25 stats equal
+    the plain corpus's."""
+    docs = _docs_mapped(spark, sf_dir)
+    wts = F.array(*[F.lit(w) for w in _PAY_WEIGHTS])
+    ann = F.transform(
+        F.split(F.col("content"), " "),
+        lambda t, i: F.when(i % 7 == 6, t).otherwise(
+            F.concat(t, F.lit("|"), F.element_at(wts, (i % 4 + 1)))
+        ),
+    )
+    return docs.withColumn("content", F.array_join(ann, " "))
+
+
+def _payload_index(spark: SparkSession, sf_dir: str):
+    """Index over the annotated corpus with the payload analyzer
+    (whitespace tokenizer -> DPTF -> lowercase -> stop)."""
+    from voyagr_spark.analysis import Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _PAYLOAD_CACHE:
+        return _PAYLOAD_CACHE[key]
+    tag = hashlib.md5((key + "-payload").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    an = Analyzer(token_pattern=r"\S+", payload_delim="|")
+    try:
+        idx = Index(spark, idx_dir)
+        if getattr(idx.analyzer, "payload_delim", None) is None:
+            raise ValueError("not a payload index")
+    except Exception:
+        idx = build_index(spark, _docs_payload(spark, sf_dir), idx_dir,
+                          num_segments=4, analyzer=an)
+    idx.pin()
+    _PAYLOAD_CACHE[key] = idx
+    return idx
+
+
+def _engine_payload(func: str, include_span_score: bool):
+    """PayloadScoreQuery top-10 for the hot term: span BM25 x the payload
+    fold (or the fold alone) — lucene/queries payloads module."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from voyagr_spark.payloads import payload_score_topk
+
+        idx = _payload_index(spark, sf_dir)
+        return _rank_window(payload_score_topk(
+            idx, _HOT, func=func, include_span_score=include_span_score,
+            k=10))
+
+    return run
 
 
 def _block_index(spark: SparkSession, sf_dir: str):
@@ -4146,6 +4210,29 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
                 WHERE term = 'parentdoc') ps
             ON pm.parent_doc = ps.parent_doc
           WHERE b.path <> chr(127)""")
+    # PayloadScoreQuery (lucene/queries payloads): the annotation strips to
+    # the exact plain token stream, so the BM25 side IS the base fscored;
+    # payload(pos) = ((pos%4)+1)*0.5 on non-bare positions (pos%7 != 6),
+    # fold per matching doc, docScore 1.0f when none seen.  The weights are
+    # exact halves, so every fold value is exactly representable and the
+    # float32-vs-double accumulation order cannot diverge.
+    pay_expr = ("CASE WHEN pos % 7 <> 6 THEN "
+                "CAST((pos % 4 + 1) * 0.5 AS FLOAT) END")
+    pf = f"""
+        , pf AS (
+          SELECT doc_id,
+                 CAST(COALESCE(MAX({pay_expr}), 1.0) AS FLOAT) AS fmax,
+                 CAST(COALESCE(SUM({pay_expr}), 1.0) AS FLOAT) AS fsum
+          FROM terms WHERE term = '{_HOT}' GROUP BY doc_id
+        )"""
+    d["engine_payload_max"] = _engine_base_sql() + pf + topk_wrap.format(
+        inner=f"""
+          SELECT f.doc_id, CAST(f.score * pf.fmax AS FLOAT) AS score
+          FROM fscored f JOIN pf USING (doc_id) WHERE f.term = '{_HOT}'""")
+    d["engine_payload_sum"] = _engine_base_sql() + pf + topk_wrap.format(
+        inner=f"""
+          SELECT f.doc_id, pf.fsum AS score
+          FROM fscored f JOIN pf USING (doc_id) WHERE f.term = '{_HOT}'""")
     # QueryRescorer: hot top-30 first pass, fl(first + 2.0*second) where
     # the rare term matches, first score kept otherwise
     d["engine_query_rescore"] = _engine_base_sql() + f"""

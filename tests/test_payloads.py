@@ -1,0 +1,172 @@
+"""Payloads (DelimitedPayloadTokenFilter + PayloadScoreQuery).
+
+Corpus: the fixture corpus with every token annotated `tok|w` where
+w = ((pre-stop position % 4) + 1) * 0.5, except every 7th token which is
+left bare (no payload — exercises the NaN/skip path).  Oracle: OracleIndex
+BM25 over the equivalent plain corpus (payload strip restores the exact
+token stream) x a pandas payload fold with the reference PayloadFunction
+arithmetic."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from voyagr_spark.analysis import Analyzer
+from voyagr_spark.oracle import OracleIndex
+from voyagr_spark.payloads import payload_score_topk
+
+WS = r"\S+"
+
+
+def _weight(pos: int) -> float:
+    return ((pos % 4) + 1) * 0.5
+
+
+def _annotate(text: str) -> str:
+    toks = text.split()
+    return " ".join(
+        t if i % 7 == 6 else f"{t}|{_weight(i)}"
+        for i, t in enumerate(toks)
+    )
+
+
+@pytest.fixture(scope="module")
+def pay_analyzer():
+    return Analyzer(token_pattern=WS, payload_delim="|")
+
+
+@pytest.fixture(scope="module")
+def pay_index(spark, corpus_pdf, pay_analyzer, tmp_path_factory):
+    from voyagr_spark.indexer import build_index
+
+    pdf = corpus_pdf.copy()
+    pdf["content"] = pdf["content"].map(_annotate)
+    d = tmp_path_factory.mktemp("payidx")
+    docs = spark.createDataFrame(pdf).repartition(6)
+    return build_index(spark, docs, str(d), num_segments=4,
+                       analyzer=pay_analyzer)
+
+
+@pytest.fixture(scope="module")
+def plain_oracle(corpus_pdf):
+    """BM25 oracle over the UNANNOTATED corpus with the same whitespace
+    tokenizer — stats must be identical to the payload index's."""
+    return OracleIndex(corpus_pdf, analyzer=Analyzer(token_pattern=WS))
+
+
+@pytest.fixture(scope="module")
+def ordered_pdf(corpus_pdf):
+    return corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True)
+
+
+def _oracle_payload(ordered_pdf, plain_oracle, term, func,
+                    include_span_score=True, k=10):
+    """Reference arithmetic: float32 left-to-right fold per doc in position
+    order, docScore 1.0f when no payloads seen, float32 final multiply."""
+    span = dict(plain_oracle.search(term, k=plain_oracle.max_doc))
+    out = []
+    for doc_id, sc in span.items():
+        toks = ordered_pdf["content"].iloc[doc_id].split()
+        pays = [np.float32(_weight(i)) for i, t in enumerate(toks)
+                if t == term and i % 7 != 6]
+        if not pays:
+            factor = np.float32(1.0)
+        elif func == "max":
+            factor = max(pays)
+        elif func == "min":
+            factor = min(pays)
+        else:
+            acc = np.float32(0.0)
+            for p in pays:
+                acc = np.float32(acc + p)
+            factor = (np.float32(acc / np.float32(len(pays)))
+                      if func == "avg" else acc)
+        s = (np.float32(np.float32(sc) * factor) if include_span_score
+             else factor)
+        out.append((doc_id, s))
+    out.sort(key=lambda t: (-float(t[1]), t[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("func", ["max", "min", "sum", "avg"])
+def test_payload_score_modes(pay_index, ordered_pdf, plain_oracle, func):
+    got = [(r.doc_id, np.float32(r.score))
+           for r in payload_score_topk(pay_index, "open", func=func,
+                                       k=10).collect()]
+    want = _oracle_payload(ordered_pdf, plain_oracle, "open", func)
+    assert got == want
+
+
+def test_payload_only_score(pay_index, ordered_pdf, plain_oracle):
+    got = [(r.doc_id, np.float32(r.score))
+           for r in payload_score_topk(pay_index, "open", func="sum",
+                                       include_span_score=False,
+                                       k=10).collect()]
+    want = _oracle_payload(ordered_pdf, plain_oracle, "open", "sum",
+                           include_span_score=False)
+    assert got == want
+
+
+def test_bm25_unchanged_by_annotation(pay_index, plain_oracle):
+    """Payload strip restores the exact token stream: plain BM25 search on
+    the annotated index == the unannotated oracle, bit for bit."""
+    from voyagr_spark.search import search
+
+    got = [(r.doc_id, np.float32(r.score))
+           for r in search(pay_index, "open", k=10).collect()]
+    assert got == plain_oracle.search("open", k=10)
+
+
+def test_payload_survives_merge(spark, pay_index, ordered_pdf, plain_oracle,
+                                tmp_path):
+    import shutil
+
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.merge import merge_segments
+
+    d = tmp_path / "paymerged"
+    shutil.copytree(pay_index.dir, d)
+    idx = Index(spark, str(d))
+    live = idx.live_segments or sorted(
+        r.seg for r in idx.postings().select("seg").distinct().collect())
+    merge_segments(idx, list(live), max(live) + 1)
+    idx = Index(spark, str(d))
+    got = [(r.doc_id, np.float32(r.score))
+           for r in payload_score_topk(idx, "open", func="sum",
+                                       k=10).collect()]
+    assert got == _oracle_payload(ordered_pdf, plain_oracle, "open", "sum")
+
+
+def test_analyzer_payload_semantics(pay_analyzer):
+    terms, pos, doc, dl, pay = pay_analyzer.analyze_flat(
+        pd.Series(["alpha|1.5 beta gamma|0.25"]), want_payloads=True)
+    assert list(terms) == ["alpha", "beta", "gamma"]
+    assert list(pos) == [0, 1, 2]
+    assert pay[0] == np.float32(1.5) and pay[2] == np.float32(0.25)
+    assert np.isnan(pay[1])
+    # analyze_text strips the annotation (query/oracle form)
+    assert pay_analyzer.analyze_text("alpha|1.5 beta")[0] == ["alpha", "beta"]
+    # query_form drops the filter entirely
+    assert pay_analyzer.query_form().payload_delim is None
+    # round-trips through meta
+    assert Analyzer.from_dict(pay_analyzer.to_dict()) == pay_analyzer
+
+
+def test_payload_contract_errors(pay_index, built_index, pay_analyzer):
+    with pytest.raises(ValueError, match="func"):
+        payload_score_topk(pay_index, "open", func="median")
+    with pytest.raises(ValueError, match="payload_delim"):
+        payload_score_topk(built_index, "open")
+    # FloatEncoder parse failure raises (NumberFormatException analog)
+    with pytest.raises(Exception):
+        pay_analyzer.analyze_flat(pd.Series(["tok|notafloat"]),
+                                  want_payloads=True)
+    # token-expanding filters refuse to compose
+    with pytest.raises(ValueError, match="payload_delim"):
+        Analyzer(payload_delim="|", shingle=True)

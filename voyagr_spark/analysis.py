@@ -788,6 +788,16 @@ class Analyzer:
     #: code) always pass through unchanged, as the reference filter does.
     phonetic: str | None = None
     phonetic_inject: bool = True
+    #: DelimitedPayloadTokenFilter analog (lucene/analysis/common .../
+    #: payloads/DelimitedPayloadTokenFilter.java:64-77 + FloatEncoder): a
+    #: token of form `text<delim>payload` splits at the FIRST delimiter;
+    #: the remainder parses as a float32 payload (parse failure raises,
+    #: the FloatEncoder NumberFormatException).  Tokens without the
+    #: delimiter carry NO payload (NaN in the stored stream).  Runs right
+    #: after the tokenizer, BEFORE lowercase/stop — the reference chain
+    #: order (whitespace tokenizer -> DPTF -> lowercase -> stop).
+    #: Index-side only; query_form strips it.
+    payload_delim: str | None = None
 
     def __post_init__(self):
         if isinstance(self.synonyms, dict):
@@ -801,6 +811,16 @@ class Analyzer:
             )
         if self.ngram is not None and self.edge_ngram is not None:
             raise ValueError("ngram and edge_ngram are mutually exclusive")
+        if self.payload_delim is not None and (
+            self.synonyms or self.shingle or self.ngram or self.edge_ngram
+            or self.word_delimiter or self.reverse_wildcards or self.phonetic
+        ):
+            raise ValueError(
+                "payload_delim does not compose with token-expanding "
+                "filters (synonyms/shingle/grams/word_delimiter/"
+                "reverse_wildcards/phonetic) — pair it with a whitespace "
+                "tokenizer, lowercase, stop, length and stem only"
+            )
         if self.length_filter is not None:
             lmn, lmx = self.length_filter
             if lmn < 0:
@@ -846,6 +866,9 @@ class Analyzer:
             # schema idiom for partial/autocomplete matching): query
             # tokens search as typed against the gram dictionary
             out = replace(out, ngram=None, edge_ngram=None)
+        if out.payload_delim is not None:
+            # payloads annotate INDEX tokens; query text is plain terms
+            out = replace(out, payload_delim=None)
         return out
 
     @property
@@ -866,6 +889,7 @@ class Analyzer:
             and self.edge_ngram is None
             and self.length_filter is None
             and self.phonetic is None
+            and self.payload_delim is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -891,6 +915,7 @@ class Analyzer:
                               if self.length_filter else None),
             "phonetic": self.phonetic,
             "phonetic_inject": self.phonetic_inject,
+            "payload_delim": self.payload_delim,
         }
 
     @staticmethod
@@ -919,6 +944,7 @@ class Analyzer:
                            if d.get("length_filter") else None),
             phonetic=d.get("phonetic"),
             phonetic_inject=bool(d.get("phonetic_inject", True)),
+            payload_delim=d.get("payload_delim"),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -928,6 +954,10 @@ class Analyzer:
         if self.strip_html:
             text = strip_html(text or "")
         toks = self._chunk(_compiled(self.token_pattern).findall(text or ""))
+        if self.payload_delim is not None:
+            # strip the payload annotation — term/position semantics only
+            # (the per-token payload stream lives on the batch path)
+            toks = [t.split(self.payload_delim, 1)[0] for t in toks]
         if self.word_delimiter:
             # combinations=0: each part takes one position, the expanded
             # stream re-ordinals (WordDelimiterFilter.java:69-71 golden)
@@ -1019,8 +1049,11 @@ class Analyzer:
 
     # -- whole batch -> flat arrays (the invert hot path)
     def analyze_flat(
-        self, texts: pd.Series
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        self, texts: pd.Series, want_payloads: bool = False
+    ) -> tuple:
+        """4-tuple (terms, pos, docidx, doclens); with want_payloads=True
+        (requires payload_delim) a 5th float32 array rides along — one
+        payload per emitted token, NaN where the token carried none."""
         if self.is_standard:
             return analyze_flat(texts)
         from itertools import chain as _chain
@@ -1051,12 +1084,29 @@ class Analyzer:
         total = int(raw_lens.sum())
         if total == 0:
             z = np.zeros(0, dtype=np.int64)
-            return (np.zeros(0, dtype=object), z, z,
-                    np.zeros(len(texts), dtype=np.int64))
+            empty = (np.zeros(0, dtype=object), z, z,
+                     np.zeros(len(texts), dtype=np.int64))
+            return empty + (np.zeros(0, dtype=np.float32),) if want_payloads \
+                else empty
         flat = pd.Series(
             np.fromiter(_chain.from_iterable(toks), dtype=object, count=total),
             dtype=object,
         )
+        pay_flat = None
+        if self.payload_delim is not None:
+            # DelimitedPayloadTokenFilter: split at the FIRST delimiter,
+            # parse the remainder as float32 (FloatEncoder — parse failure
+            # raises, the NumberFormatException analog); runs right after
+            # the tokenizer, before lowercase/stop
+            split = flat.str.split(self.payload_delim, n=1)
+            has = (split.str.len() > 1).to_numpy()
+            pay_flat = np.full(total, np.nan, dtype=np.float32)
+            if has.any():
+                pay_flat[has] = (
+                    pd.to_numeric(split[has].str[1], errors="raise")
+                    .to_numpy(dtype=np.float32)
+                )
+            flat = split.str[0]
         if self.lowercase:
             flat = flat.str.lower()
         if self.fold_ascii:
@@ -1179,16 +1229,29 @@ class Analyzer:
                 out_pos, out_doc = out_pos[order], out_doc[order]
             # doclens unchanged: injected tokens are posinc-0 overlaps and
             # discountOverlaps=true excludes overlaps from the norm length
+        if want_payloads:
+            if self.payload_delim is None:
+                raise ValueError("want_payloads requires payload_delim")
+            # __post_init__ forbids token-expanding filters with payloads,
+            # so the post-keep stream is 1:1 with the tokenizer stream
+            return out_terms, out_pos, out_doc, doclens, pay_flat[keep_np]
         return out_terms, out_pos, out_doc, doclens
 
     # -- whole batch -> dictionary-coded flat arrays (invert fast path)
-    def analyze_flat_codes(self, texts: pd.Series, want_offsets: bool = False):
+    def analyze_flat_codes(self, texts: pd.Series, want_offsets: bool = False,
+                           want_payloads: bool = False):
         if self.is_standard:
             return analyze_flat_codes(texts, want_offsets=want_offsets)
-        terms, pos, docidx, doclens = self.analyze_flat(texts)
+        if want_payloads:
+            terms, pos, docidx, doclens, pay = self.analyze_flat(
+                texts, want_payloads=True)
+        else:
+            terms, pos, docidx, doclens = self.analyze_flat(texts)
         codes, uniques = pd.factorize(terms, sort=True)
         base = (codes.astype(np.int64), np.asarray(uniques, dtype=object),
                 pos, docidx, doclens)
+        if want_payloads:
+            base = base + (pay,)
         if not want_offsets:
             return base
         # custom chains run the generic (span-free) path: offsets

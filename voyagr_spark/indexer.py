@@ -112,6 +112,11 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("docs_blob", T.BinaryType()),
         T.StructField("tfs_blob", T.BinaryType()),
         T.StructField("pos_blob", T.BinaryType()),
+        # per-occurrence float32 payloads aligned 1:1 with the positions
+        # stream (DelimitedPayloadTokenFilter analog — the reference
+        # interleaves payloads with positions, Lucene50PostingsWriter.java:
+        # 253-301); null on indexes built without payload_delim
+        T.StructField("pay_blob", T.BinaryType()),
         T.StructField("norms_blob", T.BinaryType()),
         T.StructField("block_max_doc", T.ArrayType(T.LongType())),
         T.StructField("block_max_tf", T.ArrayType(T.LongType())),
@@ -151,6 +156,7 @@ _ARROW_SCHEMA = pa.schema(
         pa.field("docs_blob", pa.binary()),
         pa.field("tfs_blob", pa.binary()),
         pa.field("pos_blob", pa.binary()),
+        pa.field("pay_blob", pa.binary()),
         pa.field("norms_blob", pa.binary()),
         pa.field("block_max_doc", pa.list_(pa.int64())),
         pa.field("block_max_tf", pa.list_(pa.int64())),
@@ -183,7 +189,17 @@ def invert_flush(
     encoding with the 128-doc block directory (Lucene50PostingsWriter).
     """
     an = analyzer.analyze_flat_codes if analyzer is not None else analyze_flat_codes
-    if want_offsets:
+    want_pay = (analyzer is not None
+                and getattr(analyzer, "payload_delim", None) is not None)
+    flat_pay = None
+    if want_pay and want_offsets:
+        (codes_flat, uniques, flat_pos, flat_docidx, doclens, flat_pay,
+         char_offs) = an(contents, want_offsets=True, want_payloads=True)
+    elif want_pay:
+        codes_flat, uniques, flat_pos, flat_docidx, doclens, flat_pay = an(
+            contents, want_payloads=True)
+        char_offs = None
+    elif want_offsets:
         codes_flat, uniques, flat_pos, flat_docidx, doclens, char_offs = an(
             contents, want_offsets=True)
     else:
@@ -302,6 +318,14 @@ def invert_flush(
         post["pos_blob"] = _bin_array(
             nterms, pos_off[np.append(pair_starts[term_starts], c.size)], pos_bytes
         )
+        if flat_pay is not None:
+            # raw little-endian float32, 1:1 with the positions stream —
+            # per-term byte ranges share the pos stream's token boundaries
+            pay_sorted = np.ascontiguousarray(flat_pay[order], dtype="<f4")
+            tok_bounds = np.append(pair_starts[term_starts], c.size)
+            post["pay_blob"] = _bin_array(
+                nterms, tok_bounds.astype(np.int64) * 4, pay_sorted.tobytes()
+            )
         post["norms_blob"] = _bin_array(
             nterms, np.append(term_starts, npairs), nb_bytes
         )

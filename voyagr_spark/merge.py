@@ -94,6 +94,8 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
     tfs = []
     norms = []
     pos_chunks = []
+    pay_chunks = []  # float32 per-occurrence payloads, 1:1 with positions
+    has_pay = "pay_blob" in pdf.columns and pdf["pay_blob"].notna().any()
     for _, r in pdf.iterrows():
         d, t = decode_postings(
             r["docs_blob"], r["tfs_blob"],
@@ -104,6 +106,8 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
         from .codec import decode_positions_flat
 
         flat, doc_idx = decode_positions_flat(r["pos_blob"], t)
+        pay = (np.frombuffer(r["pay_blob"], dtype="<f4")
+               if has_pay else None)
         nb = np.frombuffer(r["norms_blob"], dtype=np.uint8)
         deleted = None
         if tombstones is not None and d.size:
@@ -118,6 +122,8 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
             live = deleted[idx_c] != d
             if not live.all():
                 keep_pos = live[doc_idx]
+                if pay is not None:
+                    pay = pay[keep_pos]  # payloads ride the positions stream
                 flat, doc_idx_old = flat[keep_pos], doc_idx[keep_pos]
                 # re-map doc_idx to surviving ordinals
                 remap = np.cumsum(live) - 1
@@ -129,6 +135,8 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
         tfs.append(t)
         norms.append(nb)
         pos_chunks.append((flat, t))
+        if pay is not None:
+            pay_chunks.append(pay)
     if not docs:
         return pd.DataFrame(
             {c: pd.Series(dtype=object) for c in [f.name for f in SEGMENT_SCHEMA.fields]}
@@ -149,6 +157,10 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
         else np.zeros(0, dtype=np.int64)
     )
     pos_blob = encode_positions_flat(flat_all, tfs)
+    pay_blob = (
+        np.ascontiguousarray(np.concatenate(pay_chunks), dtype="<f4").tobytes()
+        if pay_chunks else None
+    )
     lens = NORM_TABLE[norms]
     nblocks = (docs.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     pad = nblocks * BLOCK_SIZE - docs.size
@@ -170,6 +182,7 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
         "docs_blob": docs_blob,
         "tfs_blob": tfs_blob,
         "pos_blob": pos_blob,
+        "pay_blob": pay_blob,
         "norms_blob": norms.tobytes(),
         "block_max_doc": bmax_doc.tolist(),
         "block_max_tf": bmax_tf.tolist(),
