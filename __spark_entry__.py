@@ -713,6 +713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, _HOT, "n_chars", 0, 4000, 500
         ),
         "facet_pivot": lambda s, d: R.facet_pivot(s, d, _RARE, "lang", "source"),
+        # JSON Facet API (solr FacetModule): nested terms facets with
+        # bucket metrics and per-parent limits — one aggregation per
+        # level, exact at any cluster size (no refinement pass)
+        "json_facet": _json_facet_entry,
         # facet.interval (IntervalFacets.java): arbitrary overlapping
         # intervals with open/closed ends and '*' bounds, one-scan counts
         "facet_interval": lambda s, d: R.facet_interval(
@@ -2158,6 +2162,26 @@ def _payload_index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+def _json_facet_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API: hot-term match set bucketed lang (top-3 by count,
+    avg/unique metrics) -> source (top-2 per lang) — the whole nested spec
+    compiled to ONE declarative plan (jsonfacet.json_facet_flat)."""
+    from voyagr_spark.jsonfacet import json_facet_flat
+    from voyagr_spark.relational import documents, terms_tf
+
+    m = terms_tf(spark, sf_dir).filter(F.col("term") == _HOT).select("doc_id")
+    d = documents(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    spec = {
+        "langs": {"type": "terms", "field": "lang", "limit": 3,
+                  "facet": {"avg_len": "avg(n_chars)",
+                            "u_src": "unique(source)",
+                            "srcs": {"type": "terms", "field": "source",
+                                     "limit": 2}}}
+    }
+    return json_facet_flat(m.join(d, "doc_id"), spec).select(
+        "lang", "langs_count", "avg_len", "u_src", "source", "srcs_count")
+
+
 def _engine_payload(func: str, include_span_score: bool):
     """PayloadScoreQuery top-10 for the hot term: span BM25 x the payload
     fold (or the fold alone) — lucene/queries payloads module."""
@@ -2781,6 +2805,32 @@ def oracle_sql() -> dict[str, str]:
         + f"""SELECT d.lang, d.source, count(*)::BIGINT AS n
               FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_RARE}') m
               JOIN documents d USING (doc_id) GROUP BY d.lang, d.source""",
+        # JSON Facet API: nested terms facets — per-level rank with the
+        # count-desc value-asc tie-break, avg = double sum/count
+        "json_facet": _BASE
+        + f""", jf_dom AS (
+              SELECT d.doc_id, d.lang, d.source, d.n_chars
+              FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
+              JOIN documents d USING (doc_id)
+           ),
+           jf_l1 AS (
+             SELECT lang, count(*)::BIGINT AS langs_count,
+                    CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_len,
+                    count(DISTINCT source)::BIGINT AS u_src,
+                    row_number() OVER (ORDER BY count(*) DESC, lang ASC)
+                      AS rk
+             FROM jf_dom GROUP BY lang
+           ),
+           jf_l2 AS (
+             SELECT lang, source, count(*)::BIGINT AS srcs_count,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY count(*) DESC, source ASC) AS rk
+             FROM jf_dom GROUP BY lang, source
+           )
+           SELECT a.lang, a.langs_count, a.avg_len, a.u_src,
+                  b.source, b.srcs_count
+           FROM jf_l1 a JOIN jf_l2 b USING (lang)
+           WHERE a.rk <= 3 AND b.rk <= 2""",
         "stats_nchars": _BASE
         + f"""SELECT count(*)::BIGINT AS n,
                      min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
