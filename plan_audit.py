@@ -275,6 +275,43 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in dih_checks],
     ))
 
+    # 14. Block join: child-hit aggregation shuffles once on the parent
+    # key and the global parent top-k is a TakeOrderedAndProject
+    p = _plan(entrymod.queries()["engine_block_join_total"](
+        spark, "/root/testdata/sf0.001"))
+    bj_checks = [
+        ("global parent merge is TakeOrderedAndProject",
+         "TakeOrderedAndProject" in p),
+        ("term predicate pushed to the postings scan",
+         any("PushedFilters" in l and "term" in l for l in p.splitlines())),
+    ]
+    sections.append((
+        "block join (ToParent, Total mode)",
+        _excerpt(p, ["TakeOrderedAndProject", "PushedFilters"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in bj_checks],
+    ))
+
+    # 15. JSON facets: the whole nested spec is ONE plan; buckets rank
+    # inside window partitions over already-aggregated (tiny) tables
+    p = _plan(entrymod.queries()["json_facet"](
+        spark, "/root/testdata/sf0.001"))
+    jf_checks = [
+        ("partial aggregation before every bucket shuffle",
+         "partial_count" in p or "HashAggregate" in p),
+        ("per-parent rank is a Window over the bucket table, not the corpus",
+         "Window" in p),
+        # every level re-aggregates the same domain: the match-set subtree
+        # (the analysis UDF) is materialized ONCE behind an
+        # InMemoryTableScan, so the tokenize pass runs once, not per level
+        ("domain cached once — levels read InMemoryTableScan",
+         "InMemoryTableScan" in p),
+    ]
+    sections.append((
+        "JSON facets (nested 2-level spec, one plan)",
+        _excerpt(p, ["HashAggregate", "Window"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in jf_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",

@@ -102,6 +102,19 @@ def json_facet_flat(domain: DataFrame, spec: dict) -> DataFrame:
     out = None
     parents: list[str] = []
     node_map = spec
+    depth = 0
+    probe = spec
+    while True:
+        _, s = _split(probe)
+        if not s:
+            break
+        depth += len(s) if len(s) > 1 else 1
+        probe = next(iter(s.values())).get("facet", {}) if len(s) == 1 else {}
+    if depth > 1:
+        # every level aggregates the same domain — materialize it once so
+        # the (tokenize/search) match-set subtree is not re-evaluated per
+        # level (one InMemoryRelation, L tiny bucket aggs over it)
+        domain = domain.persist()
     while True:
         _, subs = _split(node_map)
         if not subs:
@@ -135,6 +148,8 @@ def json_facet(domain: DataFrame, spec: dict) -> dict:
     aggs = [F.count("*").alias("count")] + [
         _metric_expr(expr, alias) for alias, expr in metrics.items()
     ]
+    if subs:  # every facet node re-aggregates the same domain
+        domain = domain.persist()
     resp = dict(domain.agg(*aggs).collect()[0].asDict())
     for name, node in subs.items():
         collected: dict = {}
