@@ -1106,6 +1106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index — span BM25 x MAX payload fold / SUM fold alone
         "engine_payload_max": _engine_payload("max", True),
         "engine_payload_sum": _engine_payload("sum", False),
+        # solr/contrib/ltr: LTRQParserPlugin rerank — LinearModel and
+        # MultipleAdditiveTreesModel as Catalyst expressions over features
+        # extracted on the reRankDocs window
+        "engine_ltr_linear": _engine_ltr("linear"),
+        "engine_ltr_trees": _engine_ltr("trees"),
         # SortRescorer (lucene/core SortRescorer.java): first-pass top-N
         # re-ordered by a field sort, scores carried through
         "engine_sort_rescore": _engine_sort_rescore,
@@ -2180,6 +2185,50 @@ def _json_facet_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return json_facet_flat(m.join(d, "doc_id"), spec).select(
         "lang", "langs_count", "avg_len", "u_src", "source", "srcs_count")
+
+
+def _engine_ltr(kind: str):
+    """LTR re-rank (solr/contrib/ltr): hot-term top-30 window, features =
+    originalScore / nchars / rare-term SolrFeature / constant, model =
+    LinearModel (minmax-normalized nchars) or MultipleAdditiveTrees —
+    float32 fold in declared order, top-10 by the model score."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from voyagr_spark.ltr import (
+            FieldValue,
+            LinearModel,
+            OriginalScore,
+            QueryScore,
+            TreesModel,
+            Value,
+            ltr_rerank,
+        )
+
+        idx = _engine_index(spark, sf_dir)
+        feats = (OriginalScore(), FieldValue("nchars"),
+                 QueryScore("f2", _RARE), Value("bias", 1.0))
+        if kind == "linear":
+            model = LinearModel(
+                weights=(("originalScore", 2.0), ("nchars", 0.25),
+                         ("f2", 0.5), ("bias", 4.0)),
+                norms={"nchars": ("minmax", 0.0, 4096.0)},
+            )
+        else:
+            model = TreesModel(trees=(
+                (0.5, {"feature": "nchars", "threshold": 1024.0,
+                       "left": {"value": 2.0},
+                       "right": {"feature": "originalScore",
+                                 "threshold": 1.5,
+                                 "left": {"value": 0.5},
+                                 "right": {"value": 1.0}}}),
+                (2.0, {"feature": "f2", "threshold": 0.0,
+                       "left": {"value": 0.25},
+                       "right": {"value": 0.75}}),
+            ))
+        return _rank_window(ltr_rerank(idx, _HOT, model, feats,
+                                       rerank_docs=30, k=10))
+
+    return run
 
 
 def _engine_payload(func: str, include_span_score: bool):
@@ -4283,6 +4332,46 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
         inner=f"""
           SELECT f.doc_id, pf.fsum AS score
           FROM fscored f JOIN pf USING (doc_id) WHERE f.term = '{_HOT}'""")
+    # LTR rerank (solr/contrib/ltr): hot top-30 window -> features ->
+    # model as the same per-op float32 cast chain the engine compiles
+    fl = "CAST({} AS FLOAT)"
+    ltr_base = _engine_base_sql() + f"""
+        , lw AS (
+          SELECT doc_id, score AS orig,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+          FROM fscored WHERE term = '{_HOT}'
+        ),
+        lf AS (
+          SELECT w.doc_id, w.orig,
+                 CAST(length(d.text) AS FLOAT) AS nch,
+                 COALESCE(r.score, CAST(0.0 AS FLOAT)) AS f2
+          FROM lw w JOIN docmap d ON w.doc_id = d.doc_id
+          LEFT JOIN (SELECT doc_id, score FROM fscored
+                     WHERE term = '{_RARE}') r ON w.doc_id = r.doc_id
+          WHERE w.rn <= 30
+        )"""
+    nchn = fl.format(
+        fl.format("{} - CAST(0.0 AS FLOAT)".format("nch"))
+        + " / CAST(4096.0 AS FLOAT)")
+    lin = fl.format(
+        fl.format(
+            fl.format(
+                fl.format("CAST(2.0 AS FLOAT) * orig")
+                + " + " + fl.format(f"CAST(0.25 AS FLOAT) * {nchn}"))
+            + " + " + fl.format("CAST(0.5 AS FLOAT) * f2"))
+        + " + " + fl.format("CAST(4.0 AS FLOAT) * CAST(1.0 AS FLOAT)"))
+    d["engine_ltr_linear"] = ltr_base + topk_wrap.format(inner=f"""
+          SELECT doc_id, {lin} AS score FROM lf""")
+    t1 = ("CASE WHEN nch <= CAST(1024.0 AS FLOAT) THEN CAST(2.0 AS FLOAT) "
+          "WHEN orig <= CAST(1.5 AS FLOAT) THEN CAST(0.5 AS FLOAT) "
+          "ELSE CAST(1.0 AS FLOAT) END")
+    t2 = ("CASE WHEN f2 <= CAST(0.0 AS FLOAT) THEN CAST(0.25 AS FLOAT) "
+          "ELSE CAST(0.75 AS FLOAT) END")
+    trees = fl.format(
+        fl.format(f"CAST(0.5 AS FLOAT) * {t1}")
+        + " + " + fl.format(f"CAST(2.0 AS FLOAT) * {t2}"))
+    d["engine_ltr_trees"] = ltr_base + topk_wrap.format(inner=f"""
+          SELECT doc_id, {trees} AS score FROM lf""")
     # QueryRescorer: hot top-30 first pass, fl(first + 2.0*second) where
     # the rare term matches, first score kept otherwise
     d["engine_query_rescore"] = _engine_base_sql() + f"""
