@@ -170,3 +170,16 @@ def test_payload_contract_errors(pay_index, built_index, pay_analyzer):
     # token-expanding filters refuse to compose
     with pytest.raises(ValueError, match="payload_delim"):
         Analyzer(payload_delim="|", shingle=True)
+
+
+def test_checkindex_payload_and_blocks(pay_index, spark, corpus_pdf,
+                                       tmp_path_factory):
+    """CheckIndex validates the payload stream length and the blockmap."""
+    from voyagr_spark.blockjoin import build_block_index
+    from voyagr_spark.checkindex import check_index
+
+    assert check_index(pay_index) == {}
+    d = tmp_path_factory.mktemp("ciblocks")
+    bidx = build_block_index(
+        spark, spark.createDataFrame(corpus_pdf).repartition(4), str(d))
+    assert check_index(bidx) == {}

@@ -97,6 +97,11 @@ def _check_posting_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 if flat.size != int(tfs.sum()):
                     bump("positions_count",
                          f"{where}: {flat.size} != {int(tfs.sum())}")
+            pay = getattr(r, "pay_blob", None)
+            if pay is not None and len(pay) != 4 * int(tfs.sum()):
+                # the payload stream is float32 1:1 with positions
+                bump("payload_length",
+                     f"{where}: {len(pay)} bytes != 4*{int(tfs.sum())}")
     yield pd.DataFrame(
         {
             "check": list(counts),
@@ -115,6 +120,8 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
         "docs_blob", "tfs_blob", "pos_blob",
         "block_max_doc", "block_doc_boff", "block_tf_boff",
     ]
+    if "pay_blob" in index.postings().columns:
+        post_cols.append("pay_blob")
     report_rows = (
         index.postings()
         .select(post_cols)
@@ -168,6 +175,29 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
     )
     if mismatch:
         problems["term_stats"] = (mismatch, "posting sums exceed stats lineage")
+
+    # blockmap sidecar (block join): every child maps to a LATER parent
+    # doc that exists in the docmap; parents never appear as children
+    if index.meta.get("has_blocks"):
+        from .blockjoin import BLOCK_PARENT_PATH, blockmap
+
+        bm = blockmap(index)
+        parents = dm.filter(F.col("path") == BLOCK_PARENT_PATH).select(
+            F.col("doc_id").alias("parent_doc"))
+        bad_order = bm.filter(F.col("parent_doc") <= F.col("doc_id")).count()
+        if bad_order:
+            problems["block_order"] = (
+                bad_order, "child doc_id >= its parent_doc")
+        orphan = bm.join(parents, "parent_doc", "left_anti").count()
+        if orphan:
+            problems["block_parent_exists"] = (
+                orphan, "blockmap parent_doc not a parent doc row")
+        child_parents = bm.join(
+            dm.filter(F.col("path") == BLOCK_PARENT_PATH)
+            .select("doc_id"), "doc_id", "left_semi").count()
+        if child_parents:
+            problems["block_parent_as_child"] = (
+                child_parents, "parent doc appears as a blockmap child")
 
     report = {k: v[0] for k, v in problems.items()}
     if problems and raise_on_failure:
