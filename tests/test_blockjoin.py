@@ -149,3 +149,45 @@ def test_contract_errors(block_index, built_index):
         to_parent_topk(block_index, "open", score_mode="bogus").collect()
     with pytest.raises(ValueError, match="build_block_index"):
         blockmap(built_index)
+
+
+def test_append_blocks(spark, corpus_pdf, tmp_path):
+    """Streaming addDocuments: appended complete blocks extend the
+    blockmap; raw appends are refused; layout invariants stay clean."""
+    import pandas as pd
+
+    from voyagr_spark.blockjoin import append_blocks, build_block_index
+    from voyagr_spark.checkindex import check_index
+    from voyagr_spark.streaming import append_batch
+
+    d = tmp_path / "blkapp"
+    children = spark.createDataFrame(corpus_pdf.head(60)).repartition(3)
+    idx = build_block_index(spark, children, str(d), num_segments=2)
+    base = idx.max_doc
+
+    with pytest.raises(ValueError, match="append_blocks"):
+        append_batch(idx, spark.createDataFrame(corpus_pdf.head(2)))
+
+    batch = pd.DataFrame({
+        "repo": ["zzrepo/new"] * 3,
+        "path": [f"doc/n{i}" for i in range(3)],
+        "commit": [f"c{i}" for i in range(3)],
+        "lang": ["py"] * 3,
+        "content": ["zzunique alpha beta"] * 3,
+    })
+    append_blocks(idx, spark.createDataFrame(batch))
+    from voyagr_spark.indexer import Index
+    idx = Index(spark, str(d))
+
+    bm = {r.doc_id: r.parent_doc for r in blockmap(idx).collect()}
+    new_children = {i for i in bm if i >= base}
+    assert len(new_children) == 3
+    new_parent = {bm[i] for i in new_children}
+    assert len(new_parent) == 1
+    (np_id,) = new_parent
+    assert np_id == base + 3          # children first, parent LAST
+    assert all(i < np_id for i in new_children)
+
+    hits = to_parent_topk(idx, "zzunique", k=10, score_mode="max").collect()
+    assert [r.doc_id for r in hits] == [np_id]
+    assert check_index(idx) == {}

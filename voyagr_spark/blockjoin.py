@@ -56,7 +56,14 @@ def block_documents(
 ) -> DataFrame:
     """The addDocuments layout as a DataFrame: children + one parent row
     per block key, the parent sorting LAST inside its block in the
-    engine's (repo, path, commit) doc-id order."""
+    engine's (repo, path, commit) doc-id order.
+
+    block_key must be the DOC_KEY prefix (`repo`): blocks are contiguous
+    under the global id order only when the block key leads the sort."""
+    if block_key != DOC_KEY[0]:
+        raise ValueError(
+            f"block_key must be {DOC_KEY[0]!r} — blocks are contiguous "
+            "only under the (repo, path, commit) id order")
     parents = (
         children.select(block_key).distinct()
         .select(
@@ -96,8 +103,51 @@ def build_block_index(
         .parquet(str(idx.dir / "blocks"))
     )
     idx.meta["has_blocks"] = True
+    idx.meta["block_parent_content"] = parent_content
     idx._swap_meta()
     return idx
+
+
+def append_blocks(
+    index: Index,
+    children: DataFrame,
+    parent_content: str | None = None,
+    **append_kw,
+) -> list[int]:
+    """Streaming addDocuments: append one-or-more COMPLETE blocks (each
+    batch key's children plus a fresh parent row for that key).
+
+    append_batch assigns ids in global (repo, path, commit) order within
+    the batch, so the children-then-parent layout holds for appended
+    blocks exactly as at build time; a key that already has blocks gains
+    a NEW block (its own parent), the reference's one-block-per-
+    addDocuments-call semantics.  The blockmap extends with the new id
+    range only — O(batch)."""
+    from .streaming import append_batch
+
+    if not index.meta.get("has_blocks"):
+        raise ValueError("index was not built with build_block_index")
+    parent_content = parent_content or index.meta.get(
+        "block_parent_content", PARENT_TOKEN)
+    base = index.max_doc
+    combined = block_documents(children, DOC_KEY[0], parent_content)
+    segs = append_batch(index, combined, allow_blocks=True, **append_kw)
+    dm = (
+        index.docmap().filter(F.col("doc_id") >= base)
+        .select("doc_id", "repo", "path")
+    )
+    parents = (
+        dm.filter(F.col("path") == BLOCK_PARENT_PATH)
+        .select("repo", F.col("doc_id").alias("parent_doc"))
+    )
+    (
+        dm.filter(F.col("path") != BLOCK_PARENT_PATH)
+        .join(parents, "repo")
+        .select("doc_id", "parent_doc")
+        .write.mode("append")
+        .parquet(str(index.dir / "blocks"))
+    )
+    return segs
 
 
 def blockmap(index: Index) -> DataFrame:

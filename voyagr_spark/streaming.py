@@ -31,7 +31,8 @@ STATS_COMPACT_AFTER = 4  # max stats delta dirs before compaction to one base
 
 def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
                  docs_per_segment: int = 100_000,
-                 tlog_version: int | None = None) -> list[int]:
+                 tlog_version: int | None = None,
+                 allow_blocks: bool = False) -> list[int]:
     """Index a micro-batch into new segments; returns the new segment ids.
 
     Per-append cost is O(batch), never O(index) (VERDICT r1 #3):
@@ -46,6 +47,12 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     * added token count comes from the same new-rows aggregate (sum of ttf
       == sum of surviving doclens), not a rescan of kind=doc.
     """
+    if index.meta.get("has_blocks") and not allow_blocks:
+        # raw appends would create docs outside every block — silently
+        # invisible to block-join queries; route through the block writer
+        raise ValueError(
+            "index has parent/child blocks; append via "
+            "blockjoin.append_blocks so the blockmap extends too")
     spark = index.spark
     base = index.max_doc
     epoch = int(index.meta.get("stream_epoch", 0))
