@@ -183,3 +183,42 @@ def test_checkindex_payload_and_blocks(pay_index, spark, corpus_pdf,
     bidx = build_block_index(
         spark, spark.createDataFrame(corpus_pdf).repartition(4), str(d))
     assert check_index(bidx) == {}
+
+
+def test_payload_append_and_delete_merge(spark, corpus_pdf, pay_analyzer,
+                                         tmp_path):
+    """Payloads through the full lifecycle: NRT append of annotated docs,
+    delete + reclaim-merge — stream alignment stays valid (CheckIndex) and
+    the deleted doc leaves the ranking."""
+    from voyagr_spark.checkindex import check_index
+    from voyagr_spark.indexer import Index, build_index
+    from voyagr_spark.merge import merge_segments
+    from voyagr_spark.streaming import append_batch
+
+    pdf = corpus_pdf.head(40).copy()
+    pdf["content"] = pdf["content"].map(_annotate)
+    d = tmp_path / "paylife"
+    idx = build_index(spark, spark.createDataFrame(pdf).repartition(2),
+                      str(d), num_segments=2, analyzer=pay_analyzer)
+
+    batch = pdf.head(4).copy()
+    batch["path"] = "new/" + batch["path"]
+    batch["content"] = "zzpay|2.0 zzpay|0.5 other"
+    append_batch(idx, spark.createDataFrame(batch))
+    idx = Index(spark, str(d))
+    hits = payload_score_topk(idx, "zzpay", func="sum",
+                              include_span_score=False, k=10).collect()
+    assert len(hits) == 4
+    assert all(np.float32(r.score) == np.float32(2.5) for r in hits)
+
+    victim = hits[0].doc_id
+    idx.delete_docs([int(victim)])
+    live = idx.live_segments or sorted(
+        r.seg for r in idx.postings().select("seg").distinct().collect())
+    merge_segments(idx, list(live), max(live) + 1)
+    idx = Index(spark, str(d))
+    left = {r.doc_id for r in payload_score_topk(
+        idx, "zzpay", func="sum", include_span_score=False,
+        k=10).collect()}
+    assert victim not in left and len(left) == 3
+    assert check_index(idx) == {}
