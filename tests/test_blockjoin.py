@@ -191,3 +191,27 @@ def test_append_blocks(spark, corpus_pdf, tmp_path):
     hits = to_parent_topk(idx, "zzunique", k=10, score_mode="max").collect()
     assert [r.doc_id for r in hits] == [np_id]
     assert check_index(idx) == {}
+
+
+def test_block_index_merge_and_addindexes_guard(spark, corpus_pdf, tmp_path):
+    """Posting merges never touch the blockmap (ids are global); addIndexes
+    refuses block indexes (the sidecar would need re-basing)."""
+    from voyagr_spark.blockjoin import build_block_index
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.merge import add_indexes, merge_segments
+
+    d = tmp_path / "blkmerge"
+    idx = build_block_index(
+        spark, spark.createDataFrame(corpus_pdf.head(60)).repartition(3),
+        str(d), num_segments=2)
+    before = [(r.doc_id, r.score)
+              for r in to_parent_topk(idx, "open", k=5).collect()]
+    live = idx.live_segments or sorted(
+        r.seg for r in idx.postings().select("seg").distinct().collect())
+    merge_segments(idx, list(live), max(live) + 1)
+    idx = Index(spark, str(d))
+    after = [(r.doc_id, r.score)
+             for r in to_parent_topk(idx, "open", k=5).collect()]
+    assert after == before
+    with pytest.raises(ValueError, match="blockmap"):
+        add_indexes(idx, idx)

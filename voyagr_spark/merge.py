@@ -346,6 +346,13 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
 
     if src.meta.get("analyzer") != dest.meta.get("analyzer"):
         raise ValueError("addIndexes: source analyzer differs from dest")
+    if src.meta.get("has_blocks") or dest.meta.get("has_blocks"):
+        # the blocks sidecar (child -> parent doc ids) is not re-based by
+        # this pass; merging block indexes silently would orphan every
+        # appended block from its parent filter
+        raise ValueError(
+            "addIndexes: parent/child block indexes are not supported — "
+            "the blockmap doc ids would need re-basing too")
     if bool(src.meta.get("offsets")) != bool(dest.meta.get("offsets")):
         raise ValueError("addIndexes: offsets setting differs from dest")
     if src.tombstone_ref() is not None:
