@@ -215,3 +215,18 @@ def test_block_index_merge_and_addindexes_guard(spark, corpus_pdf, tmp_path):
     assert after == before
     with pytest.raises(ValueError, match="blockmap"):
         add_indexes(idx, idx)
+
+
+def test_replicated_block_index(spark, block_index, block_oracle, tmp_path):
+    """replicator.sync carries the blocks sidecar: the replica serves
+    block joins bit-identically."""
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.replicator import sync
+
+    dst = tmp_path / "blkreplica"
+    sync(str(block_index.dir), str(dst))
+    replica = Index(spark, str(dst))
+    got = [(r.doc_id, np.float32(r.score))
+           for r in to_parent_topk(replica, "open", k=10,
+                                   score_mode="total").collect()]
+    assert got == _oracle_to_parent(block_oracle, "open", "total")
