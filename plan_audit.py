@@ -312,6 +312,37 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in jf_checks],
     ))
 
+    # 16. PayloadScoreQuery: the term predicate reaches the postings scan
+    # and the global merge is the k-row TakeOrderedAndProject
+    p = _plan(entrymod.queries()["engine_payload_max"](
+        spark, "/root/testdata/sf0.001"))
+    pay_checks = [
+        ("term predicate pushed to the postings scan",
+         any("PushedFilters" in l and "term" in l for l in p.splitlines())),
+        ("TakeOrderedAndProject global merge", "TakeOrderedAndProject" in p),
+    ]
+    sections.append((
+        "payload scoring (span x max fold)",
+        _excerpt(p, ["PushedFilters", "TakeOrderedAndProject"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in pay_checks],
+    ))
+
+    # 17. LTR rerank: feature joins broadcast the reRankDocs window and the
+    # model column is pure Catalyst (no Python beyond the scorers)
+    p = _plan(entrymod.queries()["engine_ltr_trees"](
+        spark, "/root/testdata/sf0.001"))
+    ltr_checks = [
+        ("feature joins broadcast the rerank window",
+         "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p),
+        ("model evaluates as a Catalyst CASE/WHEN column (no model UDF)",
+         "CASE WHEN" in p),
+    ]
+    sections.append((
+        "LTR rerank (trees model)",
+        _excerpt(p, ["BroadcastHashJoin", "CASE WHEN"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in ltr_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
