@@ -1411,6 +1411,35 @@ def _index_version(index) -> tuple:
 _RESULT_CACHE_MAX = 1024
 
 
+def per_segment_topk_df(index, plan: "QueryPlan") -> DataFrame | None:
+    """The per-leaf collector stage as a DataFrame: posting rows for the
+    plan's (post-rewrite) query, grouped by segment, each group scored by
+    `_segment_topk`.  Returns None for a no-op query (no terms, no
+    multi-term predicates, or MatchNoDocs).  Shared by `search` (single
+    index: K2 per-leaf top-k) and `shards.sharded_search` (scatter phase:
+    every shard contributes its per-segment rows to one global merge)."""
+    q = plan.query  # post-rewrite (multi-term expansion)
+    terms = sorted(query_terms(q))
+    multis = query_multis(q)
+    if (not terms and not multis) or isinstance(q, MatchNoDocsQuery):
+        return None
+    posting_cols = [
+        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
+        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
+        "block_min_len", "block_doc_boff", "block_tf_boff",
+    ]
+    if isinstance(q, PhraseQuery) or _has_phrase(q):
+        posting_cols.append("pos_blob")
+    rows = (
+        index.postings()
+        .filter(_posting_filter(terms, multis))
+        .select(*posting_cols)
+    )
+    return rows.groupBy("seg").applyInPandas(
+        lambda pdf: _segment_topk(pdf, plan), RESULT_SCHEMA
+    )
+
+
 def search(
     index, query_or_text, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
@@ -1454,26 +1483,9 @@ def search(
     plan = make_plan(index, q, k, prune, after, k1=k1, b=b,
                      similarity=similarity, sim_param=sim_param,
                      df_overrides=df_overrides)
-    q = plan.query  # post-rewrite (multi-term expansion)
-    terms = sorted(query_terms(q))
-    multis = query_multis(q)
-    if (not terms and not multis) or isinstance(q, MatchNoDocsQuery):
+    per_seg = per_segment_topk_df(index, plan)
+    if per_seg is None:
         return index.spark.createDataFrame([], RESULT_SCHEMA)
-    posting_cols = [
-        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
-        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
-        "block_min_len", "block_doc_boff", "block_tf_boff",
-    ]
-    if isinstance(q, PhraseQuery) or _has_phrase(q):
-        posting_cols.append("pos_blob")
-    rows = (
-        index.postings()
-        .filter(_posting_filter(terms, multis))
-        .select(*posting_cols)
-    )
-    per_seg = rows.groupBy("seg").applyInPandas(
-        lambda pdf: _segment_topk(pdf, plan), RESULT_SCHEMA
-    )
     # K3 global merge: identical tie-break (score desc, doc_id asc)
     out = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if cache_key is not None:

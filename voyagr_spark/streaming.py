@@ -47,6 +47,13 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     * added token count comes from the same new-rows aggregate (sum of ttf
       == sum of surviving doclens), not a rescan of kind=doc.
     """
+    if index.meta.get("shard_split"):
+        # split shards are read-only serving shards: their doc-id spaces
+        # interleave (doc_id % n routing), so max_doc-based id assignment
+        # would collide with ids owned by sibling shards
+        raise ValueError(
+            "index is a split shard (read-only); append to the source "
+            "index and re-split, or build the shard corpora directly")
     if index.meta.get("has_blocks") and not allow_blocks:
         # raw appends would create docs outside every block — silently
         # invisible to block-join queries; route through the block writer
