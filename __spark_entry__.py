@@ -579,6 +579,47 @@ def _engine_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_CACHE: dict[str, list] = {}
+
+
+def _engine_shards(spark: SparkSession, sf_dir: str) -> list:
+    """Split the cached engine index into 2 shards (once per sf_dir) —
+    MultiPassIndexSplitter round-robin routing, stats recomputed per
+    shard (shards.split_index)."""
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.shards import split_index
+
+    key = sf_dir.rstrip("/")
+    if key in _SHARD_CACHE:
+        return _SHARD_CACHE[key]
+    base = _engine_index(spark, sf_dir)
+    dirs = [f"{base.dir}_shard0", f"{base.dir}_shard1"]
+    try:
+        shards = [Index(spark, d) for d in dirs]
+        if any(
+            (s.meta.get("shard_split") or {}).get("of") != 2 for s in shards
+        ):
+            raise ValueError("stale shard dirs")
+    except Exception:
+        shards = split_index(base, dirs)
+    _SHARD_CACHE[key] = shards
+    return shards
+
+
+def _engine_sharded(qtext: str, k: int = 10):
+    """Distributed scatter-gather over the 2-shard split with ExactStatsCache
+    global stats (shards.sharded_search) — must answer the UNSPLIT index's
+    oracle bit-exactly (the distributed-IDF guarantee)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from voyagr_spark.shards import sharded_search
+
+        shards = _engine_shards(spark, sf_dir)
+        return _rank_window(sharded_search(shards, qtext, k=k))
+
+    return run
+
+
 def _rank_window(res: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
@@ -982,6 +1023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # commit-last atomic publish — the top-k served from the REPLICA
         # must be bit-identical to the oracle over the primary's corpus
         "engine_replica": _engine_replica,
+        # SolrCloud data semantics: index split into 2 shards (stats
+        # recomputed per shard), then scatter-gather with ExactStatsCache
+        # global df/N/avgdl — distributed top-k == unsplit top-k bit-exactly
+        "engine_sharded_or": _engine_sharded(" OR ".join(_OR3), 10),
+        "engine_sharded_phrase": _engine_sharded('"fast key"', 10),
         # expressions module (lucene/expressions): the JS-like ranking
         # expression compiles ONCE and renders to the same SQL tree on
         # both sides (parity by construction); comparisons are 1.0/0.0
@@ -3840,6 +3886,10 @@ def oracle_sql() -> dict[str, str]:
     # replication changes no bit of any score: the replica's top-k answers
     # the primary's oracle verbatim
     d["engine_replica"] = d["engine_topk_hot"]
+    # sharded scatter-gather with global stats answers the UNSPLIT oracles
+    # verbatim: exact distributed IDF == single-index scoring, bit for bit
+    d["engine_sharded_or"] = d["engine_topk_or"]
+    d["engine_sharded_phrase"] = d["engine_topk_phrase"]
     # span family: freq per SpanScorer = float32 fold of fl(1/(width+1))
     # over produced spans; width-1 spans contribute an exact 0.5 each, so
     # count*0.5 reproduces the fold; the ordered-near matches on width-1
