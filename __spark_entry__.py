@@ -620,6 +620,16 @@ def _engine_sharded(qtext: str, k: int = 10):
     return run
 
 
+def _sharded_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed lang facet for the rare term over the 2-shard split —
+    must reproduce the single-corpus facet counts exactly (additive merge
+    over a disjoint doc partition)."""
+    from voyagr_spark.shards import sharded_facet_field
+
+    shards = _engine_shards(spark, sf_dir)
+    return sharded_facet_field(shards, _RARE, "lang")
+
+
 def _rank_window(res: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1028,6 +1038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # global df/N/avgdl — distributed top-k == unsplit top-k bit-exactly
         "engine_sharded_or": _engine_sharded(" OR ".join(_OR3), 10),
         "engine_sharded_phrase": _engine_sharded('"fast key"', 10),
+        # distributed facet merge: per-shard DocSet field counts summed
+        # (FacetComponent distributed count merge, exact — disjoint shards)
+        "sharded_facet_lang": _sharded_facet_lang,
         # expressions module (lucene/expressions): the JS-like ranking
         # expression compiles ONCE and renders to the same SQL tree on
         # both sides (parity by construction); comparisons are 1.0/0.0
@@ -3890,6 +3903,9 @@ def oracle_sql() -> dict[str, str]:
     # verbatim: exact distributed IDF == single-index scoring, bit for bit
     d["engine_sharded_or"] = d["engine_topk_or"]
     d["engine_sharded_phrase"] = d["engine_topk_phrase"]
+    # distributed facet merge == the single-corpus facet counts (additive
+    # over the disjoint shard partition; same lang values either way)
+    d["sharded_facet_lang"] = d["facet_lang"]
     # span family: freq per SpanScorer = float32 fold of fl(1/(width+1))
     # over produced spans; width-1 spans contribute an exact 0.5 each, so
     # count*0.5 reproduces the fold; the ordered-near matches on width-1

@@ -150,3 +150,70 @@ def test_shard_refuses_append(spark, shard_pair, corpus_pdf):
 def test_split_needs_two_dirs(built_index, tmp_path):
     with pytest.raises(ValueError, match="at least 2"):
         split_index(built_index, [str(tmp_path / "only")])
+
+
+def test_sharded_facet_matches_single(built_index, shard_pair):
+    """Distributed facet merge == the single-index DocSet facet."""
+    from voyagr_spark.search import scores
+    from voyagr_spark.shards import sharded_facet_field
+
+    ids = scores(built_index, "ident0099").select("doc_id")
+    dm = built_index.docmap().select("doc_id", "lang")
+    want = {
+        (r["lang"], r["n"])
+        for r in ids.join(dm, "doc_id").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    got = {
+        (r["lang"], r["n"])
+        for r in sharded_facet_field(shard_pair, "ident0099", "lang").collect()
+    }
+    assert got == want and got
+
+
+def test_random_sharded_sweep_3_shards(
+    spark, built_index, oracle_index, tmp_path
+):
+    """Randomized differential sweep at n=3: sharded scatter-gather must be
+    bit-identical to the single index on every generated query form (terms,
+    AND/NOT, OR fans, phrases incl. slop, prefix) — seed=29, failures
+    reproduce exactly."""
+    import numpy as np
+
+    dirs = [str(tmp_path / f"t{i}") for i in range(3)]
+    shards = split_index(built_index, dirs)
+    rng = np.random.default_rng(29)
+    terms = sorted(oracle_index.postings,
+                   key=lambda t: -len(oracle_index.postings[t]))
+    head = terms[:40]
+    tail = [t for t in terms
+            if 2 <= len(oracle_index.postings[t]) <= 5][:200] or head
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    queries = []
+    for _ in range(30):
+        kind = int(rng.integers(0, 6))
+        if kind == 0:
+            queries.append(pick(head + tail))
+        elif kind == 1:
+            queries.append(f"{pick(head)} AND {pick(tail)}")
+        elif kind == 2:
+            queries.append(" OR ".join(
+                pick(head + tail) for _ in range(int(rng.integers(2, 5)))))
+        elif kind == 3:
+            queries.append(f"{pick(head)} AND NOT {pick(head)}")
+        elif kind == 4:
+            a, b = pick(head), pick(head)
+            queries.append(f'"{a} {b}"~{int(rng.integers(0, 4))}')
+        else:
+            t = pick(head)
+            queries.append(t[: max(2, len(t) - 2)] + "*")
+    failures = []
+    for q in queries:
+        want = _rows(search(built_index, q, k=10))
+        got = _rows(sharded_search(shards, q, k=10))
+        if got != want:
+            failures.append((q, got[:3], want[:3]))
+    assert not failures, failures[:5]

@@ -357,6 +357,32 @@ def sharded_search(
     return u.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def sharded_facet_field(
+    shards: list[Index], query_or_text, field: str
+) -> DataFrame:
+    """Distributed field facet: per-shard DocSet -> field counts, merged by
+    summation — FacetComponent's distributed count merge
+    (solr/core/src/java/org/apache/solr/handler/component/
+    FacetComponent.java:520-600).  Exact without a refinement round (the
+    reference's facet.limit shard cut needs refine because shards report
+    truncated bucket lists; every shard here reports ALL its buckets, the
+    same documented strengthening as jsonfacet.py), because counts are
+    additive over a disjoint doc partition."""
+    from .search import scores
+
+    parts = []
+    for s in shards:
+        ids = scores(s, query_or_text).select("doc_id")
+        dm = s.docmap().select("doc_id", field)
+        parts.append(
+            ids.join(dm, "doc_id").groupBy(field).agg(F.count("*").alias("n"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(field).agg(F.sum("n").alias("n"))
+
+
 def sharded_count(shards: list[Index], query_or_text) -> int:
     """Distributed TotalHitCountCollector: per-shard counts summed on the
     driver (counts need no stats, so no ExactStatsCache round)."""
