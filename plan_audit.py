@@ -343,6 +343,47 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in ltr_checks],
     ))
 
+    # 18. shard split routing: the SPLITSHARD analog must be ONE pass —
+    # every posting row decodes once in a single Arrow stage and routes
+    # executor-side; no shuffle happens before the partitioned write
+    # (at 100 TB a routing Exchange would re-shuffle the whole index)
+    from voyagr_spark import shards as sh
+
+    p = _plan(sh.routed_rows(idx, 2))
+    split_checks = [
+        ("zero Exchange before the partitioned split write",
+         "Exchange" not in p),
+        ("posting rows route in one Arrow pass (MapInPandas)",
+         "MapInPandas" in p),
+        ("no driver-side collect in the routing plan",
+         "CollectLimit" not in p),
+    ]
+    sections.append((
+        "shard split routing (n=2, SolrIndexSplitter analog)",
+        _excerpt(p, ["MapInPandas", "Union"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in split_checks],
+    ))
+
+    # 19. sharded scatter-gather: the distributed-search merge must be a
+    # k-row TakeOrdered cut over per-shard top-ks, never a global sort
+    # exchange (ExactStatsCache semantics keep scores mergeable)
+    import tempfile
+
+    sd = tempfile.mkdtemp(prefix="plan_audit_shards_")
+    shard_pair = sh.split_index(idx, [f"{sd}/s0", f"{sd}/s1"])
+    p = _plan(sh.sharded_search(shard_pair, "fast OR key", k=10))
+    gather_checks = [
+        ("global gather is TakeOrderedAndProject over per-shard top-ks",
+         "TakeOrderedAndProject" in p),
+        ("no global sort exchange (rangepartitioning) in the gather",
+         "rangepartitioning" not in p),
+    ]
+    sections.append((
+        "sharded scatter-gather (2 shards)",
+        _excerpt(p, ["TakeOrderedAndProject"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in gather_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",

@@ -160,6 +160,28 @@ def _split_posting_batch(
     return pd.DataFrame(out, columns=_SEG_COLS + ["shard"])
 
 
+def routed_rows(index: Index, n: int) -> DataFrame:
+    """The one-pass routed row set `split_index` writes: every live posting
+    row decodes once inside a single Arrow pass and emits up to n
+    shard-tagged re-encoded rows; doc rows route with a native pmod.  This
+    is the shuffle-free shape plan_audit asserts (zero Exchange before the
+    partitioned write on a tombstone-free index; with tombstones, the doc
+    side adds one left-anti join against the small deleted set)."""
+    tombs = index.tombstone_ref()
+    post = index.postings().mapInPandas(
+        lambda it: _split_batches(it, n, tombs), _SPLIT_SCHEMA
+    )
+    docs = index.docstats().withColumn("kind", F.lit("doc"))
+    if tombs is not None:
+        deleted = index.spark.read.parquet(
+            tombs[0]).select("doc_id").distinct()
+        docs = docs.join(deleted, "doc_id", "left_anti")
+    docs = docs.select(*_SEG_COLS).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n)).cast("int")
+    )
+    return post.unionByName(docs)
+
+
 def split_index(index: Index, out_dirs: list[str]) -> list[Index]:
     """Split `index` into len(out_dirs) standalone shard indexes.
 
@@ -191,19 +213,8 @@ def split_index(index: Index, out_dirs: list[str]) -> list[Index]:
     if staging.exists():
         shutil.rmtree(staging)
 
-    tombs = index.tombstone_ref()
-    post = index.postings().mapInPandas(
-        lambda it: _split_batches(it, n, tombs), _SPLIT_SCHEMA
-    )
-    docs = index.docstats().withColumn("kind", F.lit("doc"))
-    if tombs is not None:
-        deleted = spark.read.parquet(tombs[0]).select("doc_id").distinct()
-        docs = docs.join(deleted, "doc_id", "left_anti")
-    docs = docs.select(*_SEG_COLS).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n)).cast("int")
-    )
     (
-        post.unionByName(docs)
+        routed_rows(index, n)
         .write.mode("overwrite")
         .partitionBy("shard", "kind")
         .option("parquet.block.size", str(4 * 1024 * 1024))
