@@ -630,6 +630,40 @@ def _sharded_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded_facet_field(shards, _RARE, "lang")
 
 
+def _sharded_stats_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed StatsComponent over the 2-shard split: per-shard
+    (count, min, max, sum) partials merged component-wise, mean derived
+    after the merge (StatsValuesFactory accumulate) — must equal the
+    unsplit corpus stats exactly."""
+    from voyagr_spark.shards import sharded_stats_field
+
+    shards = _engine_shards(spark, sf_dir)
+    return sharded_stats_field(shards, _HOT, "nchars")
+
+
+def _sharded_group_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grouping (TopGroups.merge): per-shard lang group heads
+    scored with GLOBAL stats, merged per group by (score desc, doc_id asc)
+    — float32 scores bit-identical to grouping the unsplit index."""
+    from voyagr_spark.shards import sharded_group_top1
+
+    shards = _engine_shards(spark, sf_dir)
+    return sharded_group_top1(shards, _HOT, "lang")
+
+
+def _sharded_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spellcheck: per-shard within-maxEdits candidate dfs
+    summed (SpellCheckComponent.finishStage) — equals the unsplit
+    dictionary's suggest ranking exactly (df additive over the disjoint
+    doc partition; dist depends only on the term)."""
+    from voyagr_spark.shards import sharded_suggest
+
+    shards = _engine_shards(spark, sf_dir)
+    return sharded_suggest(shards, "batcj", max_edits=2, top=5).select(
+        "term", "df", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def _rank_window(res: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1041,6 +1075,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed facet merge: per-shard DocSet field counts summed
         # (FacetComponent distributed count merge, exact — disjoint shards)
         "sharded_facet_lang": _sharded_facet_lang,
+        # distributed StatsComponent: per-shard (count,min,max,sum) partials
+        # merged component-wise, mean derived post-merge (StatsValuesFactory
+        # accumulate semantics — exact over the disjoint doc partition)
+        "sharded_stats_nchars": _sharded_stats_nchars,
+        # distributed grouping two-phase merge (TopGroups.merge via
+        # TopGroupsShardResponseProcessor): per-shard group heads scored
+        # with GLOBAL stats, merged per group by (score desc, doc_id asc)
+        "sharded_group_lang": _sharded_group_lang,
+        # distributed spellcheck (SpellCheckComponent.finishStage): identical
+        # suggestions merged by summing shard document frequencies
+        "sharded_suggest": _sharded_suggest,
         # expressions module (lucene/expressions): the JS-like ranking
         # expression compiles ONCE and renders to the same SQL tree on
         # both sides (parity by construction); comparisons are 1.0/0.0
@@ -3906,6 +3951,30 @@ def oracle_sql() -> dict[str, str]:
     # distributed facet merge == the single-corpus facet counts (additive
     # over the disjoint shard partition; same lang values either way)
     d["sharded_facet_lang"] = d["facet_lang"]
+    # distributed stats merge: component-wise (count,min,max,sum) fold over
+    # per-shard partials == the unsplit corpus stats (all four partials are
+    # associative over the disjoint doc partition; mean derived post-merge)
+    d["sharded_stats_nchars"] = _engine_base_sql() + f"""
+        , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}'),
+        nc AS (SELECT doc_id, length(text)::BIGINT AS nchars FROM docmap)
+        SELECT count(*)::BIGINT AS n, min(nchars) AS min_v,
+               max(nchars) AS max_v, sum(nchars)::BIGINT AS sum_v,
+               CAST(sum(nchars) AS DOUBLE) / count(*) AS mean_v
+        FROM m JOIN nc USING (doc_id)"""
+    # distributed grouping: a group's global best is the best of its
+    # per-shard bests (total order on (score desc, doc_id asc); shards
+    # partition the doc set) — float32 scores from the engine cast chain
+    d["sharded_group_lang"] = _engine_base_sql() + f"""
+        SELECT lang, doc_id, score FROM (
+          SELECT d.lang, f.doc_id, f.score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY f.score DESC, f.doc_id ASC) AS rn
+          FROM fscored f JOIN docmap0 d USING (doc_id)
+          WHERE f.term = '{_HOT}'
+        ) WHERE rn = 1"""
+    # distributed spellcheck: summed shard dfs == corpus dfs, so the merged
+    # ranking is the single-dictionary suggest ranking verbatim
+    d["sharded_suggest"] = d["suggest_term"]
     # span family: freq per SpanScorer = float32 fold of fl(1/(width+1))
     # over produced spans; width-1 spans contribute an exact 0.5 each, so
     # count*0.5 reproduces the fold; the ordered-near matches on width-1

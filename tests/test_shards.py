@@ -171,6 +171,69 @@ def test_sharded_facet_matches_single(built_index, shard_pair):
     assert got == want and got
 
 
+def test_sharded_stats_matches_single(built_index, shard_pair):
+    """Distributed StatsComponent merge == single-index stats: the
+    component-wise (count,min,max,sum) fold over per-shard partials is
+    exact over the disjoint doc partition; mean derived post-merge."""
+    from voyagr_spark.search import scores
+    from voyagr_spark.shards import sharded_stats_field
+
+    ids = scores(built_index, "file").select("doc_id")
+    dm = built_index.docmap().select("doc_id", "nchars")
+    j = ids.join(dm, "doc_id").collect()
+    vals = [r["nchars"] for r in j]
+    got = sharded_stats_field(shard_pair, "file", "nchars").collect()[0]
+    assert got["n"] == len(vals)
+    assert got["min_v"] == min(vals)
+    assert got["max_v"] == max(vals)
+    assert got["sum_v"] == sum(vals)
+    assert got["mean_v"] == sum(vals) / len(vals)
+
+
+def test_sharded_group_top1_matches_single(built_index, shard_pair):
+    """Distributed TopGroups.merge == grouping the unsplit index: per-shard
+    group heads carry GLOBAL-stats float32 scores, so a group's global best
+    is the best of its per-shard bests (total order, disjoint shards)."""
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    from voyagr_spark.search import scores
+    from voyagr_spark.shards import sharded_group_top1
+
+    sc = scores(built_index, "file")
+    dm = built_index.docmap().select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r["lang"], r["doc_id"], float(r["score"]))
+        for r in sc.join(dm, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", "score")
+        .collect()
+    }
+    got = {
+        (r["lang"], r["doc_id"], float(r["score"]))
+        for r in sharded_group_top1(shard_pair, "file", "lang").collect()
+    }
+    assert got == want and got
+
+
+def test_sharded_suggest_matches_single(built_index, shard_pair):
+    """Distributed spellcheck merge: summed per-shard dfs == corpus dfs, so
+    the merged (dist asc, df desc, term asc) ranking equals the unsplit
+    dictionary's suggest output row for row."""
+    from voyagr_spark.highlight import suggest
+    from voyagr_spark.shards import sharded_suggest
+
+    want = [(r["term"], r["df"], r["dist"])
+            for r in suggest(built_index, "fiel", max_edits=2, top=5).collect()]
+    got = [(r["term"], r["df"], r["dist"])
+           for r in sharded_suggest(shard_pair, "fiel", max_edits=2,
+                                    top=5).collect()]
+    assert got == want and got
+
+
 def test_random_sharded_sweep_3_shards(
     spark, built_index, oracle_index, tmp_path
 ):

@@ -400,3 +400,132 @@ def sharded_count(shards: list[Index], query_or_text) -> int:
     from .search import count
 
     return sum(count(s, query_or_text) for s in shards)
+
+
+def sharded_stats_field(
+    shards: list[Index], query_or_text, field: str = "nchars"
+) -> DataFrame:
+    """Distributed StatsComponent: per-shard partial stats merged exactly
+    (solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java
+    distributedProcess/handleResponses + StatsValuesFactory's accumulate —
+    every shard ships (count, min, max, sum) and the merge is component-wise:
+    counts/sums add, min/max fold).  Exact over a disjoint doc partition
+    because all four partials are associative integer aggregates; the mean is
+    derived AFTER the merge as the one double division sum/count — the same
+    determinism discipline as relational.stats_field, so the result is
+    independent of shard count and partitioning."""
+    from .search import scores
+
+    parts = []
+    for s in shards:
+        ids = scores(s, query_or_text).select("doc_id")
+        dm = s.docmap().select("doc_id", field)
+        parts.append(
+            ids.join(dm, "doc_id").agg(
+                F.count("*").alias("n"),
+                F.min(field).alias("min_v"),
+                F.max(field).alias("max_v"),
+                F.sum(field).alias("sum_v"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.agg(
+        F.sum("n").alias("n"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("sum_v").alias("sum_v"),
+    ).select(
+        "n", "min_v", "max_v", "sum_v",
+        (F.col("sum_v").cast("double") / F.col("n")).alias("mean_v"),
+    )
+
+
+def sharded_group_top1(
+    shards: list[Index], query_or_text, field: str = "lang"
+) -> DataFrame:
+    """Distributed grouping, two-phase merge (the reference's distributed
+    grouping: each shard returns its top group heads, the coordinator merges
+    per group — solr/core/src/java/org/apache/solr/search/grouping/
+    distributed/shardresultserializer/TopGroupsResultTransformer.java +
+    TopGroupsShardResponseProcessor.java:60-120, which delegates to
+    lucene/grouping TopGroups.merge).
+
+    Scatter: each shard scores with GLOBAL stats (the same ExactStatsCache
+    view sharded_search uses, so every per-doc score is bit-identical to the
+    unsplit index) and emits its own best doc per group value.  Gather: one
+    (score desc, doc_id asc) fold per group over #shards x #groups tiny rows.
+    Exact — a group's global best is the best of its per-shard bests because
+    the hit order is a total order and shards partition the doc set."""
+    from pyspark.sql import Window
+
+    from .parser import parse
+    from .search import scores
+
+    q = (parse(query_or_text, analyzer=getattr(shards[0], "analyzer", None))
+         if isinstance(query_or_text, str) else query_or_text)
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    parts = []
+    for s in shards:
+        sc = scores(GlobalStats(s, shards), q)
+        dm = s.docmap().select("doc_id", field)
+        parts.append(
+            sc.join(dm, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(field, "doc_id", "score")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(field, "doc_id", "score")
+    )
+
+
+def sharded_suggest(
+    shards: list[Index], term: str, max_edits: int = 2, top: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Distributed spellcheck: per-shard DirectSpellChecker candidates merged
+    by summed document frequency (solr/core/src/java/org/apache/solr/handler/
+    component/SpellCheckComponent.java:640-700 finishStage — identical
+    suggestions from different shards combine by adding their frequencies).
+
+    Documented strengthening (same as sharded_facet_field): each shard
+    reports its FULL within-maxEdits candidate set — a bounded slice of the
+    shard dictionary, not the corpus — instead of a truncated top list, so
+    the merged ranking is exact without the reference's refinement
+    approximation.  df sums are exact over a disjoint doc partition; min_df
+    applies AFTER the merge (a term rare on every shard can still clear the
+    global threshold).  Ranking is highlight.suggest's (dist asc, df desc,
+    term asc) with dist recomputed post-merge (it depends only on the term)."""
+    t = term.lower()
+    n = len(t)
+    parts = []
+    for s in shards:
+        parts.append(
+            s.term_stats()
+            .filter(
+                (F.length("term") >= n - max_edits)
+                & (F.length("term") <= n + max_edits)
+                & (F.col("term") != t)
+            )
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+            .filter(F.col("dist") <= max_edits)
+            .select("term", "df")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("term").agg(F.sum("df").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
