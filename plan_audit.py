@@ -384,6 +384,30 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in gather_checks],
     ))
 
+    # 20. distributed component merges: the stats merge folds per-shard
+    # 1-row partials (never re-shuffling the match sets into one node),
+    # and the grouping merge's per-group fold runs over the tiny per-shard
+    # group-head union, with partial aggregation below every exchange
+    p = _plan(sh.sharded_stats_field(shard_pair, "fast", "nchars"))
+    stats_checks = [
+        ("per-shard stats are partial-aggregated before any exchange",
+         "partial_count" in p and "partial_min" in p),
+        ("no global sort in the stats merge", "rangepartitioning" not in p),
+    ]
+    pg = _plan(sh.sharded_group_top1(shard_pair, "fast", "lang"))
+    group_checks = [
+        ("per-shard group heads cut by a WindowGroupLimit before the merge",
+         "WindowGroupLimit" in pg),
+        ("no corpus-wide rangepartitioning in the grouping merge",
+         "rangepartitioning" not in pg),
+    ]
+    sections.append((
+        "distributed component merges (stats + grouping)",
+        _excerpt(p, ["partial_min"]) + _excerpt(pg, ["WindowGroupLimit"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}"
+         for name, ok in stats_checks + group_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
