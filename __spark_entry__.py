@@ -847,10 +847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # langid contrib (LanguageIdentifierUpdateProcessor): detect ->
         # lcmap normalize -> whitelist -> threshold -> fallback-field chain
         # Product quantization ANN (Jegou et al. TPAMI 2011): train ->
-        # encode (M codes/vector) -> ADC top-k; rows-only entry (the
-        # seeded k-means codebook is not SQL-expressible; correctness is
-        # pinned by test_pq: ADC identity, nearest-centroid encode,
-        # recall vs exact brute force, seeded determinism)
+        # encode (M codes/vector) -> ADC top-k; hash-exact since round 3:
+        # the oracle re-trains bit-identical codebooks (same pq_kmeans,
+        # same id-ordered sample) and evaluates encode + ADC in SQL with
+        # the codebooks/LUT embedded as literals (test_pq pins the argmin
+        # and round-boundary margins that make the float compare stable)
         "ann_pq_topk": _ann_pq_topk,
         # exact-substring dedup (Lee et al. 2022, window-hash form):
         # 10-token windows in >= 2 distinct docs, merged to maximal spans
@@ -1296,19 +1297,61 @@ def _engine_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CS_FUNCS = ["recip(doclen,1,1000,1000)", "linear(nchars,0.001,1)"]
 
 
+#: PQ gate config — small enough that the codebook VALUES tables stay a
+#: few KB of SQL; the production-scale config lives in test_pq.
+_PQ_CFG = dict(m=4, ksub=16, iters=5, seed=42)
+
+
+def _pq_gate_books(x_norm):
+    from voyagr_spark.pipeline import pq_kmeans
+
+    return pq_kmeans(x_norm, **_PQ_CFG)
+
+
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ ANN end-to-end at the gate sf: seeded codebooks, Arrow-batch
-    encode, ADC top-10 (query = vec 0, excluded)."""
+    """PQ ANN end-to-end at the gate sf: codebooks trained on the full
+    id-ordered table (at gate scale the sample IS the corpus; ordering it
+    deterministically lets the DuckDB oracle re-train bit-identical
+    codebooks with the same pq_kmeans call — the Spark-side seeded-sample
+    path pq_train_codebooks is pytest-gated), Arrow-batch encode, ADC
+    top-10 (query = vec 0, excluded)."""
     import numpy as np
 
-    from voyagr_spark.pipeline import pq_encode, pq_topk, pq_train_codebooks
+    from voyagr_spark.pipeline import _l2_normalize, pq_encode, pq_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    books = pq_train_codebooks(emb, m=8, ksub=64, iters=5, seed=42)
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    books = _pq_gate_books(_l2_normalize(x))
     codes = pq_encode(emb, books)
-    row = emb.filter(emb.vec_id == 0).collect()[0]
-    q = np.array(row["embedding"], dtype=np.float64)
+    q = x[int(np.flatnonzero(pdf["vec_id"].to_numpy() == 0)[0])]
     return pq_topk(codes, books, q, k=10, exclude_vec_id=0)
+
+
+def _pq_oracle() -> str:
+    """The ann_pq_topk oracle: re-train the gate codebooks from the same
+    id-ordered corpus with the same pure-numpy pq_kmeans (bit-identical by
+    construction), then render encode + ADC top-k as one DuckDB statement
+    with codebooks/LUT embedded as repr() literals (pq_oracle_sql).
+    oracle_sql() takes no sf argument, so this reads the driver's gate
+    scale directly (env-overridable)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from voyagr_spark.pipeline import (
+        _l2_normalize, pq_adc_table, pq_oracle_sql)
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = papq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = np.asarray(t.column("vec_id"))
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    books = _pq_gate_books(_l2_normalize(x))
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    lut = pq_adc_table(books, q)
+    return pq_oracle_sql(books, lut, k=10, exclude_vec_id=0)
 
 
 _ADDIDX_CACHE: dict = {}
@@ -3866,6 +3909,12 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF at nprobe=all must reproduce the brute-force baseline exactly
     d["ann_ivf_topk"] = d["ann_cosine_topk"]
+    # PQ ANN: the oracle re-trains the gate codebooks with the same
+    # pure-numpy pq_kmeans over the same id-ordered corpus (bit-identical
+    # by construction) and re-expresses encode + ADC top-k in SQL with
+    # the codebooks/LUT as literals — upgrades the former rows-only entry
+    # to hash-exact (margins pinned in test_pq.py::test_gate_margins)
+    d["ann_pq_topk"] = _pq_oracle()
     # SQ8: integer dot product of unit-normalized int8 quantizations —
     # exact integer math on both engines (floor(v+0.5) rounding; the
     # double normalize chain is the same op sequence as the Spark side)

@@ -101,3 +101,45 @@ def test_recall_vs_exact(emb, pq):
 def test_dim_not_divisible_raises(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_train_codebooks(emb, m=5, ksub=4, iters=1)
+
+
+def test_gate_margins():
+    """The ann_pq_topk gate compares engine floats against a DuckDB oracle
+    that recomputes L2-normalize + per-subspace argmin + the LUT fold with
+    its own summation order.  That compare is only stable if (a) every
+    argmin winner beats its runner-up by far more than an ulp and (b) no
+    ADC value sits on a round(.,4) boundary.  Pin both margins on the gate
+    corpus at the driver's gate scale."""
+    import pyarrow.parquet as papq
+
+    import __spark_entry__ as E
+    from voyagr_spark.pipeline import pq_adc_table
+
+    t = papq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = np.asarray(t.column("vec_id"))
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    xn = _l2_normalize(x)
+    books = E._pq_gate_books(xn)
+    m, ksub, dsub = books.shape
+
+    min_gap = np.inf
+    codes = np.empty((xn.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        sub = xn[:, j * dsub:(j + 1) * dsub]
+        d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+        srt = np.sort(d, axis=1)
+        min_gap = min(min_gap, float((srt[:, 1] - srt[:, 0]).min()))
+        codes[:, j] = np.argmin(d, axis=1)
+    # winner-vs-runner-up distance gap dwarfs summation-order ulp noise
+    assert min_gap > 1e-9, min_gap
+
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    lut = pq_adc_table(books, q)
+    adc = np.zeros(xn.shape[0])
+    for j in range(m):
+        adc += lut[j][codes[:, j]]
+    # distance of every ADC value from the nearest .00005 rounding
+    # boundary: np.round vs SQL round can only disagree within an ulp of it
+    frac = np.abs((adc * 1e4) - np.floor(adc * 1e4) - 0.5)
+    assert float(frac.min()) > 1e-6, float(frac.min())

@@ -571,24 +571,19 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def pq_train_codebooks(
-    emb: DataFrame,
+def pq_kmeans(
+    x: np.ndarray,
     m: int = 4,
     ksub: int = 16,
-    sample_rows: int = 20_000,
     iters: int = 10,
     seed: int = 42,
-    vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Seeded per-subspace Lloyd's k-means -> (m, ksub, dim//m) codebooks.
+    """Seeded per-subspace Lloyd's k-means over an already L2-normalized
+    float64 sample matrix -> (m, ksub, dim//m) codebooks.
 
-    Vectors are L2-normalized first (cosine ANN); dim must divide by m.
-    Same sampling shape as ivf_train_centroids: orderBy(rand(seed)).limit
-    compiles to TakeOrderedAndProject — an unbiased seeded sample with no
-    global sort."""
-    pdf = emb.select(vec_col).orderBy(F.rand(seed)).limit(sample_rows) \
-        .toPandas()
-    x = _l2_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    Pure numpy and fully deterministic in the input row order — the
+    DuckDB-oracle generator re-trains on the identically-ordered sample
+    and gets bit-identical codebooks (see __spark_entry__ ann_pq_topk)."""
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -612,6 +607,27 @@ def pq_train_codebooks(
                 [cents, np.repeat(cents[:1], ksub - k, axis=0)])
         books[j] = cents
     return books
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded per-subspace Lloyd's k-means -> (m, ksub, dim//m) codebooks.
+
+    Vectors are L2-normalized first (cosine ANN); dim must divide by m.
+    Same sampling shape as ivf_train_centroids: orderBy(rand(seed)).limit
+    compiles to TakeOrderedAndProject — an unbiased seeded sample with no
+    global sort."""
+    pdf = emb.select(vec_col).orderBy(F.rand(seed)).limit(sample_rows) \
+        .toPandas()
+    x = _l2_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+    return pq_kmeans(x, m=m, ksub=ksub, iters=iters, seed=seed)
 
 
 def pq_encode(
@@ -714,3 +730,90 @@ def pq_reconstruct(codebooks: np.ndarray, code: np.ndarray) -> np.ndarray:
     books = np.asarray(codebooks, dtype=np.float64)
     return np.concatenate([books[j][int(code[j])]
                            for j in range(books.shape[0])])
+
+
+def pq_oracle_sql(
+    codebooks: np.ndarray,
+    lut: np.ndarray,
+    k: int = 10,
+    exclude_vec_id: int | None = 0,
+    table: str = "embeddings",
+) -> str:
+    """Render the whole PQ pipeline (encode + ADC top-k) as one DuckDB
+    statement with the trained codebooks and the per-query ADC table
+    embedded as literals — the hash-exact oracle for the ann_pq_topk gate.
+
+    The codebook/LUT floats round-trip exactly through repr(); the only
+    arithmetic the SQL recomputes is the per-vector L2-normalize and the
+    per-subspace argmin (distance = -2*dot + ||c||^2, c-asc tie-break) plus
+    the left-to-right float64 LUT fold — the same formulas pq_encode /
+    pq_topk evaluate.  Summation order inside a dot product may differ from
+    BLAS at the last ulp; tests/test_pq.py asserts the argmin runner-up
+    margins and round-boundary distances on the gate corpus dwarf that."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    lut = np.asarray(lut, dtype=np.float64)
+    assert lut.shape == (m, ksub)
+    # ::DOUBLE on every literal — bare decimal literals bind as DECIMAL in
+    # DuckDB, which would silently move all the arithmetic off float64
+    cent_rows = []
+    for j in range(m):
+        cn2 = (books[j] ** 2).sum(axis=1)
+        for c in range(ksub):
+            vals = ", ".join(f"{float(v)!r}::DOUBLE" for v in books[j, c])
+            cent_rows.append(f"({j}, {c}, {cn2[c]!r}::DOUBLE, {vals})")
+    vcols = ", ".join(f"v{i}" for i in range(1, dsub + 1))
+    lut_rows = ", ".join(
+        f"({j}, {c}, {float(lut[j, c])!r}::DOUBLE)"
+        for j in range(m) for c in range(ksub)
+    )
+    dot = " + ".join(
+        f"x.emb[ct.j*{dsub}+{i}]/x.nrm*ct.v{i}" for i in range(1, dsub + 1)
+    )
+    fold = "max(CASE WHEN j = 0 THEN lv END)"
+    for j in range(1, m):
+        fold = f"({fold} + max(CASE WHEN j = {j} THEN lv END))"
+    excl = (f"WHERE vec_id <> {int(exclude_vec_id)}"
+            if exclude_vec_id is not None else "")
+    return f"""
+WITH xv AS (
+  SELECT vec_id,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb
+  FROM {table} {excl}
+),
+xn AS (
+  SELECT vec_id, emb,
+         sqrt(list_sum(list_transform(emb, e -> e * e))) AS nrm
+  FROM xv
+),
+cent(j, c, cn2, {vcols}) AS (VALUES {", ".join(cent_rows)}),
+d AS (
+  SELECT x.vec_id, ct.j, ct.c,
+         -2 * ({dot}) + ct.cn2 AS dist
+  FROM xn x CROSS JOIN cent ct
+),
+code AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut(j, c, lv) AS (VALUES {lut_rows}),
+joined AS (
+  SELECT code.vec_id, code.j AS j, lut.lv AS lv
+  FROM code JOIN lut ON code.j = lut.j AND code.c = lut.c
+),
+adc AS (
+  SELECT vec_id, {fold} AS adc
+  FROM joined
+  GROUP BY vec_id
+)
+SELECT row_number() OVER (ORDER BY round(adc, 4) DESC, vec_id ASC)::BIGINT
+         AS rank,
+       vec_id, round(adc, 4) AS adc4
+FROM adc
+ORDER BY round(adc, 4) DESC, vec_id ASC
+LIMIT {int(k)}
+"""
