@@ -821,6 +821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infix_suggest": lambda s, d: R.infix_suggest(s, d, "a", 10),
         "prefix_suggest": lambda s, d: R.prefix_suggest(s, d, "fi", 10),
         "fuzzy_suggest": lambda s, d: R.fuzzy_suggest(s, d, "fi", 10),
+        # FreeTextSuggester (lucene/suggest analyzing): bigram-LM
+        # completion of "fast k" with stupid backoff — bigram model at
+        # backoff 1.0, unigram fallback at 0.4, last-token dedup
+        "free_text_suggest": lambda s, d: R.free_text_suggest(
+            s, d, "fast k", 10),
         # lucene/facet: drill-sideways (per-dim counts with the OTHER
         # dims' filters applied) + hierarchical taxonomy path counts
         "drill_sideways": lambda s, d: R.drill_sideways(
@@ -873,10 +878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix token sum / capacity) — distributed prefix-sum shape
         "pack_sequences": lambda s, d: R.pack_sequences(s, d, 2048),
         "chunk_documents": lambda s, d: R.chunk_documents(s, d, 64, 48),
-        # FreeTextSuggester: n-gram LM completion with ALPHA=0.4 backoff
-        "free_text_suggest": lambda s, d: R.free_text_suggest(
-            s, d, "fast k", 10
-        ),
         # Solr facet.query: one count per named sub-query, single scan
         "facet_query": lambda s, d: R.facet_query(
             s, d, {"hot": _HOT, "rare": _RARE, "spatial": "grid"}
@@ -3345,25 +3346,6 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS cum_before
               FROM tc)""",
-        "free_text_suggest": _BASE + """
-            , ftc AS (SELECT term, count(*)::BIGINT AS ttf FROM tok
-                      WHERE term LIKE 'k%' AND term != 'k' GROUP BY term),
-            ftb AS (
-              SELECT b.term, count(*)::BIGINT AS big
-              FROM tok a JOIN tok b
-                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-              WHERE a.term = 'fast' AND b.term LIKE 'k%' AND b.term != 'k'
-              GROUP BY b.term),
-            ftk AS (SELECT
-              (SELECT count(*) FROM tok WHERE term = 'fast')::BIGINT AS ctxn,
-              (SELECT count(*) FROM tok)::BIGINT AS total)
-            SELECT term,
-                   round(CASE WHEN ftb.big IS NOT NULL
-                              THEN ftb.big / (ftk.ctxn * 1.0)
-                              ELSE (0.4 * ftc.ttf) / (ftk.total * 1.0)
-                         END, 4) AS score4
-            FROM ftc LEFT JOIN ftb USING (term) CROSS JOIN ftk
-            ORDER BY score4 DESC, term ASC LIMIT 10""",
         "facet_query": _BASE + f"""
             SELECT CASE term WHEN '{_HOT}' THEN 'hot'
                              WHEN '{_RARE}' THEN 'rare'
@@ -3833,6 +3815,52 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY df DESC, term ASC) AS rn
               FROM st WHERE levenshtein(substring(term, 1, 2), 'fi') <= 1
             ) WHERE rn <= 10""",
+        # FreeTextSuggester: light analysis (no stop filter), bigram
+        # model at backoff 1.0 over the context count, unigram fallback
+        # at 0.4 over totTokens, per-model (cnt desc, gram asc) top-10,
+        # last-token dedup, final (score desc, suggestion asc) cut
+        "free_text_suggest": """
+            WITH tok AS (
+              SELECT doc_id, lower(t) AS term, p AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS t,
+                       unnest(range(len(string_split(text, ' ')))) AS p
+                FROM documents
+              )
+            ),
+            uni AS (SELECT term AS gram, count(*)::BIGINT AS cnt
+                    FROM tok GROUP BY term),
+            tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM uni),
+            big AS (
+              SELECT a.term || ' ' || b.term AS gram,
+                     count(*)::BIGINT AS cnt
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1
+            ),
+            m2 AS (
+              SELECT gram AS suggestion, split_part(gram, ' ', 2)
+                       AS last_tok,
+                     (1.0::DOUBLE * cnt)
+                       / (SELECT cnt FROM uni WHERE gram = 'fast') AS score
+              FROM big WHERE gram LIKE 'fast k%'
+              ORDER BY cnt DESC, gram ASC LIMIT 10
+            ),
+            m1 AS (
+              SELECT gram AS suggestion, gram AS last_tok,
+                     (0.4::DOUBLE * cnt) / (SELECT tot FROM tot) AS score
+              FROM uni
+              WHERE gram LIKE 'k%'
+                AND gram NOT IN (SELECT last_tok FROM m2)
+              ORDER BY cnt DESC, gram ASC LIMIT 10
+            ),
+            u AS (SELECT suggestion, score FROM m2
+                  UNION ALL SELECT suggestion, score FROM m1)
+            SELECT row_number() OVER (ORDER BY score DESC, suggestion ASC)
+                     ::BIGINT AS rank,
+                   suggestion, score
+            FROM u ORDER BY score DESC, suggestion ASC LIMIT 10""",
         "join_scored_max": _BASE + f"""
             SELECT source, score4, n_children FROM (
               SELECT d.source, round(max(s.score), 4) AS score4,

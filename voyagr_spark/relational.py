@@ -564,6 +564,137 @@ def fuzzy_suggest(spark, sf_dir, typed: str, top: int = 10) -> DataFrame:
     )
 
 
+def free_text_ngrams(spark, sf_dir, grams: int = 2) -> DataFrame:
+    """(n, gram, cnt): the FreeTextSuggester ngram model — token shingles
+    of every order 1..grams joined by ' ', with occurrence counts.
+
+    Reference: lucene/suggest .../analyzing/FreeTextSuggester.java:270-366
+    (ShingleFilter(2, grams) over the index analyzer, term frequencies
+    from a throwaway index).  Analysis is deliberately LIGHT — tokenize +
+    lowercase, NO stop filter — per the class javadoc ("your analysis
+    process should normally be very light"); stop holes would otherwise
+    punch filler tokens into every shingle.
+
+    Scale shape: per-order `lead()` windows partitioned by doc (one
+    doc-keyed shuffle shared by all orders), then one partial-aggregated
+    groupBy per order — never a self-join of the token table."""
+    if grams < 1:
+        raise ValueError("grams must be >= 1")
+    t = raw_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("term")]
+    out = None
+    for n in range(1, grams + 1):
+        if n > 1:
+            cols.append(F.lead("term", n - 1).over(w))
+        g = (
+            t.select(F.concat_ws(" ", *cols).alias("gram"),
+                     cols[-1].isNotNull().alias("ok"))
+            .filter("ok")
+            .groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit(n).alias("n"), "gram", "cnt")
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def free_text_suggest(
+    spark, sf_dir, key: str, num: int = 10, grams: int = 2
+) -> DataFrame:
+    """q: FreeTextSuggester lookup (FreeTextSuggester.java:468-737) —
+    ngram-LM completion of the typed text with stupid-backoff smoothing
+    (ALPHA=0.4, Brants et al. 2007, cited at :98-103).
+
+    Faithful walk, high order -> low:
+    - lastTokens[g] = the last g+1 analyzed tokens joined by ' '; a key
+      ending in whitespace "upgrades" every slot (token + separator, all
+      completions of that context) and skips unigram predictions
+      (:529-547).
+    - a model order is ATTEMPTED iff the input had enough tokens; each
+      attempted order multiplies the backoff by ALPHA for the orders
+      below it — an absent prefix still consumes backoff (:593-597
+      `backoff *= ALPHA; continue`), a not-enough-input slot does not
+      (plain `continue`, :565-569).
+    - completions of order n rank by (count desc, gram asc) — the
+      TopNSearcher explores min-cost first and tie-breaks by input bytes
+      (Util.TieBreakByInputComparator); contextCount = the count of the
+      prefix-before-the-last-separator looked up in the model (:601-614),
+      totTokens for unigrams.
+    - score = (backoff * count) / contextCount (:711, same op order); a
+      lower-order completion whose LAST token a higher-order model
+      already predicted is skipped (`seen`, :556-560, 696-709).
+    - final: sort score desc, key asc (UTF16), truncate to num (:719-735).
+
+    One declarative plan: per-order prefix-range scans + TakeOrdered,
+    1-row count subqueries cross-joined in, seen-dedup as anti-joins —
+    a single job at collect time."""
+    from .analysis import _TOKEN_RE
+
+    toks = [m.group(0).lower() for m in _TOKEN_RE.finditer(key)]
+    if not toks:
+        raise ValueError("no tokens produced by analyzer")
+    ended = key != key.rstrip()
+    model = free_text_ngrams(spark, sf_dir, grams=grams)
+    uni = model.filter(F.col("n") == 1)
+    tot_df = uni.agg(F.sum("cnt").cast("double").alias("ctx_cnt"))
+
+    t_count = len(toks)
+    if ended:
+        orders = [n for n in range(2, grams + 1) if t_count >= n - 1]
+    else:
+        orders = [n for n in range(1, grams + 1) if t_count >= n]
+    orders.sort(reverse=True)
+
+    results = []
+    seen = None
+    for rank_i, n in enumerate(orders):
+        backoff = 1.0
+        for _ in range(rank_i):
+            backoff *= 0.4
+        if ended:
+            ctx_toks = toks[-(n - 1):]
+            prefix = " ".join(ctx_toks) + " "
+        else:
+            ctx_toks = toks[-n:-1]
+            prefix = " ".join(toks[-n:])
+        if ctx_toks:
+            ctx_df = (
+                model.filter((F.col("n") == len(ctx_toks))
+                             & (F.col("gram") == " ".join(ctx_toks)))
+                .select(F.col("cnt").cast("double").alias("ctx_cnt"))
+            )
+        else:
+            ctx_df = tot_df
+        cand = (
+            model.filter((F.col("n") == n)
+                         & F.col("gram").startswith(prefix))
+            .crossJoin(ctx_df)
+            .select(
+                F.col("gram").alias("suggestion"),
+                F.element_at(F.split("gram", " "), -1).alias("last_tok"),
+                ((F.lit(backoff) * F.col("cnt").cast("double"))
+                 / F.col("ctx_cnt")).alias("score"),
+                "cnt",
+            )
+        )
+        if seen is not None:
+            cand = cand.join(seen, "last_tok", "left_anti")
+        cand = cand.orderBy(F.desc("cnt"), F.asc("suggestion")).limit(num)
+        results.append(cand.select("suggestion", "last_tok", "score"))
+        sel = cand.select("last_tok")
+        seen = sel if seen is None else seen.unionByName(sel)
+
+    allr = results[0]
+    for r in results[1:]:
+        allr = allr.unionByName(r)
+    top = allr.orderBy(F.desc("score"), F.asc("suggestion")).limit(num)
+    w = Window.orderBy(F.desc("score"), F.asc("suggestion"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "suggestion", "score")
+
+
 def wildcard_term(spark, sf_dir, pattern: str) -> DataFrame:
     """q: wildcard match over the dictionary (P5 WildcardQuery, relational
     form): docs containing >=1 term LIKE pattern, with the matching-term
@@ -901,57 +1032,6 @@ def stratified_sample(spark, sf_dir,
     return d.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
     ).select("doc_id", "lang")
-
-
-def free_text_suggest(spark, sf_dir, typed: str, top: int = 10) -> DataFrame:
-    """q: FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:85-135)
-    — n-gram language-model completion: the LAST typed token is a prefix to
-    complete, the token before it is context.  Candidates matching the
-    prefix score by the backoff chain the reference encodes in its FST:
-    bigram weight count(context, cand)/count(context) first, falling back
-    to ALPHA * unigram weight ttf(cand)/total (ALPHA = 0.4, :135).
-    -> (term, score4) top-N by (score desc, term asc), score rounded to 4.
-
-    Spark shape: bigram counts come from ONE positional self-equijoin on
-    (doc_id, pos+1) restricted to the context term — i.e. a pushdown-shaped
-    scan, not a corpus-wide n-gram materialization; unigram stats are the
-    term_stats aggregate every query already uses."""
-    words = typed.lower().split()
-    if len(words) < 2:
-        raise ValueError("free_text_suggest wants 'context prefix…' input")
-    context, prefix = words[-2], words[-1]
-    # the raw (pre-stop) token stream: adjacency is defined over the text
-    # itself, as the reference's shingle chain sees it
-    t = raw_tokens(spark, sf_dir)
-    cand = t.filter(
-        F.col("term").startswith(prefix) & (F.col("term") != prefix)
-    )
-    ctx = t.filter(F.col("term") == context).select(
-        "doc_id", (F.col("pos") + 1).alias("pos"))
-    big = (
-        cand.join(ctx, ["doc_id", "pos"])
-        .groupBy("term")
-        .agg(F.count("*").alias("big"))
-    )
-    ctx_n = t.filter(F.col("term") == context).count()
-    uni = (
-        cand.groupBy("term").agg(F.count("*").alias("ttf"))
-    )
-    total = t.count()
-    scored = (
-        uni.join(big, "term", "left")
-        .select(
-            "term",
-            F.round(
-                F.when(
-                    F.col("big").isNotNull() & F.lit(ctx_n > 0),
-                    F.col("big") / F.lit(float(max(ctx_n, 1))),
-                ).otherwise(0.4 * F.col("ttf") / F.lit(float(total))),
-                4,
-            ).alias("score4"),
-        )
-    )
-    return scored.orderBy(F.desc("score4"), F.asc("term")).limit(top)
 
 
 def pack_sequences(spark, sf_dir, capacity: int = 2048) -> DataFrame:
