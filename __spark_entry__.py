@@ -996,6 +996,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set (persisted in meta, applied at query parse too) — 'the'
         # becomes searchable and every doclen/df/avgdl shifts
         "engine_custom_analyzer": _engine_custom_analyzer,
+        # CommonGramsFilter index + CommonGramsQueryFilter query: the
+        # phrase '"the batch"' answers from the single 'the_batch' gram
+        # posting list (the anti-stopword-scan idiom)
+        "engine_common_grams": _engine_common_grams,
         # QueryElevationComponent: ids 3 (priority 1st) and 7 pinned to the
         # top of the hot-term results, id 1 censored; rest by (score, id)
         "engine_elevate": lambda s, d: __import__(
@@ -2137,6 +2141,54 @@ def _engine_nostop_index(spark: SparkSession, sf_dir: str):
     idx.pin()
     _NOSTOP_CACHE[key] = idx
     return idx
+
+
+_CG_CACHE: dict = {}
+
+
+def _engine_cg_index(spark: SparkSession, sf_dir: str):
+    """Index built with CommonGramsFilter over the standard stopword set
+    (CommonGramsFilter.java; the Solr schema idiom: common words stay as
+    unigrams, every stopword-adjacent pair ALSO indexes a '_'-joined gram
+    as a posinc-0 overlap).  The chain persists in meta, so query parsing
+    runs the CommonGramsQueryFilter variant automatically."""
+    from voyagr_spark.analysis import ENGLISH_STOP_WORDS, Analyzer
+    from voyagr_spark.indexer import Index, build_index
+
+    key = sf_dir.rstrip("/")
+    if key in _CG_CACHE:
+        return _CG_CACHE[key]
+    tag = hashlib.md5((key + "-cgrams").encode()).hexdigest()[:10]
+    idx_dir = f"/tmp/voyagr_index_{tag}"
+    try:
+        idx = Index(spark, idx_dir)
+    except Exception:
+        idx = build_index(
+            spark, _docs_mapped(spark, sf_dir), idx_dir, num_segments=4,
+            analyzer=Analyzer(stopwords=frozenset(),
+                              common_grams=tuple(sorted(
+                                  ENGLISH_STOP_WORDS))),
+        )
+    idx.pin()
+    _CG_CACHE[key] = idx
+    return idx
+
+
+def _engine_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase '"the batch"' on the common-grams index: the query filter
+    collapses it to the SINGLE gram term 'the_batch' (CommonGramsQuery
+    Filter.java javadoc) — the stopword-hot phrase answers from one
+    posting list instead of intersecting the 'the' list, top-10."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.search import search
+
+    idx = _engine_cg_index(spark, sf_dir)
+    res = search(idx, '"the batch"', k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
 
 
 _PHON_CACHE: dict = {}
@@ -3542,6 +3594,36 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                    doc_id, score
             FROM (SELECT doc_id, score FROM fscored WHERE term = 'the')
+          ) WHERE rank <= 10""",
+        # CommonGrams: the gram term's postings rebuilt from adjacent
+        # pairs — tf = pair count, df = docs with the pair; doclen/avgdl
+        # come from the no-stop base (grams are discounted overlaps)
+        "engine_common_grams": _engine_base_sql(stop=False) + """
+          , cg AS (
+              SELECT a.doc_id, count(*)::BIGINT AS tf
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'the' AND b.term = 'batch'
+              GROUP BY a.doc_id
+          ),
+          cgw AS (
+              SELECT CAST(CAST(ln(1.0 + (CAST(cs.n AS DOUBLE) - d.df + 0.5)
+                                 / (d.df + 0.5)) AS FLOAT)
+                     * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
+                            AS FLOAT) AS FLOAT) AS wv
+              FROM (SELECT count(*)::BIGINT AS df FROM cg) d CROSS JOIN cs
+          )
+          SELECT rank, doc_id, score FROM (
+            SELECT row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM (
+              SELECT t.doc_id,
+                     CAST(CAST(w.wv * CAST(t.tf AS FLOAT) AS FLOAT)
+                          / CAST(CAST(t.tf AS FLOAT) + qn.cache AS FLOAT)
+                          AS FLOAT) AS score
+              FROM cg t JOIN qn ON t.doc_id = qn.doc_id CROSS JOIN cgw w
+            )
           ) WHERE rank <= 10""",
         "engine_batch_topk": _engine_batch_sql(),
         "engine_count": _engine_base_sql() + f"""

@@ -702,6 +702,54 @@ def word_delimiter_parts(token: str) -> list[str]:
     return s.split()
 
 
+def _common_grams_index(
+    terms: list[str], positions: list[int], common: frozenset
+) -> tuple[list[str], list[int]]:
+    """CommonGramsFilter (index side, CommonGramsFilter.java:102-128
+    goldens in CommonGramsFilterTest.testCommonGramsFilter): the token
+    stream unchanged, PLUS a '_'-joined gram for every adjacent pair
+    where either member is common — the gram rides at the LEFT word's
+    position as a posinc-0 overlap (gramToken() sets posInc 0, :177).
+    Assumes a hole-free stream (enforced: stopwords must be empty)."""
+    out_t: list[str] = []
+    out_p: list[int] = []
+    n = len(terms)
+    for i in range(n):
+        out_t.append(terms[i])
+        out_p.append(positions[i])
+        if i + 1 < n and (terms[i] in common or terms[i + 1] in common):
+            out_t.append(terms[i] + "_" + terms[i + 1])
+            out_p.append(positions[i])
+    return out_t, out_p
+
+
+def _common_grams_query(
+    terms: list[str], positions: list[int], common: frozenset
+) -> tuple[list[str], list[int]]:
+    """CommonGramsQueryFilter (CommonGramsQueryFilter.java:83-115,
+    goldens in testQueryFilter): output bigrams whenever possible —
+    a unigram is dropped when the gram starting at it exists, and the
+    FINAL unigram is also dropped when the gram ENDING at it exists
+    (the exhaustion branch: previousType == GRAM_TYPE).  Grams keep the
+    left word's ordinal, so phrase deltas line up with the index form."""
+    n = len(terms)
+    gram_next = [
+        i < n - 1 and (terms[i] in common or terms[i + 1] in common)
+        for i in range(n)
+    ]
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for i in range(n):
+        last_covered = i == n - 1 and n >= 2 and gram_next[n - 2]
+        if not gram_next[i] and not last_covered:
+            out_t.append(terms[i])
+            out_p.append(positions[i])
+        if gram_next[i]:
+            out_t.append(terms[i] + "_" + terms[i + 1])
+            out_p.append(positions[i])
+    return out_t, out_p
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """Configurable analysis chain: tokenizer regex -> [lowercase] ->
@@ -788,6 +836,21 @@ class Analyzer:
     #: code) always pass through unchanged, as the reference filter does.
     phonetic: str | None = None
     phonetic_inject: bool = True
+    #: CommonGramsFilter analog (analysis/commongrams/CommonGramsFilter
+    #: .java:102-183): for every adjacent token pair where EITHER member
+    #: is a common word, a '_'-joined gram is ALSO indexed as a posinc-0
+    #: overlap at the LEFT word's position (posLen 2; doclen discounts
+    #: overlaps).  Replaces the stop filter — the Solr schema idiom keeps
+    #: common words as unigrams too — so requires stopwords=frozenset().
+    #: query_form() switches to the CommonGramsQueryFilter semantics
+    #: (CommonGramsQueryFilter.java:83-115): output bigrams whenever
+    #: possible, a unigram only when it is not a member of one — a phrase
+    #: like "the batch" answers from ONE gram posting list instead of
+    #: intersecting a stopword-hot list.
+    common_grams: tuple | None = None
+    #: internal — the query-side CommonGramsQueryFilter form; set by
+    #: query_form(), never persisted (index meta stores the index chain)
+    common_grams_query: bool = False
     #: DelimitedPayloadTokenFilter analog (lucene/analysis/common .../
     #: payloads/DelimitedPayloadTokenFilter.java:64-77 + FloatEncoder): a
     #: token of form `text<delim>payload` splits at the FIRST delimiter;
@@ -821,6 +884,25 @@ class Analyzer:
                 "reverse_wildcards/phonetic) — pair it with a whitespace "
                 "tokenizer, lowercase, stop, length and stem only"
             )
+        if self.common_grams is not None:
+            object.__setattr__(
+                self, "common_grams",
+                tuple(sorted(set(self.common_grams))))
+            if self.stopwords:
+                raise ValueError(
+                    "common_grams REPLACES the stop filter (the Solr "
+                    "schema idiom keeps common words as unigrams): pass "
+                    "stopwords=frozenset()"
+                )
+            if (self.synonyms or self.shingle or self.ngram
+                    or self.edge_ngram or self.word_delimiter
+                    or self.reverse_wildcards or self.phonetic
+                    or self.payload_delim or self.stem
+                    or self.length_filter):
+                raise ValueError(
+                    "common_grams composes with tokenizer/lowercase/"
+                    "fold_ascii/strip_html only"
+                )
         if self.length_filter is not None:
             lmn, lmx = self.length_filter
             if lmn < 0:
@@ -869,6 +951,9 @@ class Analyzer:
         if out.payload_delim is not None:
             # payloads annotate INDEX tokens; query text is plain terms
             out = replace(out, payload_delim=None)
+        if out.common_grams is not None and not out.common_grams_query:
+            # query side runs the CommonGramsQueryFilter variant
+            out = replace(out, common_grams_query=True)
         return out
 
     @property
@@ -890,6 +975,7 @@ class Analyzer:
             and self.length_filter is None
             and self.phonetic is None
             and self.payload_delim is None
+            and self.common_grams is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -916,6 +1002,8 @@ class Analyzer:
             "phonetic": self.phonetic,
             "phonetic_inject": self.phonetic_inject,
             "payload_delim": self.payload_delim,
+            "common_grams": (list(self.common_grams)
+                             if self.common_grams else None),
         }
 
     @staticmethod
@@ -945,11 +1033,13 @@ class Analyzer:
             phonetic=d.get("phonetic"),
             phonetic_inject=bool(d.get("phonetic_inject", True)),
             payload_delim=d.get("payload_delim"),
+            common_grams=(tuple(d["common_grams"])
+                          if d.get("common_grams") else None),
         )
 
     # -- single string (query parsing, tests, oracle)
     def analyze_text(self, text: str) -> tuple[list[str], list[int]]:
-        if self.is_standard:
+        if self.is_standard and not self.common_grams_query:
             return analyze_text(text)
         if self.strip_html:
             text = strip_html(text or "")
@@ -974,6 +1064,14 @@ class Analyzer:
                 continue  # LengthFilter drop: position hole remains
             terms.append(t)
             positions.append(pos)
+        if self.common_grams is not None:
+            common = frozenset(self.common_grams)
+            if self.common_grams_query:
+                terms, positions = _common_grams_query(
+                    terms, positions, common)
+            else:
+                terms, positions = _common_grams_index(
+                    terms, positions, common)
         if self.stem == "porter":
             from .porter import stem as _pstem
 
@@ -1131,6 +1229,31 @@ class Analyzer:
         np.add.at(doclens, docidx[keep_np], 1)
         out_terms = flat.to_numpy()[keep_np]
         out_pos, out_doc = pos[keep_np], docidx[keep_np]
+        if self.common_grams is not None and out_terms.size > 1:
+            # CommonGramsFilter, vectorized: the flat stream is doc-major
+            # position-ascending and hole-free (stopwords are required
+            # empty), so adjacency = consecutive entries in one doc; the
+            # grams ride at the left word's position as posinc-0 overlaps
+            # — doclens unchanged (discountOverlaps)
+            cset = frozenset(self.common_grams)
+            nxt = (out_doc[1:] == out_doc[:-1]) & \
+                  (out_pos[1:] == out_pos[:-1] + 1)
+            is_c = pd.Series(out_terms).isin(cset).to_numpy()
+            make = nxt & (is_c[:-1] | is_c[1:])
+            if make.any():
+                left = np.flatnonzero(make)
+                grams = (
+                    pd.Series(out_terms[left]).astype(str)
+                    .str.cat(pd.Series(out_terms[left + 1]).astype(str),
+                             sep="_")
+                    .to_numpy(dtype=object)
+                )
+                out_terms = np.concatenate((out_terms, grams))
+                out_pos = np.concatenate((out_pos, out_pos[left]))
+                out_doc = np.concatenate((out_doc, out_doc[left]))
+                order = np.lexsort((out_pos, out_doc))
+                out_terms = out_terms[order]
+                out_pos, out_doc = out_pos[order], out_doc[order]
         if self.stem == "porter":
             # stem the batch VOCABULARY once, map back by code — keeps the
             # scalar stemmer off the token-stream hot path
