@@ -1216,6 +1216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index — span BM25 x MAX payload fold / SUM fold alone
         "engine_payload_max": _engine_payload("max", True),
         "engine_payload_sum": _engine_payload("sum", False),
+        # lucene/core spans SpanPayloadCheckQuery: only occurrences whose
+        # payload equals 1.0f (or carry none) count toward freq
+        "engine_payload_check": _engine_payload_check,
         # solr/contrib/ltr: LTRQParserPlugin rerank — LinearModel and
         # MultipleAdditiveTreesModel as Catalyst expressions over features
         # extracted on the reRankDocs window
@@ -2444,6 +2447,17 @@ def _engine_payload(func: str, include_span_score: bool):
             k=10))
 
     return run
+
+
+def _engine_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanPayloadCheckQuery(SpanTermQuery(hot), [1.0f]) top-10: freq =
+    occurrences whose payload is exactly 1.0f plus the bare (payload-less)
+    positions, which the reference accepts (acceptPosition YES on
+    isPayloadAvailable()==false, SpanPayloadCheckQuery.java:52-74)."""
+    from voyagr_spark.payloads import payload_check_topk
+
+    idx = _payload_index(spark, sf_dir)
+    return _rank_window(payload_check_topk(idx, _HOT, [1.0], k=10))
 
 
 def _block_index(spark: SparkSession, sf_dir: str):
@@ -4626,6 +4640,23 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
         inner=f"""
           SELECT f.doc_id, pf.fsum AS score
           FROM fscored f JOIN pf USING (doc_id) WHERE f.term = '{_HOT}'""")
+    # SpanPayloadCheckQuery: accepted occurrences = payload == 1.0f
+    # (annotation: (pos%4+1)*0.5 == 1.0 <=> pos%4 == 1) plus the bare
+    # every-7th positions (no payload -> AcceptStatus.YES); freq = the
+    # accepted count, scored through the term's BM25 chain
+    d["engine_payload_check"] = _engine_base_sql() + f"""
+        , pc AS (
+          SELECT doc_id, count(*)::BIGINT AS freq
+          FROM terms
+          WHERE term = '{_HOT}' AND (pos % 7 = 6 OR pos % 4 = 1)
+          GROUP BY doc_id
+        )""" + topk_wrap.format(inner=f"""
+          SELECT p.doc_id,
+                 CAST(CAST(w.wv * CAST(p.freq AS FLOAT) AS FLOAT)
+                      / CAST(CAST(p.freq AS FLOAT) + qn.cache AS FLOAT)
+                      AS FLOAT) AS score
+          FROM pc p JOIN qn ON p.doc_id = qn.doc_id
+          JOIN w ON w.term = '{_HOT}'""")
     # LTR rerank (solr/contrib/ltr): hot top-30 window -> features ->
     # model as the same per-op float32 cast chain the engine compiles
     fl = "CAST({} AS FLOAT)"
