@@ -982,6 +982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Solr /select flow: fq numeric range filtered BEFORE the top-k cut
         # (E15 on the engine surface), fl projection
         "engine_fq_select": _engine_fq_select,
+        # Solr QParsers in fq: {!terms} set filter + {!hash} worker
+        # partitioner ((hash & 0x7FFFFFFF) % workers == worker)
+        "engine_fq_qparsers": _engine_fq_qparsers,
         # P5 RegexpQuery with top-level alternation — the ADVICE r2 case
         # where a bogus range prefilter silently dropped 'dup'; now
         # range-free, regex-only filtering (full-term match semantics)
@@ -2788,6 +2791,21 @@ def _engine_fq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return solr_select(
         idx, _HOT, fq="doclen:[50 TO 200]",
         fl=["doc_id", "score", "doclen"], rows=10,
+    )
+
+
+def _engine_fq_qparsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fq query parsers: {!terms f=lang}en,de (set-membership filter,
+    TermsQParserPlugin) composed with {!hash workers=3 worker=1
+    keys=doc_id} (HashQParserPlugin — the ParallelStream partitioner:
+    (hash & 0x7FFFFFFF) % workers == worker over the numeric key)."""
+    from voyagr_spark.solr_api import solr_select
+
+    idx = _engine_index(spark, sf_dir)
+    return solr_select(
+        idx, _HOT,
+        fq=["{!terms f=lang}en,de", "{!hash workers=3 worker=1 keys=doc_id}"],
+        fl=["doc_id", "score", "lang"], rows=10,
     )
 
 
@@ -5041,6 +5059,21 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
                      ORDER BY t.score DESC, t.doc_id ASC) AS rn
             FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
             WHERE dl.doclen BETWEEN 50 AND 200
+          ) WHERE rn <= 10"""
+    # {!terms} + {!hash} fq parsers: lang set-membership AND the numeric
+    # worker partition (Long.hashCode = l ^ (l>>>32); the & 0x7FFFFFFF is
+    # low-31-bits, i.e. mod 2^31 — int truncation/sign extension are
+    # multiples of 2^32 and vanish mod 2^31)
+    d["engine_fq_qparsers"] = _engine_base_sql() + f"""
+          SELECT doc_id, score, lang FROM (
+            SELECT t.doc_id, t.score, dm.lang,
+                   row_number() OVER (
+                     ORDER BY t.score DESC, t.doc_id ASC) AS rn
+            FROM ({_SQL_TERM.format(t=_HOT)}) t
+            JOIN docmap0 dm USING (doc_id)
+            WHERE dm.lang IN ('en', 'de')
+              AND ((((xor(t.doc_id, t.doc_id >> 32) % 2147483648)
+                     + 2147483648) % 2147483648) % 3) = 1
           ) WHERE rn <= 10"""
     # facet.heatmap: same lattice snap (bounds computed by the same
     # driver-side heatmap_bounds arithmetic), integer cell ids, edge

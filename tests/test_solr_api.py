@@ -246,3 +246,71 @@ def test_duplicate_filter_errors(built_index):
         duplicate_filter(built_index, "file", "lang", keep="middle")
     with pytest.raises(ValueError, match="unknown field"):
         duplicate_filter(built_index, "file", "bogus")
+
+
+def test_terms_qparser_set_filter(built_index):
+    """{!terms f=lang}en,de == the union of the per-value fq filters."""
+    both = {r.doc_id for r in solr_select(
+        built_index, "open", fq="{!terms f=lang}python,go", rows=1000
+    ).collect()}
+    union = set()
+    for v in ("python", "go"):
+        union |= {r.doc_id for r in solr_select(
+            built_index, "open", fq=f"lang:{v}", rows=1000).collect()}
+    assert both == union and both
+
+
+def test_terms_qparser_separator(built_index):
+    a = {r.doc_id for r in solr_select(
+        built_index, "open", fq="{!terms f=lang separator=|}python|go",
+        rows=1000).collect()}
+    b = {r.doc_id for r in solr_select(
+        built_index, "open", fq="{!terms f=lang}python,go", rows=1000).collect()}
+    assert a == b
+
+
+def test_hash_qparser_partitions_cover_disjointly(built_index):
+    """The N {!hash} workers partition the match set: disjoint, and their
+    union is exactly the unfiltered result — over a STRING key (Java
+    String.hashCode path) and a composite key."""
+    base = {r.doc_id for r in solr_select(
+        built_index, "open", rows=1000).collect()}
+    for keys in ("repo", "repo,path", "doc_id"):
+        seen: set = set()
+        for w in range(4):
+            part = {r.doc_id for r in solr_select(
+                built_index, "open",
+                fq=f"{{!hash workers=4 worker={w} keys={keys}}}",
+                rows=1000).collect()}
+            assert not (seen & part), (keys, w)
+            seen |= part
+        assert seen == base, keys
+
+
+def test_hash_qparser_string_hash_is_java(spark, built_index):
+    """The string-key partition assignment must follow Java
+    String.hashCode exactly (BytesHash, HashQParserPlugin.java:292)."""
+    rows = built_index.docmap().select("doc_id", "repo").collect()
+
+    def jhash(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % (1 << 32)
+        return h
+
+    want = {r.doc_id for r in rows if (jhash(r.repo) % (1 << 31)) % 3 == 2}
+    got = {r.doc_id for r in solr_select(
+        built_index, "*:*" if False else "open",
+        fq="{!hash workers=3 worker=2 keys=repo}", rows=10000).collect()}
+    base = {r.doc_id for r in solr_select(
+        built_index, "open", rows=10000).collect()}
+    assert got == (want & base)
+
+
+def test_qparser_errors(built_index):
+    with pytest.raises(ValueError, match="unknown fq field"):
+        solr_select(built_index, "open", fq="{!terms f=nope}x")
+    with pytest.raises(ValueError, match="unsupported fq query parser"):
+        solr_select(built_index, "open", fq="{!frange l=0}x")
+    with pytest.raises(ValueError, match="requires keys"):
+        solr_select(built_index, "open", fq="{!hash workers=2 worker=0}")

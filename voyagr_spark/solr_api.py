@@ -427,7 +427,75 @@ def cursor_page(
     return page, next_mark
 
 
+#: fields the {!hash} parser treats as numeric (NumericHash); everything
+#: else hashes as a string (BytesHash -> Java String.hashCode)
+_NUMERIC_FQ_FIELDS = ("doc_id", "doclen", "nchars", "n_chars")
+
+_LOCAL_PARAMS_RE = re.compile(r"^\{!(\w+)((?:\s+\w+=[^\s}]+)*)\}(.*)$")
+
+
+def _java_string_hash(col):
+    """Java String.hashCode as one JVM aggregate expression — s[0]*31^(n-1)
+    + ... computed with int-overflow semantics (each step mod 2^32, which
+    preserves the value mod 2^31, the only bits {!hash} keeps).  ASCII
+    fields only (the docmap key fields are), like ascii()."""
+    return F.aggregate(
+        F.split(col.cast("string"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c)) % F.lit(4294967296),
+    )
+
+
+def _hash_qparser_predicate(params: dict):
+    """HashQParserPlugin (solr/core .../search/HashQParserPlugin.java:66,
+    185-230): fq={!hash workers=N worker=W keys=f1,f2} keeps the docs
+    whose composite key hash lands on this worker —
+    (hash & 0x7FFFFFFF) % workers == worker, hash = SUM of per-key hashes
+    (CompositeHash:350), string keys via String.hashCode (BytesHash:292),
+    numeric keys via Long.hashCode l^(l>>>32) (NumericHash:336).  The
+    parallel-streaming partitioner: each worker of a ParallelStream adds
+    this fq so the N workers cover the corpus disjointly.
+
+    All modular arithmetic stays in long: int truncation and sign
+    extension are multiples of 2^32, which vanish mod 2^31."""
+    workers = int(params["workers"])
+    worker = int(params["worker"])
+    keys = params.get("keys", params.get("partitionKeys", "")).split(",")
+    if not keys or not keys[0]:
+        raise ValueError("{!hash} requires keys=f1[,f2...]")
+    total = None
+    for kf in keys:
+        kf = kf.strip()
+        if kf in _NUMERIC_FQ_FIELDS:
+            c = F.col(kf).cast("long")
+            h = c.bitwiseXOR(F.shiftrightunsigned(c, 32))
+        else:
+            h = _java_string_hash(F.col(kf))
+        total = h if total is None else (total + h)
+    low31 = ((total % F.lit(2147483648)) + F.lit(2147483648)) \
+        % F.lit(2147483648)
+    return (low31 % F.lit(workers)) == F.lit(worker)
+
+
 def _fq_predicate(fq: str):
+    lp = _LOCAL_PARAMS_RE.match(fq.strip())
+    if lp:
+        name, raw, rest = lp.group(1), lp.group(2), lp.group(3)
+        params = dict(p.split("=", 1) for p in raw.split())
+        if name == "terms":
+            # TermsQParserPlugin (solr/core .../search/TermsQParserPlugin
+            # .java:47-70): {!terms f=field separator=,}v1,v2 -> a
+            # set-membership filter (the termsFilter method; the other
+            # methods are execution strategies for the same doc set)
+            fld = params.get("f")
+            if fld not in _DOCMAP_FIELDS and fld != "doc_id":
+                raise ValueError(f"unknown fq field {fld!r}")
+            sep = params.get("separator", ",")
+            vals = [_coerce(v) for v in rest.split(sep)]
+            return F.col(fld).isin(vals)
+        if name == "hash":
+            return _hash_qparser_predicate(params)
+        raise ValueError(f"unsupported fq query parser {name!r}")
     m = _FQ_RE.match(fq.strip())
     if not m:
         raise ValueError(f"unsupported fq syntax: {fq!r}")
