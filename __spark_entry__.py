@@ -778,6 +778,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_tf": lambda s, d: R.gram_terms_tf(s, d, 3, 3, edge=False),
         # LengthFilter (analysis/miscellaneous): tokens outside [3,8] drop
         "length_filter_tf": lambda s, d: R.length_terms_tf(s, d, 3, 8),
+        # KeepWordFilter: inverse stop filter, only listed words survive
+        "keep_word_tf": lambda s, d: R.keep_words_tf(
+            s, d, (_HOT, _RARE, "fast", "key")),
+        # PatternReplaceFilter: in-token regex substitution (replaceAll),
+        # applied before the stop stage (RE2-safe pattern so the DuckDB
+        # oracle evaluates the identical regex)
+        "pattern_replace_tf": lambda s, d: R.pattern_replace_tf(
+            s, d, "ing$", ""),
+        # LimitTokenCountFilter: only each doc's first 30 tokens index
+        "limit_tokens_tf": lambda s, d: R.limit_tokens_tf(s, d, 30),
         "doclen": lambda s, d: R.doclen(s, d),
         "term_stats": lambda s, d: R.term_stats(s, d),
         "collection_stats": lambda s, d: R.collection_stats(s, d),
@@ -3018,6 +3028,25 @@ def oracle_sql() -> dict[str, str]:
         "length_filter_tf": _BASE
         + """SELECT doc_id, term, count(*)::BIGINT AS tf
              FROM terms WHERE length(term) BETWEEN 3 AND 8
+             GROUP BY doc_id, term""",
+        "keep_word_tf": _BASE
+        + f"""SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM terms WHERE term IN ('{_HOT}', '{_RARE}', 'fast', 'key')
+             GROUP BY doc_id, term""",
+        # replacement happens BEFORE the stop filter, like the chain
+        "pattern_replace_tf": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_replace(lower(unnest(string_split(text, ' '))),
+                                    'ing$', '', 'g') AS term
+              FROM documents
+            ),
+            terms AS (SELECT * FROM tok WHERE term NOT IN {_STOP_SQL})
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM terms GROUP BY doc_id, term""",
+        "limit_tokens_tf": _BASE
+        + """SELECT doc_id, term, count(*)::BIGINT AS tf
+             FROM terms WHERE pos < 30
              GROUP BY doc_id, term""",
         "term_stats": _BASE + "SELECT term, df, ttf FROM st",
         "collection_stats": _BASE

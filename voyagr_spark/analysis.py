@@ -702,6 +702,13 @@ def word_delimiter_parts(token: str) -> list[str]:
     return s.split()
 
 
+def _token_type(t: str) -> str:
+    """StandardTokenizer type assignment, ASCII subset: '<NUM>' when the
+    token is digits only, else '<ALPHANUM>' (the two types the UAX#29
+    subset grammar produces on this corpus)."""
+    return "<NUM>" if t and t.isdigit() else "<ALPHANUM>"
+
+
 def _common_grams_index(
     terms: list[str], positions: list[int], common: frozenset
 ) -> tuple[list[str], list[int]]:
@@ -836,6 +843,36 @@ class Analyzer:
     #: code) always pass through unchanged, as the reference filter does.
     phonetic: str | None = None
     phonetic_inject: bool = True
+    #: TrimFilter analog (analysis/miscellaneous/TrimFilter.java:48-78):
+    #: strip leading/trailing whitespace from each token — a no-op under
+    #: whitespace-splitting tokenizers, meaningful with keyword/pattern
+    #: tokenizers; an all-whitespace token becomes the EMPTY token and is
+    #: kept, as the reference filter keeps it (pair with length_filter to
+    #: drop).  Runs right after the tokenizer.
+    trim: bool = False
+    #: LimitTokenCountFilter analog (miscellaneous/LimitTokenCountFilter
+    #: .java:50-72): only the first N tokenizer tokens pass (the indexing
+    #: truncation guard); positions/doclen shrink accordingly.  Runs right
+    #: after the tokenizer, before every other filter.
+    limit_tokens: int | None = None
+    #: PatternReplaceFilter analog (analysis/pattern/PatternReplaceFilter
+    #: .java:44-72): regex substitution inside each token —
+    #: (pattern, replacement, replace_all); an emptied token is kept,
+    #: like the reference (javadoc: pair with LengthFilter to drop).
+    #: Runs after lowercase/fold, before the stop stage, vocabulary-rate.
+    #: Python `re` syntax (documented divergence from java.util.regex for
+    #: exotic constructs; the shared subset is identical).
+    pattern_replace: tuple | None = None
+    #: KeepWordFilter analog (miscellaneous/KeepWordFilter.java:33-47):
+    #: the inverse stop filter — only listed words survive, dropped
+    #: tokens leave position holes (FilteringTokenFilter semantics).
+    keep_words: frozenset | tuple | None = None
+    #: TypeTokenFilter analog (analysis/core/TypeTokenFilter.java:28-60,
+    #: stop-types mode): drop tokens whose type is listed.  The UAX#29
+    #: subset grammar yields two types on this corpus — '<NUM>' (digits
+    #: only) and '<ALPHANUM>' (everything else); classification follows
+    #: StandardTokenizer's type assignment for ASCII input.
+    stop_types: tuple | None = None
     #: CommonGramsFilter analog (analysis/commongrams/CommonGramsFilter
     #: .java:102-183): for every adjacent token pair where EITHER member
     #: is a common word, a '_'-joined gram is ALSO indexed as a posinc-0
@@ -884,6 +921,27 @@ class Analyzer:
                 "reverse_wildcards/phonetic) — pair it with a whitespace "
                 "tokenizer, lowercase, stop, length and stem only"
             )
+        if self.keep_words is not None:
+            object.__setattr__(
+                self, "keep_words", tuple(sorted(set(self.keep_words))))
+        if self.stop_types is not None:
+            bad = set(self.stop_types) - {"<NUM>", "<ALPHANUM>"}
+            if bad:
+                raise ValueError(f"unknown token types {sorted(bad)!r}")
+            object.__setattr__(
+                self, "stop_types", tuple(sorted(set(self.stop_types))))
+        if self.limit_tokens is not None and self.limit_tokens < 1:
+            raise ValueError("limit_tokens must be >= 1")
+        if self.pattern_replace is not None:
+            pr = tuple(self.pattern_replace)
+            if len(pr) == 2:
+                pr = (*pr, True)
+            if len(pr) != 3:
+                raise ValueError(
+                    "pattern_replace = (pattern, replacement[, all])")
+            re.compile(pr[0])  # fail fast on a bad pattern
+            object.__setattr__(
+                self, "pattern_replace", (pr[0], pr[1], bool(pr[2])))
         if self.common_grams is not None:
             object.__setattr__(
                 self, "common_grams",
@@ -898,10 +956,12 @@ class Analyzer:
                     or self.edge_ngram or self.word_delimiter
                     or self.reverse_wildcards or self.phonetic
                     or self.payload_delim or self.stem
-                    or self.length_filter):
+                    or self.length_filter or self.keep_words
+                    or self.stop_types):
                 raise ValueError(
                     "common_grams composes with tokenizer/lowercase/"
-                    "fold_ascii/strip_html only"
+                    "fold_ascii/strip_html/trim/limit_tokens only "
+                    "(hole-punching filters break its adjacency)"
                 )
         if self.length_filter is not None:
             lmn, lmx = self.length_filter
@@ -976,6 +1036,11 @@ class Analyzer:
             and self.phonetic is None
             and self.payload_delim is None
             and self.common_grams is None
+            and not self.trim
+            and self.limit_tokens is None
+            and self.pattern_replace is None
+            and self.keep_words is None
+            and self.stop_types is None
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -1004,6 +1069,14 @@ class Analyzer:
             "payload_delim": self.payload_delim,
             "common_grams": (list(self.common_grams)
                              if self.common_grams else None),
+            "trim": self.trim,
+            "limit_tokens": self.limit_tokens,
+            "pattern_replace": (list(self.pattern_replace)
+                                if self.pattern_replace else None),
+            "keep_words": (list(self.keep_words)
+                           if self.keep_words else None),
+            "stop_types": (list(self.stop_types)
+                           if self.stop_types else None),
         }
 
     @staticmethod
@@ -1035,6 +1108,14 @@ class Analyzer:
             payload_delim=d.get("payload_delim"),
             common_grams=(tuple(d["common_grams"])
                           if d.get("common_grams") else None),
+            trim=bool(d.get("trim", False)),
+            limit_tokens=d.get("limit_tokens"),
+            pattern_replace=(tuple(d["pattern_replace"])
+                             if d.get("pattern_replace") else None),
+            keep_words=(tuple(d["keep_words"])
+                        if d.get("keep_words") else None),
+            stop_types=(tuple(d["stop_types"])
+                        if d.get("stop_types") else None),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -1044,6 +1125,10 @@ class Analyzer:
         if self.strip_html:
             text = strip_html(text or "")
         toks = self._chunk(_compiled(self.token_pattern).findall(text or ""))
+        if self.limit_tokens is not None:
+            toks = toks[: self.limit_tokens]
+        if self.trim:
+            toks = [t.strip() for t in toks]
         if self.payload_delim is not None:
             # strip the payload annotation — term/position semantics only
             # (the per-token payload stream lives on the batch path)
@@ -1054,12 +1139,22 @@ class Analyzer:
             toks = [p for t in toks for p in word_delimiter_parts(t)]
         terms, positions = [], []
         lf = self.length_filter
+        pr = self.pattern_replace
+        pr_pat = re.compile(pr[0]) if pr is not None else None
+        kw = frozenset(self.keep_words) if self.keep_words else None
+        st = self.stop_types
         for pos, tok in enumerate(toks):
             t = tok.lower() if self.lowercase else tok
             if self.fold_ascii:
                 t = fold_to_ascii(t)
+            if pr_pat is not None:
+                t = pr_pat.sub(pr[1], t, count=0 if pr[2] else 1)
             if t in self.stopwords:
                 continue
+            if kw is not None and t not in kw:
+                continue  # KeepWordFilter drop: position hole remains
+            if st is not None and _token_type(t) in st:
+                continue  # TypeTokenFilter drop: position hole remains
             if lf is not None and not (lf[0] <= len(t) <= lf[1]):
                 continue  # LengthFilter drop: position hole remains
             terms.append(t)
@@ -1163,6 +1258,9 @@ class Analyzer:
         mx = self.max_token_length
         if mx:
             toks = toks.map(self._chunk)
+        if self.limit_tokens is not None:
+            lim = self.limit_tokens
+            toks = toks.map(lambda lst: lst[:lim])
         if self.word_delimiter:
             # memoized per unique raw token — vocabulary-rate scalar cost,
             # same discipline as the stemmer/folder below
@@ -1205,6 +1303,8 @@ class Analyzer:
                     .to_numpy(dtype=np.float32)
                 )
             flat = split.str[0]
+        if self.trim:
+            flat = flat.str.strip()
         if self.lowercase:
             flat = flat.str.lower()
         if self.fold_ascii:
@@ -1213,10 +1313,28 @@ class Analyzer:
             codes, uniq = pd.factorize(flat)
             folded = np.array([fold_to_ascii(u) for u in uniq], dtype=object)
             flat = pd.Series(folded[codes], dtype=object)
+        if self.pattern_replace is not None:
+            # substitute the batch VOCABULARY once, map back by code —
+            # the stemmer's vocabulary-rate discipline
+            p, rrepl, rall = self.pattern_replace
+            rx = re.compile(p)
+            codes, uniq = pd.factorize(flat)
+            rep = np.array(
+                [rx.sub(rrepl, u, count=0 if rall else 1) for u in uniq],
+                dtype=object)
+            flat = pd.Series(rep[codes], dtype=object)
         keep = (
             ~flat.isin(self.stopwords) if self.stopwords
             else pd.Series(True, index=flat.index)
         )
+        if self.keep_words is not None:
+            keep &= flat.isin(frozenset(self.keep_words))
+        if self.stop_types is not None:
+            is_num = flat.str.fullmatch(r"[0-9]+").fillna(False)
+            if "<NUM>" in self.stop_types:
+                keep &= ~is_num
+            if "<ALPHANUM>" in self.stop_types:
+                keep &= is_num
         if self.length_filter is not None:
             lens = flat.str.len()
             keep &= (lens >= self.length_filter[0]) & (

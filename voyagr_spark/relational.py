@@ -1115,6 +1115,44 @@ def length_terms_tf(spark, sf_dir, mn: int = 3, mx: int = 8) -> DataFrame:
     return _analyzer_terms_tf(spark, sf_dir, Analyzer(length_filter=(mn, mx)))
 
 
+def keep_words_tf(spark, sf_dir, words: tuple) -> DataFrame:
+    """q: KeepWordFilter gate surface (analysis/miscellaneous/
+    KeepWordFilter.java): only the listed words survive the chain —
+    the inverse stop filter, holes preserved."""
+    from .analysis import Analyzer
+
+    return _analyzer_terms_tf(spark, sf_dir, Analyzer(keep_words=words))
+
+
+def pattern_replace_tf(spark, sf_dir, pattern: str, repl: str) -> DataFrame:
+    """q: PatternReplaceFilter gate surface (analysis/pattern/
+    PatternReplaceFilter.java): regex substitution inside each token
+    (replaceAll), applied before the stop stage so replaced forms that
+    become stopwords drop."""
+    from .analysis import Analyzer
+
+    return _analyzer_terms_tf(
+        spark, sf_dir, Analyzer(pattern_replace=(pattern, repl, True)))
+
+
+def limit_tokens_tf(spark, sf_dir, n: int) -> DataFrame:
+    """q: LimitTokenCountFilter gate surface (analysis/miscellaneous/
+    LimitTokenCountFilter.java): only each doc's first n tokenizer tokens
+    are analyzed/indexed."""
+    from .analysis import Analyzer
+
+    return _analyzer_terms_tf(spark, sf_dir, Analyzer(limit_tokens=n))
+
+
+def stop_types_tf(spark, sf_dir, types: tuple = ("<NUM>",)) -> DataFrame:
+    """q: TypeTokenFilter gate surface (analysis/core/TypeTokenFilter
+    .java, stop-types mode): tokens of the listed StandardTokenizer types
+    drop with holes ('<NUM>' = digits-only under the ASCII subset)."""
+    from .analysis import Analyzer
+
+    return _analyzer_terms_tf(spark, sf_dir, Analyzer(stop_types=types))
+
+
 def phonetic_terms_tf(spark, sf_dir) -> DataFrame:
     """q: PhoneticFilter gate surface (lucene/analysis/phonetic/
     PhoneticFilter.java, inject=false): per-doc tf with every token
