@@ -995,6 +995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Solr QParsers in fq: {!terms} set filter + {!hash} worker
         # partitioner ((hash & 0x7FFFFFFF) % workers == worker)
         "engine_fq_qparsers": _engine_fq_qparsers,
+        # CollapsingQParserPlugin: fq={!collapse field=lang} post-filter
+        "engine_collapse_select": _engine_collapse_select,
+        # FunctionRangeQuery: fq={!frange}func over a function value
+        "engine_frange_select": _engine_frange_select,
         # P5 RegexpQuery with top-level alternation — the ADVICE r2 case
         # where a bogus range prefilter silently dropped 'dup'; now
         # range-free, regex-only filtering (full-term match semantics)
@@ -2817,6 +2821,29 @@ def _engine_fq_qparsers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fq=["{!terms f=lang}en,de", "{!hash workers=3 worker=1 keys=doc_id}"],
         fl=["doc_id", "score", "lang"], rows=10,
     )
+
+
+def _engine_collapse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fq={!collapse field=lang}: one survivor per lang (highest score,
+    doc_id-asc tie) collapsed from the hot-term match set BEFORE the
+    top-10 cut — the CollapsingQParserPlugin post-filter."""
+    from voyagr_spark.solr_api import solr_select
+
+    idx = _engine_index(spark, sf_dir)
+    return solr_select(idx, _HOT, fq="{!collapse field=lang}",
+                       fl=["doc_id", "score", "lang"], rows=10)
+
+
+def _engine_frange_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fq={!frange l=.75 u=.9}recip(doclen,1,1000,1000): keep docs whose
+    FUNCTION value lies in the range — FunctionRangeQuery as one JVM
+    F.expr predicate."""
+    from voyagr_spark.solr_api import solr_select
+
+    idx = _engine_index(spark, sf_dir)
+    return solr_select(
+        idx, _HOT, fq="{!frange l=0.75 u=0.9}recip(doclen,1,1000,1000)",
+        fl=["doc_id", "score", "doclen"], rows=10)
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5103,6 +5130,33 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
             WHERE dm.lang IN ('en', 'de')
               AND ((((xor(t.doc_id, t.doc_id >> 32) % 2147483648)
                      + 2147483648) % 2147483648) % 3) = 1
+          ) WHERE rn <= 10"""
+    # CollapsingQParserPlugin: per-lang head (score desc, doc_id asc)
+    # collapsed before the global top-10 cut
+    d["engine_collapse_select"] = _engine_base_sql() + f"""
+          SELECT doc_id, score, lang FROM (
+            SELECT doc_id, score, lang,
+                   row_number() OVER (
+                     ORDER BY score DESC, doc_id ASC) AS rn
+            FROM (
+              SELECT t.doc_id, t.score, dm.lang,
+                     row_number() OVER (PARTITION BY dm.lang
+                       ORDER BY t.score DESC, t.doc_id ASC) AS g
+              FROM ({_SQL_TERM.format(t=_HOT)}) t
+              JOIN docmap0 dm USING (doc_id)
+            ) WHERE g = 1
+          ) WHERE rn <= 10"""
+    # FunctionRangeQuery: the same double-precision function expression
+    # evaluated on both engines (recip(x,m,a,b) = a/(m*x+b))
+    d["engine_frange_select"] = _engine_base_sql() + f"""
+          SELECT doc_id, score, doclen FROM (
+            SELECT t.doc_id, t.score, dl.doclen,
+                   row_number() OVER (
+                     ORDER BY t.score DESC, t.doc_id ASC) AS rn
+            FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
+            WHERE (CAST(1000 AS DOUBLE)
+                   / ((CAST(1 AS DOUBLE) * (dl.doclen))
+                      + CAST(1000 AS DOUBLE))) BETWEEN 0.75 AND 0.9
           ) WHERE rn <= 10"""
     # facet.heatmap: same lattice snap (bounds computed by the same
     # driver-side heatmap_bounds arithmetic), integer cell ids, edge

@@ -311,6 +311,69 @@ def test_qparser_errors(built_index):
     with pytest.raises(ValueError, match="unknown fq field"):
         solr_select(built_index, "open", fq="{!terms f=nope}x")
     with pytest.raises(ValueError, match="unsupported fq query parser"):
-        solr_select(built_index, "open", fq="{!frange l=0}x")
+        solr_select(built_index, "open", fq="{!graph from=a to=b}x")
     with pytest.raises(ValueError, match="requires keys"):
         solr_select(built_index, "open", fq="{!hash workers=2 worker=0}")
+
+
+def test_collapse_one_head_per_group(built_index):
+    rows = solr_select(built_index, "open", fq="{!collapse field=lang}",
+                       rows=100).collect()
+    langs = [r.lang for r in rows]
+    assert len(langs) == len(set(langs)) and langs
+    # each head is that group's best (score desc, doc_id asc)
+    full = solr_select(built_index, "open", rows=10000).collect()
+    best = {}
+    for r in sorted(full, key=lambda r: (-r.score, r.doc_id)):
+        best.setdefault(r.lang, r.doc_id)
+    assert {r.lang: r.doc_id for r in rows} == {
+        lang: best[lang] for lang in langs}
+
+
+def test_collapse_min_selector(built_index):
+    fl = ["doc_id", "score", "lang", "doclen"]
+    rows = solr_select(built_index, "open",
+                       fq="{!collapse field=lang min=doclen}",
+                       fl=fl, rows=100).collect()
+    full = solr_select(built_index, "open", fl=fl, rows=10000).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r.doclen, -r.score, r.doc_id)):
+        want.setdefault(r.lang, r.doc_id)
+    assert {r.lang: r.doc_id for r in rows} == want
+    rows_max = solr_select(built_index, "open",
+                           fq="{!collapse field=lang max=doclen}",
+                           fl=fl, rows=100).collect()
+    want_max = {}
+    for r in sorted(full, key=lambda r: (-r.doclen, -r.score, r.doc_id)):
+        want_max.setdefault(r.lang, r.doc_id)
+    assert {r.lang: r.doc_id for r in rows_max} == want_max
+
+
+def test_frange_filters_by_function_value(built_index):
+    rows = solr_select(
+        built_index, "open",
+        fq="{!frange l=0.8 u=0.95}recip(doclen,1,1000,1000)",
+        fl=["doc_id", "doclen"], rows=10000).collect()
+    assert rows
+    for r in rows:
+        v = 1000.0 / (r.doclen + 1000.0)
+        assert 0.8 <= v <= 0.95
+    # exclusive bounds
+    excl = solr_select(
+        built_index, "open",
+        fq="{!frange l=0.8 u=0.95 incl=false incu=false}"
+           "recip(doclen,1,1000,1000)",
+        fl=["doc_id", "doclen"], rows=10000).collect()
+    assert {r.doc_id for r in excl} <= {r.doc_id for r in rows}
+
+
+def test_collapse_frange_errors(built_index):
+    with pytest.raises(ValueError, match="unknown collapse field"):
+        solr_select(built_index, "open", fq="{!collapse field=nope}")
+    with pytest.raises(ValueError, match="at most one"):
+        solr_select(built_index, "open",
+                    fq=["{!collapse field=lang}", "{!collapse field=repo}"])
+    with pytest.raises(ValueError, match="requires l= and/or u="):
+        solr_select(built_index, "open", fq="{!frange}doclen")
+    with pytest.raises(ValueError, match="unknown frange field"):
+        solr_select(built_index, "open", fq="{!frange l=0}nope")

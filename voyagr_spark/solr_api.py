@@ -477,6 +477,73 @@ def _hash_qparser_predicate(params: dict):
     return (low31 % F.lit(workers)) == F.lit(worker)
 
 
+def _frange_predicate(lp):
+    """FunctionRangeQuery / {!frange l=.. u=.. incl=.. incu=..}func
+    (solr FunctionRangeQParserPlugin; lucene/queries FunctionRangeQuery):
+    keep docs whose FUNCTION value lies in [l, u] — the function is a
+    Solr function-query string over numeric docmap fields, compiled to
+    one JVM-side F.expr scalar (the funcquery discipline), so the filter
+    runs inside whole-stage codegen with no Python."""
+    from .funcquery import parse_func
+
+    params = dict(p.split("=", 1) for p in lp.group(2).split())
+    body = lp.group(3)
+    fqry = parse_func(body)
+    bad = [v for v in fqry.field_vars()
+           if v not in _DOCMAP_FIELDS and v != "doc_id"]
+    if bad:
+        raise ValueError(f"unknown frange field(s): {bad}")
+    if fqry.tf_refs or fqry.df_refs or fqry.scale is not None:
+        raise ValueError(
+            "frange covers field/constant functions "
+            "(termfreq/docfreq/scale ride the relational func_rank flow)")
+    col = F.expr(fqry.expr.sql({v: v for v in fqry.field_vars()}))
+    pred = None
+    if "l" in params:
+        lo = float(params["l"])
+        p = (col >= lo) if params.get("incl", "true") == "true" \
+            else (col > lo)
+        pred = p
+    if "u" in params:
+        hi = float(params["u"])
+        p = (col <= hi) if params.get("incu", "true") == "true" \
+            else (col < hi)
+        pred = p if pred is None else (pred & p)
+    if pred is None:
+        raise ValueError("{!frange} requires l= and/or u=")
+    return pred
+
+
+def _apply_collapse(joined, params: dict):
+    """CollapsingQParserPlugin post-filter: one survivor per collapse
+    field group — by highest score (default; doc_id-asc tie, the engine's
+    HitQueue discipline), or by the min/max of a numeric field with the
+    score as tie-break (CollapsingQParserPlugin.java:86-95).  nullPolicy
+    is the default `ignore` (docs with a NULL collapse value drop,
+    :99-101).  One grouped window — the collapse key is the shuffle key,
+    same shape as grouping/collapse everywhere else in the engine."""
+    from pyspark.sql import Window
+
+    fld = params.get("field")
+    if not fld or (fld not in _DOCMAP_FIELDS and fld != "doc_id"):
+        raise ValueError(f"unknown collapse field {fld!r}")
+    if "min" in params or "max" in params:
+        sel = params.get("min") or params.get("max")
+        if sel not in _DOCMAP_FIELDS and sel != "doc_id":
+            raise ValueError(f"unknown collapse selector field {sel!r}")
+        lead = F.asc(sel) if "min" in params else F.desc(sel)
+        order = [lead, F.desc("score"), F.asc("doc_id")]
+    else:
+        order = [F.desc("score"), F.asc("doc_id")]
+    w = Window.partitionBy(fld).orderBy(*order)
+    return (
+        joined.filter(F.col(fld).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _fq_predicate(fq: str):
     lp = _LOCAL_PARAMS_RE.match(fq.strip())
     if lp:
@@ -580,11 +647,27 @@ def solr_select(
     matches = scores(index, q)
     dm = index.docmap()
     joined = matches.join(dm, "doc_id")
+    collapse = None
     if fq:
         if isinstance(fq, str):
             fq = [fq]
         for f_ in fq:
+            lp = _LOCAL_PARAMS_RE.match(f_.strip())
+            if lp and lp.group(1) == "collapse":
+                # CollapsingQParserPlugin (solr/core .../search/
+                # CollapsingQParserPlugin.java:73-101): a POST filter —
+                # collapse runs on the scored set, not the docmap
+                if collapse is not None:
+                    raise ValueError("at most one {!collapse} fq")
+                collapse = dict(p.split("=", 1)
+                                for p in lp.group(2).split())
+                continue
+            if lp and lp.group(1) == "frange":
+                joined = joined.filter(_frange_predicate(lp))
+                continue
             joined = joined.filter(_fq_predicate(f_))
+    if collapse is not None:
+        joined = _apply_collapse(joined, collapse)
     if sort is None or sort.strip().lower() in ("score desc", "score"):
         ordered = joined.orderBy(F.desc("score"), F.asc("doc_id"))
     else:
