@@ -132,3 +132,86 @@ def test_end_to_end_phrase_collapses_to_gram(spark, tmp_path):
         r["doc_id"] for r in idx.docmap().collect()
         if "the fox" in texts[int(r["path"][1:])]
     }
+
+
+def _java_cgf(tokens, common):
+    """Literal transcription of CommonGramsFilter.incrementToken
+    (buffer/savedState machine) — the differential reference."""
+    out = []  # (term, posinc)
+    buffer = ""
+    last_was_common = False
+    saved = None
+    i = 0
+    while True:
+        if saved is not None:
+            tok = saved
+            saved = None
+            buffer = tok + "_"
+            last_was_common = tok in common
+            out.append((tok, 1))
+            continue
+        if i >= len(tokens):
+            break
+        tok = tokens[i]
+        i += 1
+        if last_was_common or (tok in common and buffer):
+            saved = tok
+            out.append((buffer + tok, 0))
+            continue
+        buffer = tok + "_"
+        last_was_common = tok in common
+        out.append((tok, 1))
+    return out
+
+
+def _java_cgqf(cgf_out):
+    """Literal transcription of CommonGramsQueryFilter.incrementToken
+    (previous/previousType machine)."""
+    out = []
+    previous = None        # (term, posinc, is_gram)
+    previous_type_gram = None
+    for term, posinc in cgf_out:
+        is_gram = "_" in term and posinc == 0
+        cur = (term, posinc, is_gram)
+        if previous is not None and not is_gram:
+            t, p, g = previous
+            previous = cur
+            previous_type_gram = g
+            out.append((t, 1 if g else p))
+            continue
+        previous = cur
+    if previous is not None and not previous_type_gram:
+        t, p, g = previous
+        out.append((t, 1 if g else p))
+    return out
+
+
+def test_randomized_differential_vs_java_machines():
+    """300 random token streams: our vectorized index/query forms must
+    equal the literal Java state machines token-for-token."""
+    import random
+
+    from voyagr_spark.analysis import (_common_grams_index,
+                                       _common_grams_query)
+
+    rng = random.Random(7)
+    vocab = ["s1", "s2", "n1", "n2", "n3", "n4"]
+    common = frozenset({"s1", "s2"})
+    for _ in range(300):
+        n = rng.randint(1, 8)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        # index form: same terms in the same stream order, with grams at
+        # the left word's position
+        want_idx = _java_cgf(toks, common)
+        got_t, got_p = _common_grams_index(toks, list(range(n)), common)
+        # reconstruct positions from the Java posinc stream
+        pos, want_pos, want_terms = -1, [], []
+        for term, inc in want_idx:
+            pos += inc
+            want_terms.append(term)
+            want_pos.append(pos)
+        assert (got_t, got_p) == (want_terms, want_pos), toks
+        # query form: same surviving token sequence
+        want_q = [t for t, _ in _java_cgqf(want_idx)]
+        got_q, _ = _common_grams_query(toks, list(range(n)), common)
+        assert got_q == want_q, toks
