@@ -664,6 +664,16 @@ def _sharded_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sharded_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed /terms: the 3-shard merge must equal the unsplit
+    dictionary enumeration exactly (df additive over disjoint docs)."""
+    from voyagr_spark.shards import sharded_terms_enum
+
+    shards = _engine_shards(spark, sf_dir)
+    return sharded_terms_enum(shards, lower="f", upper="m", mincount=2,
+                              limit=10)
+
+
 def _rank_window(res: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1109,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed spellcheck (SpellCheckComponent.finishStage): identical
         # suggestions merged by summing shard document frequencies
         "sharded_suggest": _sharded_suggest,
+        # distributed TermsComponent: per-shard dictionary slices merged
+        # by summed df, mincount after the merge
+        "sharded_terms_enum": _sharded_terms_enum,
         # expressions module (lucene/expressions): the JS-like ranking
         # expression compiles ONCE and renders to the same SQL tree on
         # both sides (parity by construction); comparisons are 1.0/0.0
@@ -4222,6 +4235,7 @@ def oracle_sql() -> dict[str, str]:
     # distributed spellcheck: summed shard dfs == corpus dfs, so the merged
     # ranking is the single-dictionary suggest ranking verbatim
     d["sharded_suggest"] = d["suggest_term"]
+    d["sharded_terms_enum"] = d["terms_enum"]
     # span family: freq per SpanScorer = float32 fold of fl(1/(width+1))
     # over produced spans; width-1 spans contribute an exact 0.5 each, so
     # count*0.5 reproduces the fold; the ordered-near matches on width-1

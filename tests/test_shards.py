@@ -280,3 +280,19 @@ def test_random_sharded_sweep_3_shards(
         if got != want:
             failures.append((q, got[:3], want[:3]))
     assert not failures, failures[:5]
+
+
+def test_sharded_terms_enum_equals_unsplit(spark, shard_pair, built_index):
+    from pyspark.sql import functions as F
+
+    from voyagr_spark.shards import sharded_terms_enum
+
+    got = [(r.term, r.df) for r in sharded_terms_enum(
+        shard_pair, lower="a", upper="z", mincount=2, limit=25).collect()]
+    st = (built_index.term_stats()
+          .filter("term >= 'a' AND term <= 'z'")
+          .groupBy("term").agg(F.sum("df").alias("df"))
+          .filter("df >= 2"))
+    want = [(r.term, r.df) for r in st.orderBy(
+        F.desc("df"), F.asc("term")).limit(25).collect()]
+    assert got == want

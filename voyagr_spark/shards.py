@@ -486,6 +486,38 @@ def sharded_group_top1(
     )
 
 
+def sharded_terms_enum(
+    shards: list["Index"], lower: str | None = None,
+    upper: str | None = None, mincount: int = 1, limit: int = 10,
+) -> DataFrame:
+    """Distributed TermsComponent (solr/core .../component/TermsComponent
+    .java — the distributed path sums per-shard term statistics in
+    finishStage, like the spellcheck merge): each shard contributes its
+    dictionary slice under the range predicates (a pushdown-shaped scan of
+    the shard's sorted term stats), identical terms merge by SUMMING df —
+    exact over the disjoint doc partition — and terms.mincount applies
+    AFTER the merge, so a term rare on every shard still clears the global
+    threshold.  Ranking is the component's count sort (df desc, term asc),
+    TakeOrdered for the limit."""
+    parts = []
+    for s in shards:
+        st = s.term_stats().select("term", "df")
+        if lower is not None:
+            st = st.filter(F.col("term") >= lower)
+        if upper is not None:
+            st = st.filter(F.col("term") <= upper)
+        parts.append(st)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("term").agg(F.sum("df").alias("df"))
+        .filter(F.col("df") >= mincount)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+    )
+
+
 def sharded_suggest(
     shards: list[Index], term: str, max_edits: int = 2, top: int = 5,
     min_df: int = 1,
