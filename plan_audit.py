@@ -408,6 +408,47 @@ def main() -> None:
          for name, ok in stats_checks + group_checks],
     ))
 
+    # 10. ninth-session surfaces: CommonGrams phrase collapse, the
+    # FreeTextSuggester lookup, and the {!collapse} post-filter
+    cg = m._engine_cg_index(spark, "/root/testdata/sf0.001")
+    cg.unpin()
+    pcg = _plan(search(cg, '"the batch"', k=10))
+    cg_checks = [
+        ("CG phrase reads NO positions (pos_blob pruned — the phrase "
+         "collapsed to one gram TermQuery)",
+         all("pos_blob" not in l for l in pcg.splitlines()
+             if "ReadSchema" in l)),
+        ("gram term predicate pushed to parquet",
+         any("PushedFilters" in l and "term" in l
+             for l in pcg.splitlines())),
+    ]
+    cg.pin()
+    from voyagr_spark import relational as R
+
+    pft = _plan(R.free_text_suggest(spark, "/root/testdata/sf0.001",
+                                    "fast k", 10))
+    ft_checks = [
+        ("per-model top-N is TakeOrderedAndProject",
+         "TakeOrderedAndProject" in pft),
+        ("no corpus-wide rangepartitioning in the suggester",
+         "rangepartitioning" not in pft),
+    ]
+    from voyagr_spark.solr_api import solr_select
+
+    pcol = _plan(solr_select(idx, "batch", fq="{!collapse field=lang}",
+                             rows=10))
+    col_checks = [
+        ("collapse window shuffles on the collapse key "
+         "(hashpartitioning(lang)), never a global window",
+         "hashpartitioning(lang" in pcol),
+    ]
+    sections.append((
+        "ninth-session surfaces (CommonGrams / FreeText / collapse)",
+        _excerpt(pcg, ["ReadSchema"]) + _excerpt(pcol, ["hashpartitioning(lang"]),
+        [f"{'PASS' if ok else 'FAIL'}: {name}"
+         for name, ok in cg_checks + ft_checks + col_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
