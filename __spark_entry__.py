@@ -1058,6 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
         # over the index term dictionary (same oracle as the relational twin)
         "engine_suggest": _engine_suggest,
+        # SpellCheckCollator: the corrected query verified against the
+        # index — only hit-returning collations emit, with their counts
+        "engine_collate": _engine_collate,
         # K6 explain: the explanation's top value must be bit-identical to
         # the score the scorer gives the rank-1 hit (oracle: rank-1 row)
         "engine_explain": _engine_explain,
@@ -2780,6 +2783,16 @@ def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest(idx, "batcj", max_edits=2, top=5).select(
         "term", "df", F.col("dist").cast("long").alias("dist")
     )
+
+
+def _engine_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellCheckCollator: 'batcj AND dup' — 'batcj' is not in the
+    dictionary, the collator substitutes the top DirectSpellChecker
+    suggestion and verifies the corrected query (hits > 0 required)."""
+    from voyagr_spark.highlight import spellcheck_collate
+
+    idx = _engine_index(spark, sf_dir)
+    return spellcheck_collate(idx, "batcj AND dup", max_collations=1)
 
 
 def _engine_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5109,6 +5122,26 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
           WHERE fp.rn <= 50
         ) WHERE rank <= 10"""
     d["engine_suggest"] = d["suggest_term"]
+    # SpellCheckCollator: top suggestion for the unknown term spliced
+    # into the query, verified by the AND-count (hits > 0 required)
+    d["engine_collate"] = _BASE + """
+        , sg AS (
+            SELECT term FROM (
+              SELECT term, df, levenshtein(term, 'batcj') AS dist
+              FROM st WHERE term != 'batcj'
+                AND length(term) BETWEEN 3 AND 7
+            ) WHERE dist <= 2
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 1
+        ),
+        h AS (
+            SELECT count(*)::BIGINT AS hits FROM (
+              SELECT doc_id FROM tf WHERE term = (SELECT term FROM sg)
+              INTERSECT
+              SELECT doc_id FROM tf WHERE term = 'dup'
+            )
+        )
+        SELECT (SELECT term FROM sg) || ' AND dup' AS collation, hits
+        FROM h WHERE hits > 0"""
     d["engine_hydrate"] = _engine_base_sql() + f"""
         SELECT t.doc_id, t.score, dm.text AS content FROM (
           SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn,

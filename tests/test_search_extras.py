@@ -293,3 +293,31 @@ def test_sort_rescore(built_index):
     assert keys == sorted(keys)  # field order with doc_id tiebreak
     for r in got:  # scores carried through unchanged (trackScores=true)
         assert np.float32(r["score"]) == f[r["doc_id"]]
+
+
+def test_spellcheck_collate(built_index):
+    """SpellCheckCollator: corrections splice into the ORIGINAL query,
+    only verified (hits>0) collations emit, ranked combos try in order."""
+    from voyagr_spark.highlight import spellcheck_collate, suggest
+    from voyagr_spark.search import count
+
+    rows = spellcheck_collate(built_index, "opeb AND file",
+                              max_collations=1).collect()
+    assert len(rows) == 1
+    best = suggest(built_index, "opeb", top=1).collect()[0]["term"]
+    assert rows[0]["collation"] == f"{best} AND file"
+    assert rows[0]["hits"] == count(built_index, f"{best} AND file") > 0
+    # a fully-known query needs no collation
+    assert spellcheck_collate(built_index, "open AND file").count() == 0
+    # unknown term with no suggestions within maxEdits -> empty
+    assert spellcheck_collate(
+        built_index, "zzqqzzqqzz AND file").count() == 0
+    # two misspelled terms: both corrected in one collation
+    multi = spellcheck_collate(built_index, "opeb AND filr",
+                               max_collations=1, max_tries=8).collect()
+    if multi:  # both corrections must be dictionary terms
+        dfs = built_index.term_dfs(
+            [w.lower() for w in multi[0]["collation"].split()
+             if w not in ("AND",)])
+        assert all(v > 0 for v in dfs.values())
+        assert multi[0]["hits"] > 0

@@ -251,3 +251,73 @@ def _fragment_from_offsets(
         last = e_
     out.append(content[last:frag_end])
     return "".join(out)
+
+
+def spellcheck_collate(
+    index,
+    qtext: str,
+    max_collations: int = 1,
+    max_tries: int = 5,
+    max_edits: int = 2,
+) -> "DataFrame":
+    """SpellCheckCollator (solr/core .../spelling/SpellCheckCollator.java:
+    51-184): rewrite the ORIGINAL query with spelling corrections and
+    verify each candidate against the index — only collations that would
+    actually return hits are emitted, with their hit counts
+    (collation.setHits, :165-169).  -> DataFrame(collation, hits), best
+    first, at most max_collations rows.
+
+    Faithful shape:
+    * "misspelled" = query terms absent from the dictionary (df == 0),
+      checked in ONE bounded term-stats lookup; operators/range keywords
+      are never corrected (getCollation replaces only term tokens).
+    * candidate combinations iterate in rank order — the sum of each
+      correction's suggestion rank, ties by the index tuple — the
+      PossibilityIterator's ranked walk (PossibilityIterator.java).
+    * each try substitutes corrections INTO the original query text at
+      the term's occurrences (getCollation's offset splice, :186-235) and
+      re-queries; the verification count is the distributed
+      TotalHitCountCollector path (search.count), exactly the reference's
+      re-query with rows=0 semantics (:144-156).
+    * the loop stops after max_tries verifications or max_collations
+      accepted collations (:89)."""
+    import re as _re
+    from itertools import product
+
+    from .search import count as _count
+
+    opars = {"AND", "OR", "NOT", "TO"}
+    toks = _re.findall(r"[A-Za-z0-9_]+", qtext)
+    terms = [w for w in dict.fromkeys(toks) if w not in opars]
+    dfs = index.term_dfs([w.lower() for w in terms])
+    bad = [w for w in terms if dfs.get(w.lower(), 0) == 0]
+    schema = "collation string, hits long"
+    if not bad:
+        return index.spark.createDataFrame([], schema)
+    cand: list[list[str]] = []
+    for w in bad:
+        s = [r["term"] for r in
+             suggest(index, w, max_edits=max_edits,
+                     top=max_tries).collect()]
+        if not s:
+            return index.spark.createDataFrame([], schema)
+        cand.append(s)
+    combos = sorted(
+        product(*(range(len(s)) for s in cand)),
+        key=lambda idxs: (sum(idxs), idxs),
+    )
+    rows: list[tuple[str, int]] = []
+    tries = 0
+    for idxs in combos:
+        if tries >= max_tries or len(rows) >= max_collations:
+            break
+        tries += 1
+        coll = qtext
+        for w, s, i in zip(bad, cand, idxs):
+            coll = _re.sub(rf"\b{_re.escape(w)}\b", s[i], coll)
+        hits = _count(index, coll)
+        if hits > 0:
+            rows.append((coll, int(hits)))
+    if not rows:
+        return index.spark.createDataFrame([], schema)
+    return index.spark.createDataFrame(rows, schema)
