@@ -798,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, d, "ing$", ""),
         # LimitTokenCountFilter: only each doc's first 30 tokens index
         "limit_tokens_tf": lambda s, d: R.limit_tokens_tf(s, d, 30),
+        # TruncateTokenFilter: length-5 prefixes, before the stop stage
+        "truncate_tf": lambda s, d: R.truncate_tf(s, d, 5),
         "doclen": lambda s, d: R.doclen(s, d),
         "term_stats": lambda s, d: R.term_stats(s, d),
         "collection_stats": lambda s, d: R.collection_stats(s, d),
@@ -3101,6 +3103,16 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT doc_id, term, count(*)::BIGINT AS tf
              FROM terms WHERE pos < 30
              GROUP BY doc_id, term""",
+        "truncate_tf": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     substring(lower(unnest(string_split(text, ' '))),
+                               1, 5) AS term
+              FROM documents
+            ),
+            terms AS (SELECT * FROM tok WHERE term NOT IN {_STOP_SQL})
+            SELECT doc_id, term, count(*)::BIGINT AS tf
+            FROM terms GROUP BY doc_id, term""",
         "term_stats": _BASE + "SELECT term, df, ttf FROM st",
         "collection_stats": _BASE
         + """SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,

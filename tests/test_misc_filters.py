@@ -105,3 +105,37 @@ def test_index_end_to_end_keep_words(spark, tmp_path):
     assert vocab == {"alpha", "delta"}
     assert Index(spark, str(tmp_path / "kw")).analyzer.keep_words == \
         ("alpha", "delta")
+
+
+KWM_CASES = [
+    # KeywordMarker protects listed terms from the stemmer
+    (Analyzer(stem="porter", keyword_marker=("running",)),
+     "running jumps", (["running", "jump"], [0, 1])),
+    # Truncate: length-4 prefixes before the stop stage
+    (Analyzer(truncate=4), "elephants cat the", (["elep", "cat"], [0, 1])),
+    # RemoveDuplicates: a posinc-0 duplicate (here: a synonym map that
+    # re-injects the source term) emits once
+    (Analyzer(synonyms={"fast": ("fast", "quick")}, remove_duplicates=True),
+     "fast dog", (["fast", "quick", "dog"], [0, 0, 1])),
+]
+
+
+@pytest.mark.parametrize("an,text,want", KWM_CASES)
+def test_marker_truncate_dedup_scalar_and_flat(an, text, want):
+    assert an.analyze_text(text) == want
+    terms, pos, doc, _ = an.analyze_flat(pd.Series([text]))
+    assert (list(terms), list(pos)) == want
+    assert Analyzer.from_dict(an.to_dict()) == an
+
+
+def test_remove_duplicates_keeps_distinct_positions():
+    """The same term at DIFFERENT positions is never deduped
+    (RemoveDuplicatesTokenFilter clears `previous` on posinc > 0)."""
+    an = Analyzer(remove_duplicates=True)
+    assert an.analyze_text("dog dog dog") == (
+        ["dog", "dog", "dog"], [0, 1, 2])
+
+
+def test_truncate_validation():
+    with pytest.raises(ValueError, match="truncate"):
+        Analyzer(truncate=0)

@@ -873,6 +873,21 @@ class Analyzer:
     #: only) and '<ALPHANUM>' (everything else); classification follows
     #: StandardTokenizer's type assignment for ASCII input.
     stop_types: tuple | None = None
+    #: SetKeywordMarkerFilter analog (analysis/miscellaneous/
+    #: SetKeywordMarkerFilter.java:28-49 + KeywordMarkerFilter): listed
+    #: terms are marked keywords and the stemmer leaves them untouched
+    #: (PorterStemFilter honors KeywordAttribute, PorterStemFilter.java).
+    keyword_marker: tuple | None = None
+    #: TruncateTokenFilter analog (analysis/miscellaneous/
+    #: TruncateTokenFilter.java:34-48): tokens truncate to the prefix of
+    #: length n; shorter tokens pass unchanged.  Runs with
+    #: pattern_replace, after lowercase/fold and BEFORE the stop stage.
+    truncate: int | None = None
+    #: RemoveDuplicatesTokenFilter analog (analysis/miscellaneous/
+    #: RemoveDuplicatesTokenFilter.java:34-66): a token is dropped iff it
+    #: has the same term text as an already-emitted token AT THE SAME
+    #: position (posinc 0) — the synonym/phonetic de-dup; runs LAST.
+    remove_duplicates: bool = False
     #: CommonGramsFilter analog (analysis/commongrams/CommonGramsFilter
     #: .java:102-183): for every adjacent token pair where EITHER member
     #: is a common word, a '_'-joined gram is ALSO indexed as a posinc-0
@@ -924,6 +939,12 @@ class Analyzer:
         if self.keep_words is not None:
             object.__setattr__(
                 self, "keep_words", tuple(sorted(set(self.keep_words))))
+        if self.keyword_marker is not None:
+            object.__setattr__(
+                self, "keyword_marker",
+                tuple(sorted(set(self.keyword_marker))))
+        if self.truncate is not None and self.truncate < 1:
+            raise ValueError("truncate must be >= 1")
         if self.stop_types is not None:
             bad = set(self.stop_types) - {"<NUM>", "<ALPHANUM>"}
             if bad:
@@ -1041,6 +1062,9 @@ class Analyzer:
             and self.pattern_replace is None
             and self.keep_words is None
             and self.stop_types is None
+            and self.keyword_marker is None
+            and self.truncate is None
+            and not self.remove_duplicates
         )
 
     # -- serialization (stored in index meta so queries analyze identically)
@@ -1077,6 +1101,10 @@ class Analyzer:
                            if self.keep_words else None),
             "stop_types": (list(self.stop_types)
                            if self.stop_types else None),
+            "keyword_marker": (list(self.keyword_marker)
+                               if self.keyword_marker else None),
+            "truncate": self.truncate,
+            "remove_duplicates": self.remove_duplicates,
         }
 
     @staticmethod
@@ -1116,6 +1144,10 @@ class Analyzer:
                         if d.get("keep_words") else None),
             stop_types=(tuple(d["stop_types"])
                         if d.get("stop_types") else None),
+            keyword_marker=(tuple(d["keyword_marker"])
+                            if d.get("keyword_marker") else None),
+            truncate=d.get("truncate"),
+            remove_duplicates=bool(d.get("remove_duplicates", False)),
         )
 
     # -- single string (query parsing, tests, oracle)
@@ -1149,6 +1181,8 @@ class Analyzer:
                 t = fold_to_ascii(t)
             if pr_pat is not None:
                 t = pr_pat.sub(pr[1], t, count=0 if pr[2] else 1)
+            if self.truncate is not None:
+                t = t[: self.truncate]
             if t in self.stopwords:
                 continue
             if kw is not None and t not in kw:
@@ -1170,7 +1204,8 @@ class Analyzer:
         if self.stem == "porter":
             from .porter import stem as _pstem
 
-            terms = [_pstem(t) for t in terms]
+            kwm = frozenset(self.keyword_marker or ())
+            terms = [t if t in kwm else _pstem(t) for t in terms]
         if self.phonetic:
             from .phonetic import soundex as _sdx
 
@@ -1217,6 +1252,16 @@ class Analyzer:
                 for s in smap.get(t, ()):
                     t2.append(s)  # injected at the same position (posinc 0)
                     p2.append(p)
+            terms, positions = t2, p2
+        if self.remove_duplicates:
+            seen: set = set()
+            t2, p2 = [], []
+            for t, p in zip(terms, positions):
+                if (p, t) in seen:
+                    continue
+                seen.add((p, t))
+                t2.append(t)
+                p2.append(p)
             terms, positions = t2, p2
         return terms, positions
 
@@ -1323,6 +1368,8 @@ class Analyzer:
                 [rx.sub(rrepl, u, count=0 if rall else 1) for u in uniq],
                 dtype=object)
             flat = pd.Series(rep[codes], dtype=object)
+        if self.truncate is not None:
+            flat = flat.str.slice(0, self.truncate)
         keep = (
             ~flat.isin(self.stopwords) if self.stopwords
             else pd.Series(True, index=flat.index)
@@ -1377,8 +1424,10 @@ class Analyzer:
             # scalar stemmer off the token-stream hot path
             from .porter import stem as _pstem
 
+            kwm = frozenset(self.keyword_marker or ())
             codes, uniq = pd.factorize(out_terms)
-            stemmed = np.array([_pstem(u) for u in uniq], dtype=object)
+            stemmed = np.array(
+                [u if u in kwm else _pstem(u) for u in uniq], dtype=object)
             out_terms = stemmed[codes]
         if self.phonetic and out_terms.size:
             # encode the batch VOCABULARY once, map back by code — the
@@ -1470,6 +1519,14 @@ class Analyzer:
                 out_pos, out_doc = out_pos[order], out_doc[order]
             # doclens unchanged: injected tokens are posinc-0 overlaps and
             # discountOverlaps=true excludes overlaps from the norm length
+        if self.remove_duplicates and out_terms.size:
+            # keep-first over (doc, pos, term) — posinc-0 duplicates only
+            dup = pd.DataFrame(
+                {"d": out_doc, "p": out_pos, "t": out_terms}
+            ).duplicated().to_numpy()
+            if dup.any():
+                out_terms = out_terms[~dup]
+                out_pos, out_doc = out_pos[~dup], out_doc[~dup]
         if want_payloads:
             if self.payload_delim is None:
                 raise ValueError("want_payloads requires payload_delim")

@@ -1153,6 +1153,15 @@ def stop_types_tf(spark, sf_dir, types: tuple = ("<NUM>",)) -> DataFrame:
     return _analyzer_terms_tf(spark, sf_dir, Analyzer(stop_types=types))
 
 
+def truncate_tf(spark, sf_dir, n: int) -> DataFrame:
+    """q: TruncateTokenFilter gate surface (analysis/miscellaneous/
+    TruncateTokenFilter.java): every token truncates to its length-n
+    prefix BEFORE the stop stage."""
+    from .analysis import Analyzer
+
+    return _analyzer_terms_tf(spark, sf_dir, Analyzer(truncate=n))
+
+
 def phonetic_terms_tf(spark, sf_dir) -> DataFrame:
     """q: PhoneticFilter gate surface (lucene/analysis/phonetic/
     PhoneticFilter.java, inject=false): per-doc tf with every token
