@@ -114,3 +114,116 @@ def test_unigram_only_model(spark, docs_dir):
 def test_empty_key_raises(spark, docs_dir):
     with pytest.raises(ValueError, match="no tokens"):
         free_text_suggest(spark, docs_dir, " ", 5)
+
+
+def _java_lookup(texts, key, num, grams):
+    """Literal transcription of FreeTextSuggester.lookup
+    (FreeTextSuggester.java:468-737) over an in-memory ngram model —
+    the randomized differential reference."""
+    from collections import Counter
+
+    model = Counter()
+    tot = 0
+    for t in texts:
+        toks = t.split()
+        tot += len(toks)
+        for n in range(1, grams + 1):
+            for i in range(len(toks) - n + 1):
+                model[" ".join(toks[i:i + n])] += 1
+
+    toks = key.split()
+    if not toks:
+        raise ValueError("no tokens")
+    ended = key != key.rstrip()
+    # lastTokens per gram count (0-based: gramCount-1)
+    last = [None] * grams
+    for g in range(grams):
+        if len(toks) >= g + 1:
+            last[g] = " ".join(toks[-(g + 1):])
+    if ended:
+        for i in range(grams - 1, 0, -1):
+            if last[i - 1] is not None:
+                last[i] = last[i - 1] + " "
+        last[0] = ""
+
+    ALPHA = 0.4
+    backoff = 1.0
+    seen = set()
+    results = []
+    for gram in range(grams - 1, -1, -1):
+        token = last[gram]
+        if token is None or (token == "" and len(key) > 0):
+            continue  # not enough input: NO backoff consumed
+        # prefix lookup: completions within the SAME model order
+        order = gram + 1
+        comps = sorted(
+            ((g, c) for g, c in model.items()
+             if g.startswith(token) and len(g.split()) == order),
+            key=lambda gc: (-gc[1], gc[0]),
+        )
+        if not any(model.get(p) for p in [token]
+                   ) and not comps:
+            # prefixOutput == None analog: nothing in this model starts
+            # with the token
+            backoff *= ALPHA
+            continue
+        # contextCount: the count of the prefix before the last separator
+        sp = token.rsplit(" ", 1)
+        if len(sp) == 2 and sp[0]:
+            ctx_count = model[sp[0]]
+        else:
+            ctx_count = tot
+        emitted = 0
+        for g, c in comps:
+            if emitted >= num:
+                break
+            last_tok = g.rsplit(" ", 1)[-1]
+            if last_tok in seen:
+                continue
+            seen.add(last_tok)
+            results.append((g, (backoff * c) / ctx_count))
+            emitted += 1
+        backoff *= ALPHA
+    results.sort(key=lambda r: (-r[1], r[0]))
+    return results[:num]
+
+
+def test_randomized_differential_vs_java_lookup(spark, tmp_path_factory):
+    """30 random keys over a random corpus, grams 2 and 3: the DataFrame
+    pipeline must equal the literal reference walk."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(19)
+    vocab = ["aa", "ab", "abc", "ba", "bb", "ca", "cb", "dd"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+             for _ in range(12)]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+    })
+    d = tmp_path_factory.mktemp("ftrand")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+
+    keys = []
+    for _ in range(15):
+        n = rng.randint(1, 3)
+        ks = [rng.choice(vocab) for _ in range(n - 1)]
+        # last fragment: a prefix of a vocab word, or an unseen token
+        frag = rng.choice([rng.choice(vocab)[:rng.randint(1, 2)], "zz"])
+        key = " ".join(ks + [frag])
+        if rng.random() < 0.3:
+            key += " "
+        keys.append(key)
+
+    for grams in (2, 3):
+        for key in keys:
+            want = _java_lookup(texts, key, 5, grams)
+            got = [(r["suggestion"], r["score"])
+                   for r in free_text_suggest(spark, str(d), key, 5,
+                                              grams=grams).collect()]
+            assert [s for s, _ in got] == [s for s, _ in want], (
+                grams, repr(key), got, want)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-12, (grams, repr(key), got, want)
