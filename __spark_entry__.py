@@ -912,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: R.ann_topk(s, d, 0, 10),
         "ann_sq8_topk": lambda s, d: R.sq8_ann_topk(s, d, 0, 10),
         "cosine_pairs": lambda s, d: R.cosine_pairs(s, d, 0.4),
+        # SemDeDup (Abbas et al. 2023): cosine near-dup edges ->
+        # connected components -> keep the min vec_id per cluster
+        "semantic_dedup": lambda s, d: R.semantic_dedup(s, d, 0.4),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
         # connected-component duplicate clustering: cluster = min doc_id
@@ -4175,6 +4178,28 @@ def oracle_sql() -> dict[str, str]:
                    AS rank, vec_id, qdot
           FROM s
         ) WHERE rank <= 10"""
+    d["semantic_dedup"] = """
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        z AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 unnest(a.v) AS x, unnest(b.v) AS y
+          FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        pr AS (
+          SELECT va, vb FROM z GROUP BY va, vb
+          HAVING round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))),
+                       4) >= 0.4),
+        edges AS (SELECT va AS a, vb AS b FROM pr
+                  UNION ALL SELECT vb, va FROM pr),
+        reach AS (
+          SELECT vec_id, vec_id AS r FROM embeddings
+          UNION
+          SELECT e2.a AS vec_id, re.r
+          FROM edges e2 JOIN reach re ON re.vec_id = e2.b
+        )
+        SELECT vec_id, min(r)::BIGINT AS cluster,
+               (vec_id = min(r)) AS keep
+        FROM reach GROUP BY vec_id"""
     d["cosine_pairs"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         z AS (

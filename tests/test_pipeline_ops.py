@@ -482,3 +482,57 @@ def test_substring_dup_spans_planted(spark, tmp_path):
     assert rows[0] == (2, 14, 3)
     assert rows[1] == (0, 12, 3)
     assert 2 not in rows
+
+
+def test_semantic_dedup_planted_cluster(spark, tmp_path_factory):
+    """Three planted near-identical embeddings must land in ONE cluster
+    with the min id kept; an orthogonal vector stays a singleton;
+    transitivity holds through a chain (a~b, b~c, a!~c)."""
+    import numpy as np
+    import pandas as pd
+
+    from voyagr_spark.relational import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    base /= np.linalg.norm(base)
+    chain_mid = None
+    vecs = {}
+    # 0,1,2: jittered copies of base (pairwise cos ~ 1)
+    for i in range(3):
+        v = base + rng.standard_normal(8) * 0.01
+        vecs[i] = v / np.linalg.norm(v)
+    # 3: orthogonalized singleton
+    w = rng.standard_normal(8)
+    w -= w.dot(base) * base
+    vecs[3] = w / np.linalg.norm(w)
+    # 4-5-6: a chain around vec 4: 5 between 4 and 6
+    a = rng.standard_normal(8); a /= np.linalg.norm(a)
+    b = a + rng.standard_normal(8) * 0.4
+    b /= np.linalg.norm(b)
+    mid = a + b
+    mid /= np.linalg.norm(mid)
+    vecs[4], vecs[5], vecs[6] = a, mid, b
+    pdf = pd.DataFrame({
+        "vec_id": sorted(vecs),
+        "embedding": [vecs[i].astype("float32").tolist()
+                      for i in sorted(vecs)],
+        "label": [0] * len(vecs),
+    })
+    d = tmp_path_factory.mktemp("semdedup")
+    spark.createDataFrame(pdf).write.parquet(str(d / "embeddings.parquet"))
+    # preconditions for a genuine chain at the chosen threshold
+    thr = 0.9
+    assert float(vecs[4] @ vecs[5]) >= thr and float(vecs[5] @ vecs[6]) >= thr
+    rows = {r.vec_id: (r.cluster, r.keep)
+            for r in semantic_dedup(spark, str(d), thr).collect()}
+    assert rows[0] == (0, True)
+    assert rows[1] == (0, False) and rows[2] == (0, False)
+    assert rows[3] == (3, True)
+    # the chain: 4~5 and 5~6 merge all three even if cos(4,6) < 0.9
+    import numpy as _np
+    c46 = float(_np.dot(vecs[4], vecs[6]))
+    assert c46 < thr  # genuinely transitive, not pairwise
+    assert rows[4] == (4, True)
+    assert rows[5][0] == 4 and not rows[5][1]
+    assert rows[6][0] == 4 and not rows[6][1]

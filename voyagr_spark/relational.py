@@ -1367,6 +1367,48 @@ def cosine_pairs(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
     )
 
 
+def semantic_dedup(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
+    """q: embedding-space semantic dedup (the SemDeDup recipe, Abbas et
+    al. 2023: drop all but one member of every semantic-duplicate
+    cluster): cosine near-dup edges -> connected components -> keep the
+    minimum vec_id per cluster.  -> (vec_id, cluster, keep).
+
+    Composition of the engine's verified blocks: edges from the exact
+    cosine verifier (`cosine_pairs` — at gate scale the candidate set IS
+    all pairs; at 100 TB the hyperplane-LSH bucket join
+    (`pipeline.embedding_near_dup_pairs`) generates the candidates and
+    this same verify/cluster/keep tail runs unchanged), clusters from
+    the iterative min-label propagation (`dedup_clusters` edge walk —
+    one edge-keyed shuffle per round, never a pairwise corpus stage)."""
+    edges = cosine_pairs(spark, sf_dir, threshold).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    ids = embeddings(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"))
+    labels = ids.withColumn("cluster", F.col("vec_id"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # min-label propagation (same loop shape as dedup_clusters)
+    prev = None
+    for _ in range(20):
+        nbr = (
+            sym.join(labels, sym.a == labels.vec_id)
+            .select(F.col("b").alias("vec_id"), "cluster")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("vec_id").agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("cluster")).collect()[0][0]
+        if s == prev:
+            break
+        prev = s
+    return labels.select(
+        "vec_id", "cluster",
+        (F.col("vec_id") == F.col("cluster")).alias("keep"),
+    )
+
+
 def suggest_term(spark, sf_dir, term: str, max_edits: int = 2, top: int = 5) -> DataFrame:
     """q: spellcheck suggestions — dictionary terms within max_edits of
     `term`, ranked (dist asc, df desc, term asc).  DirectSpellChecker
