@@ -1063,9 +1063,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.8 suggest on the ENGINE surface: DirectSpellChecker ranking
         # over the index term dictionary (same oracle as the relational twin)
         "engine_suggest": _engine_suggest,
-        # SpellCheckCollator: the corrected query verified against the
-        # index — only hit-returning collations emit, with their counts
-        "engine_collate": _engine_collate,
+        # SpellCheckCollator VERIFIED mode (maxCollationTries >= 1): the
+        # corrected query re-queried against the index — only
+        # hit-returning collations emit, with their counts; the
+        # engine_collate twin below is the unverified mode (maxTries < 1)
+        "engine_collate_verified": _engine_collate_verified,
         # K6 explain: the explanation's top value must be bit-identical to
         # the score the scorer gives the rank-1 hit (oracle: rank-1 row)
         "engine_explain": _engine_explain,
@@ -2790,10 +2792,12 @@ def _engine_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _engine_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SpellCheckCollator: 'batcj AND dup' — 'batcj' is not in the
-    dictionary, the collator substitutes the top DirectSpellChecker
-    suggestion and verifies the corrected query (hits > 0 required)."""
+def _engine_collate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpellCheckCollator, verified mode: 'batcj AND dup' — 'batcj' is
+    not in the dictionary, the collator substitutes the top
+    DirectSpellChecker suggestion and VERIFIES the corrected query
+    (hits > 0 required; relational.collate_spelling is the unverified
+    maxTries<1 mode the engine_collate gate covers)."""
     from voyagr_spark.highlight import spellcheck_collate
 
     idx = _engine_index(spark, sf_dir)
@@ -5159,9 +5163,9 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
           WHERE fp.rn <= 50
         ) WHERE rank <= 10"""
     d["engine_suggest"] = d["suggest_term"]
-    # SpellCheckCollator: top suggestion for the unknown term spliced
-    # into the query, verified by the AND-count (hits > 0 required)
-    d["engine_collate"] = _BASE + """
+    # SpellCheckCollator verified mode: top suggestion for the unknown
+    # term spliced into the query, verified by the AND-count (hits > 0)
+    d["engine_collate_verified"] = _BASE + """
         , sg AS (
             SELECT term FROM (
               SELECT term, df, levenshtein(term, 'batcj') AS dist
