@@ -1259,6 +1259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lucene/core spans SpanPayloadCheckQuery: only occurrences whose
         # payload equals 1.0f (or carry none) count toward freq
         "engine_payload_check": _engine_payload_check,
+        # SpanNearPayloadCheckQuery: adjacency spans whose payload
+        # collection matches {1.0, 1.5} order-free; payload-less spans
+        # REJECTED (the near variant's :71), fl(1/3) per span
+        "engine_near_payload_check": _engine_near_payload_check,
         # solr/contrib/ltr: LTRQParserPlugin rerank — LinearModel and
         # MultipleAdditiveTreesModel as Catalyst expressions over features
         # extracted on the reRankDocs window
@@ -2498,6 +2502,18 @@ def _engine_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _payload_index(spark, sf_dir)
     return _rank_window(payload_check_topk(idx, _HOT, [1.0], k=10))
+
+
+def _engine_near_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNearPayloadCheckQuery(SpanNear([fast, key], slop=0, inOrder),
+    [1.0, 1.5]) top-10 on the payload index: only adjacency spans whose
+    two positions BOTH carry payloads matching the collection survive
+    (no-payload spans rejected, unlike the single-term check)."""
+    from voyagr_spark.payloads import near_payload_check_topk
+
+    idx = _payload_index(spark, sf_dir)
+    return _rank_window(near_payload_check_topk(
+        idx, ["fast", "key"], [1.0, 1.5], k=10))
 
 
 def _block_index(spark: SparkSession, sf_dir: str):
@@ -4786,19 +4802,43 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
     # (annotation: (pos%4+1)*0.5 == 1.0 <=> pos%4 == 1) plus the bare
     # every-7th positions (no payload -> AcceptStatus.YES); freq = the
     # accepted count, scored through the term's BM25 chain
+    # span contract: each accepted SpanTerm span contributes fl(1/2);
+    # the fold of k halves is exactly 0.5*k
     d["engine_payload_check"] = _engine_base_sql() + f"""
         , pc AS (
-          SELECT doc_id, count(*)::BIGINT AS freq
+          SELECT doc_id, CAST(count(*) * 0.5 AS FLOAT) AS freq
           FROM terms
           WHERE term = '{_HOT}' AND (pos % 7 = 6 OR pos % 4 = 1)
           GROUP BY doc_id
         )""" + topk_wrap.format(inner=f"""
           SELECT p.doc_id,
-                 CAST(CAST(w.wv * CAST(p.freq AS FLOAT) AS FLOAT)
-                      / CAST(CAST(p.freq AS FLOAT) + qn.cache AS FLOAT)
+                 CAST(CAST(w.wv * p.freq AS FLOAT)
+                      / CAST(p.freq + qn.cache AS FLOAT)
                       AS FLOAT) AS score
           FROM pc p JOIN qn ON p.doc_id = qn.doc_id
           JOIN w ON w.term = '{_HOT}'""")
+    # SpanNearPayloadCheck: adjacency spans where BOTH positions carry
+    # payloads matching {{1.0, 1.5}} (annotation: a.pos%4==1), each
+    # contributing fl(1/3), summed-idf weight (the span_near chain)
+    d["engine_near_payload_check"] = _engine_base_sql() + """
+        , adjp AS (
+          SELECT a.doc_id, count(*)::BIGINT AS n
+          FROM (SELECT doc_id, pos FROM terms WHERE term = 'fast') a
+          JOIN (SELECT doc_id, pos FROM terms WHERE term = 'key') b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.pos % 4 = 1 AND a.pos % 7 <> 6 AND (a.pos + 1) % 7 <> 6
+          GROUP BY a.doc_id
+        ),
+        nfp AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_transform(range(n),
+                     x -> CAST(CAST(1 AS FLOAT) / CAST(3 AS FLOAT) AS FLOAT)),
+                   (acc, x) -> CAST(acc + x AS FLOAT)) AS freq
+          FROM adjp
+        )""" + topk_wrap.format(inner=f"""
+          SELECT nfp.doc_id, {span_score.format(wv=or_wv)} AS score
+          FROM nfp JOIN qn ON nfp.doc_id = qn.doc_id""")
     # LTR rerank (solr/contrib/ltr): hot top-30 window -> features ->
     # model as the same per-op float32 cast chain the engine compiles
     fl = "CAST({} AS FLOAT)"

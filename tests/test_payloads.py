@@ -248,7 +248,9 @@ def _check_oracle(ordered_pdf, plain_oracle, term, values, k=10):
             elif vals.size == 1 and np.float32(_weight(i)) == vals[0]:
                 freq += 1
         if freq:
-            out.append((did, _score_at_freq(plain_oracle, term, did, freq)))
+            # span contract: fl(1/2) per accepted span -> 0.5*count exact
+            out.append((did, _score_at_freq(plain_oracle, term, did,
+                                            0.5 * freq)))
     out.sort(key=lambda r: (-r[1], r[0]))
     return out[:k]
 
@@ -283,7 +285,7 @@ def test_payload_check_multi_value_accepts_only_bare(
         if bare:
             assert did in got
             assert got[did] == _score_at_freq(
-                plain_oracle, "open", did, bare)
+                plain_oracle, "open", did, 0.5 * bare)
         else:
             assert did not in got
 
@@ -311,3 +313,70 @@ def test_payload_check_errors(pay_index, built_index):
         payload_check_topk(pay_index, "zq1", [])
     with pytest.raises(ValueError, match="payload_delim"):
         payload_check_topk(built_index, "zq1", [1.0])
+
+
+def test_near_payload_check(spark, tmp_path_factory):
+    """SpanNearPayloadCheckQuery over 'fast key' adjacency on a PLANTED
+    corpus: only spans whose BOTH positions carry payloads matching
+    {1.0, 1.5} survive (a payload-less position rejects the span, :71 —
+    unlike the single-term check); freq = fl(1/3) per accepted span;
+    weight = summed idf of the sorted terms."""
+    import pandas as pd
+
+    from voyagr_spark import bm25
+    from voyagr_spark.indexer import build_index
+    from voyagr_spark.payloads import near_payload_check_topk
+
+    # pair at p=1: w(1)=1.0, w(2)=1.5 -> accepted
+    # pair at p=0: w(0)=0.5 -> payload mismatch, rejected
+    # pair at p=13: 13%7==6 -> bare 'fast', span rejected
+    # doc 3: accepted pairs at p=1 AND p=9 (freq = fl(1/3)+fl(1/3))
+    texts = [
+        "w fast key w w w w w",
+        "fast key w w w w w w",
+        "w w w w w w w w w w w w w fast key w",
+        "w fast key w w w w w w fast key w",
+        "no pair here at all",
+    ]
+    pdf = pd.DataFrame({
+        "repo": ["r"] * len(texts),
+        "path": [f"p{i}" for i in range(len(texts))],
+        "commit": ["c"] * len(texts),
+        "lang": ["en"] * len(texts),
+        "content": [_annotate(t_) for t_ in texts],
+    })
+    d = tmp_path_factory.mktemp("nearpay")
+    an = Analyzer(token_pattern=WS, payload_delim="|")
+    idx = build_index(spark, spark.createDataFrame(pdf), str(d),
+                      num_segments=2, analyzer=an)
+    got = {r.doc_id: np.float32(r.score)
+           for r in near_payload_check_topk(
+               idx, ["fast", "key"], [1.0, 1.5], k=100).collect()}
+    # doc ids follow (repo, path, commit) order == text order here
+    plain = pd.DataFrame({
+        "repo": pdf["repo"], "path": pdf["path"], "commit": pdf["commit"],
+        "lang": pdf["lang"], "content": texts,
+    })
+    oracle = OracleIndex(plain, analyzer=Analyzer(token_pattern=WS))
+    idf = np.float32(0.0)
+    for term in ("fast", "key"):
+        idf = np.float32(idf + oracle._idf(term))
+    wv = bm25.weight_value(idf)
+    cache = oracle._cache()
+    third = np.float32(1.0) / np.float32(3.0)
+    f1 = np.float32(np.float32(0.0) + third)
+    f2 = np.float32(f1 + third)
+    want = {0: oracle._score_doc(0, f1, wv, cache),
+            3: oracle._score_doc(3, f2, wv, cache)}
+    assert got == want
+
+
+def test_near_payload_check_errors(pay_index, built_index):
+    from voyagr_spark.payloads import near_payload_check_topk
+
+    with pytest.raises(ValueError, match=">= 2 terms"):
+        near_payload_check_topk(pay_index, ["fast"], [1.0])
+    with pytest.raises(ValueError, match="at least one value"):
+        near_payload_check_topk(pay_index, ["fast", "key"], [])
+    with pytest.raises(ValueError, match="payload_delim"):
+        near_payload_check_topk(built_index, ["fast", "key"], [1.0])
