@@ -380,3 +380,75 @@ def test_near_payload_check_errors(pay_index, built_index):
         near_payload_check_topk(pay_index, ["fast", "key"], [])
     with pytest.raises(ValueError, match="payload_delim"):
         near_payload_check_topk(built_index, ["fast", "key"], [1.0])
+
+
+def test_randomized_payload_check_differential(spark, tmp_path_factory):
+    """Random corpus with random per-occurrence annotations (including
+    bare positions), 12 random (term, values) checks: the engine must
+    equal a literal acceptPosition walk (NaN -> YES; 1-element equality;
+    multi-value always NO for payload-carrying positions), with the
+    fl(1/2)-per-span freq."""
+    import random
+
+    import pandas as pd
+
+    from voyagr_spark import bm25
+    from voyagr_spark.indexer import build_index
+    from voyagr_spark.payloads import payload_check_topk
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    weights = [0.5, 1.0, 1.5, 2.0]
+
+    texts, plains = [], []
+    for _ in range(20):
+        toks, plain = [], []
+        for _ in range(rng.randint(4, 12)):
+            t = rng.choice(vocab)
+            plain.append(t)
+            if rng.random() < 0.25:
+                toks.append(t)  # bare
+            else:
+                toks.append(f"{t}|{rng.choice(weights)}")
+        texts.append(" ".join(toks))
+        plains.append(" ".join(plain))
+    pdf = pd.DataFrame({
+        "repo": ["r"] * len(texts),
+        "path": [f"p{i:02d}" for i in range(len(texts))],
+        "commit": ["c"] * len(texts),
+        "lang": ["en"] * len(texts),
+        "content": texts,
+    })
+    d = tmp_path_factory.mktemp("paydiff")
+    an = Analyzer(token_pattern=WS, payload_delim="|")
+    idx = build_index(spark, spark.createDataFrame(pdf), str(d),
+                      num_segments=3, analyzer=an)
+    plain_pdf = pdf.copy()
+    plain_pdf["content"] = plains
+    oracle = OracleIndex(plain_pdf, analyzer=Analyzer(token_pattern=WS))
+    cache = oracle._cache()
+
+    for case in range(12):
+        term = rng.choice(vocab)
+        vals = ([rng.choice(weights)] if rng.random() < 0.7
+                else [rng.choice(weights), rng.choice(weights)])
+        got = {r.doc_id: np.float32(r.score)
+               for r in payload_check_topk(idx, term, vals,
+                                           k=1000).collect()}
+        want = {}
+        wv = bm25.weight_value(oracle._idf(term))
+        for did, text in enumerate(texts):
+            cnt = 0
+            for tok in text.split():
+                name, _, pay = tok.partition("|")
+                if name != term:
+                    continue
+                if not pay:                     # bare -> YES
+                    cnt += 1
+                elif len(vals) == 1 and \
+                        np.float32(float(pay)) == np.float32(vals[0]):
+                    cnt += 1
+            if cnt:
+                want[did] = oracle._score_doc(
+                    did, np.float32(0.5) * np.float32(cnt), wv, cache)
+        assert got == want, (case, term, vals)
