@@ -924,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc mean unigram log-likelihood (corpus MLE LM): the cheap
         # LM-based quality filter for training-data pipelines
         "unigram_logprob": lambda s, d: R.unigram_logprob(s, d),
+        # bigram-LM quality with stupid backoff (CCNet-style perplexity
+        # filter; self-trained at the gate, so every pair is in-model)
+        "bigram_logprob": lambda s, d: R.bigram_logprob(s, d),
         # deterministic md5-threshold stratified sampling per language —
         # reproducible training-mix rebalancing, no RNG state
         "stratified_sample": lambda s, d: R.stratified_sample(s, d),
@@ -3631,6 +3634,46 @@ def oracle_sql() -> dict[str, str]:
                          / sum(tf.tf), 4) AS logprob
             FROM tf JOIN st USING (term) CROSS JOIN tot
             GROUP BY tf.doc_id""",
+        # bigram LM: light (no-stop) tokens, ln(c(w1 w2)/c(w1)) per
+        # adjacent pair (self-trained -> the backoff branch never fires;
+        # the formula carries it anyway, mirroring the engine expression)
+        "bigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id, lower(t) AS term, p AS pos
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS t,
+                       unnest(range(len(string_split(text, ' ')))) AS p
+                FROM documents
+              )
+            ),
+            uni AS (SELECT term AS u, count(*)::BIGINT AS cu
+                    FROM tok GROUP BY term),
+            big AS (
+              SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS cb
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(cu)::DOUBLE AS tot FROM uni),
+            pairs AS (
+              SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            lps AS (
+              SELECT p.doc_id,
+                     CASE WHEN bg.cb IS NOT NULL
+                          THEN ln(bg.cb / (u1.cu * 1.0))
+                          ELSE ln(0.4 * COALESCE(u2.cu, 1)
+                                  / (SELECT tot FROM tot)) END AS lp
+              FROM pairs p
+              LEFT JOIN big bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+              LEFT JOIN uni u1 ON u1.u = p.w1
+              LEFT JOIN uni u2 ON u2.u = p.w2
+            )
+            SELECT doc_id, round(avg(lp), 4) AS logprob
+            FROM lps GROUP BY doc_id""",
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_RATE_CASE}""",

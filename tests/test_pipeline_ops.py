@@ -536,3 +536,59 @@ def test_semantic_dedup_planted_cluster(spark, tmp_path_factory):
     assert rows[4] == (4, True)
     assert rows[5][0] == 4 and not rows[5][1]
     assert rows[6][0] == 4 and not rows[6][1]
+
+
+def test_bigram_logprob_self_trained(spark, docs_dir):
+    """Self-trained bigram LM: exact per-doc values re-derived in numpy;
+    the repeated-bigram doc ('index index' x5) scores near ln(5/8) per
+    pair, far above the all-unique gibberish doc."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from voyagr_spark.relational import bigram_logprob
+
+    got = {r.doc_id: r.logprob
+           for r in bigram_logprob(spark, docs_dir).collect()}
+    texts = pd.read_parquet(f"{docs_dir}/documents.parquet") \
+        .sort_values("doc_id")["text"].tolist()
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        lps = [np.log(big[(a, b)] / uni[a]) for a, b in zip(toks, toks[1:])]
+        assert got[i] == round(float(np.mean(lps)), 4), i
+    # self-trained quirk (why CCNet trains the LM on a held-out
+    # reference corpus): unique-everything gibberish is perfectly
+    # self-predictable — every bigram has conditional probability 1
+    assert got[2] == 0.0
+    assert got[3] == round(float(np.log(5 / 8)), 4)
+
+
+def test_bigram_logprob_backoff_fires_cross_model(spark, docs_dir,
+                                                  tmp_path_factory):
+    """Scoring one corpus against a DIFFERENT model: unseen bigrams take
+    the alpha * c(w2)/total backoff (OOV continuations floored at 1)."""
+    import pandas as pd
+
+    from voyagr_spark.relational import bigram_logprob
+
+    # the scored corpus: a pair the model has both words of (but not the
+    # bigram), and a pair with an OOV continuation word
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["tokens index", "index zz9"],
+        "lang": ["en"] * 2, "source": ["s"] * 2,
+    })
+    d = tmp_path_factory.mktemp("bgb")
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+    got = {r.doc_id: r.logprob for r in bigram_logprob(
+        spark, str(d), model_dir=docs_dir, alpha=0.4).collect()}
+    # model stats (docs_dir corpus): total=26, c(index)=8; bigram
+    # ('tokens','index') unseen -> backoff 0.4*8/26; ('index','zz9')
+    # unseen with OOV w2 -> 0.4*1/26
+    assert got[0] == round(float(np.log(0.4 * 8 / 26)), 4)
+    assert got[1] == round(float(np.log(0.4 * 1 / 26)), 4)

@@ -599,6 +599,64 @@ def free_text_ngrams(spark, sf_dir, grams: int = 2) -> DataFrame:
     return out
 
 
+def bigram_logprob(
+    spark, sf_dir, model_dir: str | None = None, alpha: float = 0.4
+) -> DataFrame:
+    """q: per-doc mean log-likelihood under a BIGRAM language model with
+    stupid backoff — the LM upgrade of `unigram_logprob`, i.e. the
+    CCNet-style perplexity quality filter (Wenzek et al. 2020 filter
+    documents by LM perplexity; Brants et al. 2007 stupid backoff).
+    -> (doc_id, logprob), logprob = mean over adjacent token pairs of
+    ln P(w2 | w1), rounded to 4.
+
+    P(w2 | w1) = c(w1 w2)/c(w1) when the bigram is in the model, else
+    alpha * c(w2)/total (the backoff), with unseen continuation words
+    floored at count 1.  `model_dir` scores one corpus against a model
+    trained on ANOTHER (the held-out filtering setup; backoff actually
+    fires there) — default is the usual self-trained in-corpus filter,
+    where every doc bigram is in the model.  Analysis is the light
+    (no-stop) chain, like the ngram model itself.
+
+    Scale shape: the model is `free_text_ngrams` (lead() windows over
+    one doc-keyed shuffle + partial-agg counts); scoring is one more
+    lead() pass over the scored corpus plus two model joins keyed by the
+    (bounded-vocabulary) gram strings — never a pairwise stage."""
+    model = free_text_ngrams(spark, model_dir or sf_dir, grams=2)
+    uni = model.filter(F.col("n") == 1).select(
+        F.col("gram").alias("u"), F.col("cnt").alias("cu"))
+    big = model.filter(F.col("n") == 2).select(
+        F.col("gram").alias("b"), F.col("cnt").alias("cb"))
+    tot = uni.agg(F.sum("cu").cast("double").alias("tot"))
+    t = raw_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        t.withColumn("w2", F.lead("term").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("term").alias("w1"), "w2")
+    )
+    scored = (
+        pairs.join(big, F.concat_ws(" ", "w1", "w2") == F.col("b"), "left")
+        .join(uni.withColumnRenamed("cu", "cu1"),
+              F.col("w1") == F.col("u"), "left").drop("u")
+        .join(uni.withColumnRenamed("cu", "cu2"),
+              F.col("w2") == F.col("u"), "left").drop("u")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cb").isNotNull(),
+                F.log(F.col("cb") / (F.col("cu1") * F.lit(1.0))),
+            ).otherwise(
+                F.log(F.lit(float(alpha))
+                      * F.coalesce(F.col("cu2"), F.lit(1))
+                      / F.col("tot"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("logprob"))
+
+
 def free_text_suggest(
     spark, sf_dir, key: str, num: int = 10, grams: int = 2
 ) -> DataFrame:
