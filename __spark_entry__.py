@@ -107,6 +107,42 @@ _RATE_CASE = (
     + " ELSE '0000' END"
 )
 
+# DSIR shared oracle prefix: whitespace unigram+bigram features hashed to
+# 256 buckets (first md5 byte via the hexmap join), Laplace +1 smoothed
+# target ('en') and raw bucket models over the full bucket domain, and the
+# per-bucket log likelihood ratio.
+_DSIR_CORE = """
+    WITH hexmap AS (
+      SELECT lower(lpad(to_hex(i), 2, '0')) AS hx, CAST(i AS INT) AS i
+      FROM range(256) t(i)),
+    tok AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+            FROM documents),
+    pos AS (SELECT doc_id, lang, unnest(ws) AS w,
+                   unnest(range(len(ws))) AS p
+            FROM tok),
+    ng AS (
+      SELECT doc_id, lang, w AS ng FROM pos WHERE w <> ''
+      UNION ALL
+      SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS ng
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+    bc AS (SELECT ng.doc_id, ng.lang, hm.i AS bucket, count(*)::BIGINT AS c
+           FROM ng JOIN hexmap hm ON hm.hx = substr(md5(ng.ng), 1, 2)
+           GROUP BY 1, 2, 3),
+    raw AS (SELECT bucket, sum(c)::BIGINT AS cr FROM bc GROUP BY 1),
+    tgt AS (SELECT bucket, sum(c)::BIGINT AS ct FROM bc
+            WHERE lang = 'en' GROUP BY 1),
+    dom AS (SELECT CAST(i AS INT) AS bucket FROM range(256) t(i)),
+    tot AS (SELECT (SELECT COALESCE(sum(cr), 0) FROM raw)::DOUBLE AS tr,
+                   (SELECT COALESCE(sum(ct), 0) FROM tgt)::DOUBLE AS tt),
+    llr AS (SELECT d.bucket,
+                   ln((COALESCE(t.ct, 0) + 1) / (tot.tt + 256))
+                 - ln((COALESCE(r.cr, 0) + 1) / (tot.tr + 256)) AS llr
+            FROM dom d
+            LEFT JOIN raw r ON r.bucket = d.bucket
+            LEFT JOIN tgt t ON t.bucket = d.bucket
+            CROSS JOIN tot)
+"""
+
 
 # ---------------------------------------------------------------------------
 # float32 / SmallFloat-quantized oracle prefix for the ENGINE-NATIVE entries
@@ -930,6 +966,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic md5-threshold stratified sampling per language —
         # reproducible training-mix rebalancing, no RNG state
         "stratified_sample": lambda s, d: R.stratified_sample(s, d),
+        # DSIR (Xie et al. 2023): hashed-ngram importance log-weights
+        # (target = lang 'en' docs vs the raw corpus) and the deterministic
+        # Gumbel-top-k resample
+        "dsir_weights": lambda s, d: R.dsir_weights(s, d, "en"),
+        "dsir_sample": lambda s, d: R.dsir_sample(s, d, 50, "en"),
         # CCNet/RefinedWeb-style line-level boilerplate removal: lines in
         # >= 2 distinct docs drop, docs reassemble from survivors (synthetic
         # 2-token lines — the corpus is single-line)
@@ -3677,6 +3718,27 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_RATE_CASE}""",
+        # DSIR: hashed unigram+bigram buckets (first md5 byte via the hexmap
+        # join), Laplace +1 bucket models over the full 256-bucket domain,
+        # per-doc sum of c * [ln p_target - ln p_raw]
+        "dsir_weights": _DSIR_CORE + """
+            SELECT bc.doc_id, round(sum(bc.c * llr.llr), 4) AS logw
+            FROM bc JOIN llr USING (bucket)
+            GROUP BY bc.doc_id""",
+        "dsir_sample": _DSIR_CORE + """,
+            w AS (SELECT bc.doc_id, sum(bc.c * llr.llr) AS lw
+                  FROM bc JOIN llr USING (bucket) GROUP BY bc.doc_id),
+            g AS (SELECT w.doc_id, w.lw,
+                         (hm1.i * 256 + hm2.i + 0.5) / 65536.0 AS u
+                  FROM w
+                  JOIN hexmap hm1 ON hm1.hx =
+                       substr(md5(CAST(w.doc_id AS VARCHAR) || ':g'), 1, 2)
+                  JOIN hexmap hm2 ON hm2.hx =
+                       substr(md5(CAST(w.doc_id AS VARCHAR) || ':g'), 3, 2)),
+            keyed AS (SELECT doc_id, lw, lw - ln(-ln(u)) AS gkey FROM g)
+            SELECT row_number() OVER (ORDER BY gkey DESC, doc_id ASC) AS rank,
+                   doc_id, round(lw, 4) AS logw
+            FROM keyed ORDER BY gkey DESC, doc_id ASC LIMIT 50""",
         "terms_enum": _BASE
         + """SELECT term, df FROM st
              WHERE term >= 'f' AND term <= 'm' AND df >= 2

@@ -592,3 +592,62 @@ def test_bigram_logprob_backoff_fires_cross_model(spark, docs_dir,
     # unseen with OOV w2 -> 0.4*1/26
     assert got[0] == round(float(np.log(0.4 * 8 / 26)), 4)
     assert got[1] == round(float(np.log(0.4 * 1 / 26)), 4)
+
+
+def test_dsir_weights_exact_recompute(spark, docs_dir):
+    """DSIR importance log-weights re-derived independently in pure Python
+    (hashlib md5 buckets, Laplace +1 models) — Xie et al. 2023 eq. (2)."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from voyagr_spark.relational import DSIR_BUCKETS, dsir_weights
+
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_weights(spark, docs_dir, "en").collect()}
+    pdf = pd.read_parquet(f"{docs_dir}/documents.parquet")
+
+    def buckets(text):
+        ws = [w for w in text.lower().split(" ")]
+        grams = [w for w in ws if w] + [
+            f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)
+        ]
+        return Counter(
+            int(hashlib.md5(g.encode()).hexdigest()[:2], 16) for g in grams
+        )
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc = {}
+    for _, r in pdf.iterrows():
+        c = buckets(r["text"])
+        per_doc[r["doc_id"]] = c
+        raw.update(c)
+        if r["lang"] == "en":
+            tgt.update(c)
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    for doc_id, c in per_doc.items():
+        lw = sum(
+            n * (np.log((tgt[b] + 1) / (tt + DSIR_BUCKETS))
+                 - np.log((raw[b] + 1) / (tr + DSIR_BUCKETS)))
+            for b, n in c.items()
+        )
+        assert got[doc_id] == round(float(lw), 4), doc_id
+    # target-language docs (the duplicated English pair) must outweigh the
+    # non-target gibberish under the en-target ratio
+    assert got[0] > got[2]
+
+
+def test_dsir_sample_deterministic_and_weight_ordered(spark, docs_dir):
+    """The Gumbel-top-k resample is RNG-free: identical across runs, ranks
+    contiguous, and the selection key honours the importance weights (a
+    clearly-heavier doc cannot lose to a clearly-lighter one by more than
+    the bounded Gumbel range)."""
+    from voyagr_spark.relational import dsir_sample
+
+    a = dsir_sample(spark, docs_dir, 3, "en").collect()
+    b = dsir_sample(spark, docs_dir, 3, "en").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["rank"] for r in a] == [1, 2, 3]
+    assert len({r["doc_id"] for r in a}) == 3  # without replacement

@@ -2309,3 +2309,135 @@ def gopher_quality(spark, sf_dir) -> DataFrame:
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+# Hashed-ngram bag features, a target/raw bucket-unigram likelihood ratio per
+# document, and deterministic Gumbel-top-k resampling.  All hashing is md5-
+# derived so the whole pipeline is RNG-free and bit-reproducible across
+# engines/runs/cluster sizes (same idiom as stratified_sample).
+# ---------------------------------------------------------------------------
+
+#: hashed-ngram feature space size — bucket = first md5 byte of the ngram.
+#: The paper uses 10k buckets at web scale; 256 keeps the SQL oracle's
+#: hexmap join exact while exercising the identical pipeline shape.
+DSIR_BUCKETS = 256
+
+
+def dsir_features(spark, sf_dir) -> DataFrame:
+    """Per-doc hashed-ngram bucket counts -> (doc_id, lang, bucket, c).
+
+    Features are whitespace unigrams + bigrams (the DSIR recipe), hashed to
+    `DSIR_BUCKETS` buckets via the first md5 byte.  Bigrams are built with a
+    JVM-side `transform(sequence(...))` over the split array — one scan, no
+    token-table self-join, no Python; the only shuffle is the
+    (doc_id, bucket) partial-aggregated groupBy."""
+    d = documents(spark, sf_dir).select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("ws")
+    )
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(0, size(ws)-2),"
+               " i -> concat(ws[i], ' ', ws[i+1]))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    grams = F.concat(F.col("ws"), bigrams)
+    return (
+        d.select("doc_id", "lang", F.explode(grams).alias("ng"))
+        .filter(F.col("ng") != "")
+        .withColumn(
+            "bucket", F.conv(F.substring(F.md5("ng"), 1, 2), 16, 10).cast("int")
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def _dsir_llr(spark, feats: DataFrame, target_lang: str) -> DataFrame:
+    """Per-bucket log likelihood ratio ln(p_target) - ln(p_raw) over the full
+    bucket domain, Laplace +1 smoothed: p(b) = (c_b + 1) / (total + B).
+
+    The raw model is the whole corpus; the target model is the docs whose
+    lang matches (the paper's target-distribution proxy).  Both models are
+    B-row aggregates -> broadcast back; nothing here scales with the corpus
+    beyond the one partial-agg pass over the feature table."""
+    raw = feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt = (
+        feats.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    dom = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        dom.join(raw, "bucket", "left")
+        .join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+    )
+    b = float(DSIR_BUCKETS)
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / (F.col("tt") + b))
+            - F.log((F.col("cr") + 1) / (F.col("tr") + b))
+        ).alias("llr"),
+    )
+
+
+def dsir_weights(spark, sf_dir, target_lang: str = "en") -> DataFrame:
+    """q: per-doc DSIR importance log-weight -> (doc_id, logw).
+
+    logw(d) = sum_b c_{d,b} * [ln p_target(b) - ln p_raw(b)] — the hashed-
+    ngram importance weight of Xie et al. 2023 eq. (2).  Scale shape: one
+    feature scan + (doc_id, bucket) partial agg, two B-row model aggregates
+    broadcast back, one doc-keyed partial-agg sum.  No driver loops, no
+    UDFs past the shared tokenizer split."""
+    feats = dsir_features(spark, sf_dir)
+    llr = _dsir_llr(spark, feats, target_lang)
+    return (
+        feats.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("llr")), 4).alias("logw"))
+    )
+
+
+def dsir_sample(spark, sf_dir, k: int = 50, target_lang: str = "en") -> DataFrame:
+    """q: DSIR Gumbel-top-k resample -> (rank, doc_id, logw), k docs sampled
+    without replacement with probability proportional to exp(logw).
+
+    The Gumbel-max trick (key = logw + Gumbel(0,1), take the k largest) is
+    the paper's resampling step made deterministic: u is derived from
+    md5(doc_id || ':g') quantized to 1/65536, so the sample is reproducible
+    across engines and cluster sizes with no RNG state.  Top-k rides
+    distributed_topk (per-partition heads + k-row merge — never a global
+    sort)."""
+    feats = dsir_features(spark, sf_dir)
+    llr = _dsir_llr(spark, feats, target_lang)
+    w = (
+        feats.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("llr")).alias("lw"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":g"))), 1, 4
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / 65536.0
+    keyed = w.select(
+        "doc_id",
+        F.round("lw", 4).alias("logw"),
+        (F.col("lw") - F.log(-F.log(u))).alias("gkey"),
+    )
+    top = distributed_topk(keyed, k, [("gkey", False), ("doc_id", True)])
+    return _ranked(top, [("gkey", False), ("doc_id", True)], ["doc_id", "logw"])
