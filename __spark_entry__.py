@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voyagr_spark import bpe as _BPE
 from voyagr_spark import relational as R
 from voyagr_spark import signatures as _SIG
 from voyagr_spark import spatial as SP
@@ -916,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the codebooks/LUT embedded as literals (test_pq pins the argmin
         # and round-boundary margins that make the float compare stable)
         "ann_pq_topk": _ann_pq_topk,
+        # real BPE token counting (Sennrich 2016): corpus-trained merges,
+        # distinct-word encode, broadcast-join counts back (n_words, n_bpe)
+        "bpe_token_counts": lambda s, d: _BPE.bpe_token_counts(s, d, 40),
         # exact-substring dedup (Lee et al. 2022, window-hash form):
         # 10-token windows in >= 2 distinct docs, merged to maximal spans
         "substring_dup_spans": lambda s, d: R.substring_dup_spans(
@@ -1422,6 +1426,41 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     q = x[int(np.flatnonzero(pdf["vec_id"].to_numpy() == 0)[0])]
     return pq_topk(codes, books, q, k=10, exclude_vec_id=0)
+
+
+def _bpe_oracle() -> str:
+    """The bpe_token_counts oracle: learn the same merge table from the same
+    corpus word counts with the same pure-python bpe_learn (bit-identical by
+    construction — the distributed word count is an exact integer aggregate),
+    then embed each distinct word's subtoken count as a VALUES literal; the
+    corpus-side explode/join/sum runs in SQL.  Same literal-embedding
+    discipline as the PQ oracle below."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as papq
+
+    from voyagr_spark.bpe import bpe_apply, bpe_learn
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = papq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    wc: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        wc.update(w for w in txt.lower().split(" ") if w)
+    ranks = {p: i for i, p in enumerate(bpe_learn(dict(wc), 40))}
+    rows = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), len(bpe_apply(w, ranks)))
+        for w in sorted(wc)
+    )
+    return f"""
+        WITH sub(word, n_sub) AS (VALUES {rows}),
+        tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents)
+        SELECT t.doc_id, count(*)::BIGINT AS n_words,
+               sum(s.n_sub)::BIGINT AS n_bpe
+        FROM tok t JOIN sub s ON s.word = t.w
+        WHERE t.w <> ''
+        GROUP BY t.doc_id"""
 
 
 def _pq_oracle() -> str:
@@ -4279,6 +4318,9 @@ def oracle_sql() -> dict[str, str]:
     # the codebooks/LUT as literals — upgrades the former rows-only entry
     # to hash-exact (margins pinned in test_pq.py::test_gate_margins)
     d["ann_pq_topk"] = _pq_oracle()
+    # BPE token counting: the oracle learns the identical merge table from
+    # the same corpus word counts and embeds word -> subtoken-count literals
+    d["bpe_token_counts"] = _bpe_oracle()
     # SQ8: integer dot product of unit-normalized int8 quantizations —
     # exact integer math on both engines (floor(v+0.5) rounding; the
     # double normalize chain is the same op sequence as the Spark side)
