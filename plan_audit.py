@@ -449,6 +449,38 @@ def main() -> None:
          for name, ok in cg_checks + ft_checks + col_checks],
     ))
 
+    # 11. tenth-session surfaces: DSIR weights/sample and BPE token counts
+    from voyagr_spark import bpe as _BPE
+
+    pds = _plan(R.dsir_weights(spark, "/root/testdata/sf0.001"))
+    pbp = _plan(_BPE.bpe_token_counts(spark, "/root/testdata/sf0.001", 10))
+    dsir_checks = [
+        ("DSIR llr model joins are BroadcastHashJoin (256-row models, "
+         "never a corpus-sized shuffle join)",
+         "BroadcastHashJoin" in pds),
+        ("DSIR per-doc weight agg is partial (map-side combine before the "
+         "doc_id exchange)", "partial_sum" in pds),
+        ("DSIR features stay JVM-side past the split (no corpus-sized "
+         "Python stage: ngrams are transform/sequence expressions)",
+         "mapInPandas" not in pds and "ArrowEvalPython" not in pds
+         and "BatchEvalPython" not in pds),
+    ]
+    bpe_checks = [
+        ("BPE word->n_sub dictionary joins back via BroadcastHashJoin",
+         "BroadcastHashJoin" in pbp),
+        ("BPE doc-level sums are partial-aggregated", "partial_sum" in pbp),
+        ("the only Python stage is the vocabulary-sized distinct-word "
+         "encode (exactly one MapInPandas)",
+         pbp.count("MapInPandas") == 1),
+    ]
+    sections.append((
+        "tenth-session surfaces (DSIR / BPE)",
+        _excerpt(pds, ["BroadcastHashJoin"])[:2]
+        + _excerpt(pbp, ["MapInPandas"])[:1],
+        [f"{'PASS' if ok else 'FAIL'}: {name}"
+         for name, ok in dsir_checks + bpe_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
