@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voyagr_spark import bpe as _BPE
+from voyagr_spark import curation as CU
 from voyagr_spark import relational as R
 from voyagr_spark import signatures as _SIG
 from voyagr_spark import spatial as SP
@@ -1205,6 +1206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # Gopher/MassiveText repetition quality rules (dup lines, dup 2-grams)
         "repetition_stats": lambda s, d: R.repetition_stats(s, d),
+        # full Gopher A1.2 repetition rule set (top-{2,3,4}-gram char shares,
+        # duplicated-5-gram char coverage, char-weighted dup lines + keep)
+        # over deterministic 3-token lines
+        "gopher_repetition": lambda s, d: CU.gopher_repetition_table(s, d),
+        # Gopher A1.1 with the LINE-structured signals (bullet/ellipsis
+        # line fractions) over deterministic 6-token bulleted lines
+        "gopher_lined_quality": lambda s, d: CU.gopher_lined_quality_table(s, d),
         # training-set decontamination: 8-gram collision vs a held-out set
         "decontaminate": lambda s, d: R.decontaminate(s, d, [0, 1, 2, 3, 4], 4),
         "engine_expr_rescore": _engine_expr_rescore,
@@ -5539,4 +5547,144 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
                CASE WHEN length(text) >= 4 THEN text ELSE '' END AS text,
                (8 + strlen(text) + 3)::BIGINT AS stream_size
         FROM documents"""
+    # Gopher A1.2 repetition rules over deterministic 3-token lines
+    # (curation.gopher_repetition_table).  Rounding everywhere is the
+    # double-space floor(x*1e4+0.5)/1e4 formula curation._r4 uses; the keep
+    # flag compares RAW line fractions but ROUNDED gram fractions, exactly
+    # like the Spark expression.
+    d["gopher_repetition"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        lined AS (
+          SELECT doc_id, toks,
+                 list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(toks, i*3 + 1, i*3 + 3), ' ')
+                 ) AS lines
+          FROM base),
+        nums AS (
+          SELECT doc_id, toks, lines,
+                 len(toks) AS nw,
+                 list_sum(list_transform(toks, w -> length(w)))::DOUBLE AS wchars,
+                 len(lines) AS nl,
+                 list_sum(list_transform(lines, l -> length(l)))::DOUBLE AS lchars,
+                 list_filter(lines,
+                   l -> len(list_filter(lines, x -> x = l)) >= 2) AS dl
+          FROM lined),
+        linesig AS (
+          SELECT doc_id, nw, toks, wchars,
+                 len(dl) / nl AS dlf_raw,
+                 coalesce(list_sum(list_transform(dl, l -> length(l))), 0) / lchars
+                   AS dlcf_raw
+          FROM nums),
+        g AS (
+          SELECT doc_id, n, unnest(range(0, nw - n + 1)) AS s, toks, wchars
+          FROM nums CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS n) ns
+          WHERE nw >= n),
+        gg AS (
+          SELECT doc_id, n, s, wchars,
+                 array_to_string(list_slice(toks, s + 1, s + n), ' ') AS gram
+          FROM g),
+        gc AS (
+          SELECT doc_id, n, gram, count(*) AS c, max(wchars) AS wchars
+          FROM gg GROUP BY doc_id, n, gram),
+        topg AS (
+          SELECT doc_id, n,
+                 floor(c * length(replace(gram, ' ', '')) / wchars * 10000 + 0.5)
+                   / 10000.0 AS frac,
+                 row_number() OVER (PARTITION BY doc_id, n
+                                    ORDER BY c DESC, gram ASC) AS rn
+          FROM gc WHERE n < 5),
+        tops AS (
+          SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN frac END) AS top2,
+                 max(CASE WHEN n = 3 THEN frac END) AS top3,
+                 max(CASE WHEN n = 4 THEN frac END) AS top4
+          FROM topg WHERE rn = 1 GROUP BY doc_id),
+        dup5g AS (
+          SELECT doc_id, gram FROM gg WHERE n = 5
+          GROUP BY doc_id, gram HAVING count(*) >= 2),
+        dstart AS (
+          SELECT gg.doc_id, gg.s, gg.wchars
+          FROM gg JOIN dup5g ON gg.doc_id = dup5g.doc_id AND gg.gram = dup5g.gram
+          WHERE gg.n = 5),
+        covraw AS (
+          SELECT doc_id, unnest(range(s, s + 5)) AS p, wchars FROM dstart),
+        covd AS (
+          SELECT DISTINCT covraw.doc_id, p, length(nums.toks[p + 1]) AS plen,
+                          covraw.wchars
+          FROM covraw JOIN nums ON covraw.doc_id = nums.doc_id),
+        dup5 AS (
+          SELECT doc_id, floor(sum(plen) / max(wchars) * 10000 + 0.5) / 10000.0
+                   AS dup5 FROM covd GROUP BY doc_id)
+        SELECT l.doc_id,
+               floor(l.dlf_raw * 10000 + 0.5) / 10000.0 AS dup_line_frac,
+               floor(l.dlcf_raw * 10000 + 0.5) / 10000.0 AS dup_line_char_frac,
+               coalesce(t.top2, 0.0) AS top_2gram_char_frac,
+               coalesce(t.top3, 0.0) AS top_3gram_char_frac,
+               coalesce(t.top4, 0.0) AS top_4gram_char_frac,
+               coalesce(d.dup5, 0.0) AS dup_5gram_char_frac,
+               (l.dlf_raw <= 0.30 AND l.dlcf_raw <= 0.20
+                AND coalesce(t.top2, 0.0) <= 0.20
+                AND coalesce(t.top3, 0.0) <= 0.18
+                AND coalesce(t.top4, 0.0) <= 0.16
+                AND coalesce(d.dup5, 0.0) <= 0.15)::BIGINT AS keep
+        FROM linesig l
+        LEFT JOIN tops t ON l.doc_id = t.doc_id
+        LEFT JOIN dup5 d ON l.doc_id = d.doc_id"""
+    # Gopher A1.1 incl. the line-structured bullet/ellipsis signals over
+    # deterministic 6-token bulleted lines (curation.gopher_lined_quality).
+    d["gopher_lined_quality"] = r"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        lined AS (
+          SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS BIGINT)),
+                   i -> (CASE WHEN (doc_id + i) % 3 = 0 THEN '- ' ELSE '' END)
+                        || array_to_string(list_slice(toks, i*6 + 1, i*6 + 6), ' ')
+                        || (CASE WHEN (doc_id + i) % (2 + doc_id % 3) = 0
+                                 THEN ' ...' ELSE '' END)
+                 ) AS lines
+          FROM base),
+        doc AS (
+          SELECT doc_id, lines, array_to_string(lines, chr(10)) AS text
+          FROM lined),
+        sig AS (
+          SELECT doc_id, lines, text,
+                 regexp_split_to_array(text, '\s+') AS t,
+                 len(regexp_split_to_array(text, '\s+')) AS nw,
+                 len(lines) AS nl
+          FROM doc),
+        m AS (
+          SELECT doc_id, nw,
+                 list_sum(list_transform(t, w -> length(w)))::DOUBLE / nw
+                   AS mean_len,
+                 len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                   / nw AS alpha_frac,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / nw
+                   AS symbol_ratio,
+                 len(list_filter(lines,
+                   l -> regexp_matches(l, '^(-|\*|•) ')))::DOUBLE / nl
+                   AS bullet_frac,
+                 len(list_filter(lines,
+                   l -> regexp_matches(l, '(\.\.\.|…)$')))::DOUBLE / nl
+                   AS ellipsis_frac,
+                 (list_contains(t, 'the')::INT + list_contains(t, 'a')::INT
+                  + list_contains(t, 'data')::INT
+                  + list_contains(t, 'value')::INT) AS n_req
+          FROM sig)
+        SELECT doc_id, nw::BIGINT AS n_words,
+               floor(mean_len * 10000 + 0.5) / 10000.0 AS mean_word_len,
+               floor(alpha_frac * 10000 + 0.5) / 10000.0 AS frac_alpha_words,
+               floor(symbol_ratio * 10000 + 0.5) / 10000.0 AS symbol_ratio,
+               floor(bullet_frac * 10000 + 0.5) / 10000.0 AS frac_bullet_lines,
+               floor(ellipsis_frac * 10000 + 0.5) / 10000.0
+                 AS frac_ellipsis_lines,
+               n_req::BIGINT AS n_required_words,
+               (nw >= 40 AND nw <= 100000
+                AND mean_len >= 3.0 AND mean_len <= 10.0
+                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                AND n_req >= 2)::BIGINT AS keep
+        FROM m"""
     return d
