@@ -481,6 +481,36 @@ def main() -> None:
          for name, ok in dsir_checks + bpe_checks],
     ))
 
+    # 12. Gopher curation rules: single-scan, zero-shuffle, zero-Python
+    from voyagr_spark import curation as _CU
+
+    prep = _plan(_CU.gopher_repetition(
+        _CU.lined_documents(spark, "/root/testdata/sf0.001", 3, False)))
+    pqual = _plan(_CU.gopher_quality(
+        _CU.lined_documents(spark, "/root/testdata/sf0.001", 6, True)))
+    cur_checks = [
+        ("gopher_repetition is shuffle-free (no Exchange: every A1.2 "
+         "signal is a per-doc array expression)", "Exchange" not in prep),
+        ("gopher_repetition has no Python stage (higher-order JVM "
+         "expressions only)",
+         all(s not in prep for s in
+             ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"))),
+        ("gopher_repetition reads only (doc_id, text) from parquet",
+         all(("ReadSchema" not in l) or
+             ("doc_id" in l and "text" in l and "lang" not in l
+              and "source" not in l and "n_chars" not in l)
+             for l in prep.splitlines())),
+        ("gopher_quality (lined) is shuffle-free", "Exchange" not in pqual),
+        ("gopher_quality (lined) has no Python stage",
+         all(s not in pqual for s in
+             ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"))),
+    ]
+    sections.append((
+        "Gopher curation rules (gopher_repetition / gopher_lined_quality)",
+        _excerpt(prep, ["ReadSchema"])[:2],
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in cur_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
