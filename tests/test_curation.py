@@ -102,6 +102,38 @@ def test_short_doc_gram_signals_zero(planted_rows):
     assert planted_rows[3]["top_2gram_char_frac"] > 0.0
 
 
+def test_repetition_randomized_differential(spark):
+    """60 random docs (seeded) with planted line repeats, gram repeats, and
+    skewed token-length mixes vs the independent Counter-based recompute."""
+    import random
+
+    rng = random.Random(20260820)
+    vocab = [f"w{i}" for i in range(12)] + ["longishword", "x", "yz"]
+    docs = []
+    for i in range(60):
+        n = rng.randint(1, 40)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5 and n >= 10:
+            # plant a repeated 5-gram at two random offsets
+            g = toks[:5]
+            at = rng.randint(5, n - 5)
+            toks[at : at + 5] = g
+        width = rng.choice([2, 3, 4])
+        lines = [
+            " ".join(toks[j : j + width]) for j in range(0, len(toks), width)
+        ]
+        if rng.random() < 0.5 and len(lines) >= 2:
+            lines.append(lines[0])  # plant a duplicate line
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in CU.gopher_repetition(df).collect()}
+    for doc_id, text in docs:
+        want = py_repetition(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v, abs=1e-12), (
+                doc_id, k, got[doc_id][k], v, text)
+
+
 def test_quality_bullet_and_ellipsis_lines(spark):
     df = spark.createDataFrame(
         [
