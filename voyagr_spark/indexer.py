@@ -719,13 +719,29 @@ class Index:
                 str(self.dir / "segments" / "kind=posting")
             )
             if num_partitions is None:
-                # one cache partition per segment, capped at 2x cores; a
-                # meta without a segment count (never written by this
-                # builder) falls back to full parallelism, not 1
+                # size cache partitions by DATA, not by segment count: each
+                # extra partition costs a scheduled task + an Arrow stream
+                # PER QUERY, and a measured sweep (local[32], sf0.1 corpus)
+                # put the serving optimum at ~cores/4 partitions — term p50
+                # 0.22s at 8 vs 0.32s at 32 (one-per-segment).  The bytes
+                # term (one partition per ~64 MB of postings) takes over on
+                # big indexes so partitions keep fitting executor memory;
+                # the cores/4 floor keeps hot-query decode parallel on
+                # small/medium indexes.  defaultParallelism scales with the
+                # cluster, so the floor grows with the fleet.
                 par = self.spark.sparkContext.defaultParallelism
+                nseg = int(self.meta.get("num_segments", par))
+                try:
+                    nbytes = sum(
+                        f.stat().st_size
+                        for f in (self.dir / "segments" / "kind=posting")
+                        .rglob("*.parquet")
+                    )
+                except OSError:
+                    nbytes = 0
+                by_bytes = -(-nbytes // (64 << 20))  # ceil-div
                 num_partitions = max(
-                    1,
-                    min(int(self.meta.get("num_segments", par)), 2 * par),
+                    by_bytes, max(1, min(nseg, par // 4))
                 )
             self._pinned_df = base.repartition(num_partitions, "seg").persist()
         return self
