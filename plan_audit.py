@@ -152,10 +152,25 @@ def main() -> None:
             ("TakeOrderedAndProject global merge",
              "TakeOrderedAndProject" in final),
         ]
+        # columnar serving fast path: eligible term/AND/OR queries answer
+        # from the decoded (seg, term, doc_id, tf, norm, ntv) cache with NO
+        # Python stage at all (search._columnar_topk); phrase queries keep
+        # the Pandas scorer shape
+        checks.append((
+            "columnar fast path: AND query has NO Python stage per query",
+            "Pandas" not in above and "Python" not in above,
+        ))
+        dfp = search(idx, '"fast key"', k=10)
+        dfp.collect()
+        pph = _plan(dfp).split("== Initial Plan ==")[0]
+        checks.append((
+            "phrase query still serves via the Pandas scorer",
+            "FlatMapGroupsInPandas" in pph,
+        ))
         sections.append((
             "pinned searcher (serving mode, batch AND dup)",
             _excerpt(above, ["Exchange", "InMemoryTableScan",
-                             "TakeOrderedAndProject", "FlatMapGroupsInPandas"]),
+                             "TakeOrderedAndProject", "HashAggregate"]),
             [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in checks],
         ))
     finally:

@@ -1,0 +1,166 @@
+"""Columnar serving fast path (search._columnar_topk): eligible term/AND/OR
+queries answered from the pinned decoded cache with NO Python stage and NO
+per-query exchange, bit-identical to the Pandas scorers.
+
+Contract mirrors test_pinned_searcher: the fast path changes ONLY the
+physical plan — ids and float32 scores stay exact; ineligible shapes
+(phrase, spans, multi-term, non-BM25, tombstones) still route to the
+Pandas path; unpin restores the cold path.
+"""
+
+import numpy as np
+import pytest
+
+from voyagr_spark.search import search
+
+
+def _rows(df):
+    return [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
+            for r in df.collect()]
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _gen(seed=11, n=80):
+    rng = np.random.default_rng(seed)
+    head = ["file", "handle", "parse", "tree", "node", "query", "index"]
+    tail = ["zzqx", "file", "handle"]
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    out = []
+    for _ in range(n):
+        kind = int(rng.integers(0, 6))
+        if kind == 0:
+            out.append(pick(head + tail))
+        elif kind == 1:
+            out.append(f"{pick(head)} AND {pick(head + tail)}")
+        elif kind == 2:
+            out.append(" OR ".join(
+                pick(head + tail) for _ in range(int(rng.integers(2, 5)))))
+        elif kind == 3:
+            out.append(f"{pick(head)} AND NOT {pick(head)}")
+        elif kind == 4:
+            out.append(f"{pick(head)}^{int(rng.integers(1, 4))} OR {pick(head)}")
+        else:
+            terms = [pick(head) for _ in range(3)]
+            out.append("(" + " OR ".join(terms) + f") AND {pick(head)}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def cold_and_pinned(built_index):
+    qs = _gen()
+    cold = {q: _rows(search(built_index, q, k=10)) for q in qs}
+    built_index.pin()
+    yield built_index, qs, cold
+    built_index.unpin()
+
+
+def test_randomized_parity_bit_exact(cold_and_pinned):
+    idx, qs, cold = cold_and_pinned
+    bad = [q for q in qs if _rows(search(idx, q, k=10)) != cold[q]]
+    assert not bad, bad
+
+
+def test_fast_path_plan_is_python_free(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    for q in ("file", "file AND handle", "file OR handle OR parse",
+              "file AND NOT handle"):
+        plan = _final_plan(search(idx, q, k=10))
+        final = plan.split("== Initial Plan ==")[0]
+        above = final.split("InMemoryRelation")[0]
+        assert "Pandas" not in above and "Python" not in above, (q, above)
+        assert "Exchange" not in above, (q, above)
+        assert "TakeOrderedAndProject" in above, (q, above)
+
+
+def test_ineligible_shapes_still_pandas(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    for q in ('"parse query tree"', "fil*"):
+        plan = _final_plan(search(idx, q, k=10))
+        final = plan.split("== Initial Plan ==")[0]
+        assert "FlatMapGroupsInPandas" in final, q
+
+
+def test_after_paging_parity(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    first = search(idx, "file OR handle", k=5).collect()
+    after = (float(first[-1]["score"]), int(first[-1]["doc_id"]))
+    fast = _rows(search(idx, "file OR handle", k=5, after=after))
+    idx.unpin()
+    try:
+        cold = _rows(search(idx, "file OR handle", k=5, after=after))
+    finally:
+        idx.pin()
+    assert fast == cold and fast
+
+
+def test_custom_k1_b_parity(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    fast = _rows(search(idx, "file OR handle", k=10, k1=0.9, b=0.4))
+    idx.unpin()
+    try:
+        cold = _rows(search(idx, "file OR handle", k=10, k1=0.9, b=0.4))
+    finally:
+        idx.pin()
+    assert fast == cold
+    # b=0 makes the norm cache NaN at byte 0 -> must route to pandas
+    from voyagr_spark.search import make_plan, _columnar_clauses
+    from voyagr_spark.parser import parse
+
+    plan = make_plan(idx, parse("file"), 10, True, None, b=0.0)
+    assert _columnar_clauses(plan) is None
+
+
+def test_delete_invalidates_fast_path(spark, corpus_pdf, tmp_path_factory):
+    """Tombstones make plan.tombstones non-None -> pandas path, results
+    reflect the delete on the still-pinned index."""
+    import shutil
+
+    from voyagr_spark.indexer import build_index
+
+    d = tmp_path_factory.mktemp("colsrv_del")
+    idx = build_index(
+        spark, spark.createDataFrame(corpus_pdf).repartition(4),
+        str(d / "i"), num_segments=3)
+    idx.pin()
+    try:
+        before = search(idx, "file", k=5).collect()
+        top = int(before[0]["doc_id"])
+        idx.delete_docs([top])
+        idx.reload_meta()
+        got = {int(r["doc_id"]) for r in search(idx, "file", k=5).collect()}
+        assert top not in got and got
+    finally:
+        idx.unpin()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_reopen_repins_decoded(spark, corpus_pdf, tmp_path_factory):
+    import shutil
+
+    import pandas as pd
+
+    from voyagr_spark.indexer import build_index
+    from voyagr_spark.streaming import append_batch
+
+    d = tmp_path_factory.mktemp("colsrv_app")
+    idx = build_index(
+        spark, spark.createDataFrame(corpus_pdf.iloc[:200]).repartition(4),
+        str(d / "i"), num_segments=3)
+    idx.pin()
+    try:
+        append_batch(idx, spark.createDataFrame(corpus_pdf.iloc[200:]))
+        idx.reload_meta()
+        pinned_rows = _rows(search(idx, "file OR handle", k=10))
+        idx.unpin()
+        cold_rows = _rows(search(idx, "file OR handle", k=10))
+        assert pinned_rows == cold_rows
+    finally:
+        idx.unpin()
+        shutil.rmtree(d, ignore_errors=True)

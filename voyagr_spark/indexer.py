@@ -680,14 +680,16 @@ class Index:
         self._stats_df = None
         self._df_cache = None  # global stats may have changed
         if was_pinned:
-            self.pin()  # re-warm the searcher over the new lineage (lazy)
+            # re-warm the searcher over the new lineage (lazy)
+            self.pin(decoded=getattr(self, "_pin_decoded", True))
 
     @property
     def live_segments(self) -> list[int] | None:
         """Segments visible to queries; None = all (pre-merge index)."""
         return self.meta.get("live_segments")
 
-    def pin(self, num_partitions: int | None = None) -> "Index":
+    def pin(self, num_partitions: int | None = None,
+            decoded: bool = True) -> "Index":
         """Warm this reader for query serving: pin the postings table in the
         executor-memory columnar cache, pre-hash-partitioned by segment.
 
@@ -744,6 +746,18 @@ class Index:
                     by_bytes, max(1, min(nseg, par // 4))
                 )
             self._pinned_df = base.repartition(num_partitions, "seg").persist()
+            if decoded:
+                # columnar serving cache: postings exploded to (seg, term,
+                # doc_id, tf, norm) and hash-partitioned by doc_id, so
+                # eligible term/AND/OR queries run as ONE declarative stage
+                # with no Python worker round trip (search._columnar_topk).
+                # Lazy like the blob pin: the decode job runs on first use.
+                from .search import decode_postings_df
+
+                self._decoded_df = decode_postings_df(
+                    base, num_partitions
+                ).persist()
+            self._pin_decoded = decoded
         return self
 
     def unpin(self) -> None:
@@ -751,6 +765,21 @@ class Index:
         if df is not None:
             df.unpersist(blocking=False)
         self._pinned_df = None
+        ddf = getattr(self, "_decoded_df", None)
+        if ddf is not None:
+            ddf.unpersist(blocking=False)
+        self._decoded_df = None
+
+    def decoded_postings(self) -> DataFrame | None:
+        """The pinned columnar (seg, term, doc_id, tf, norm) cache with the
+        same visibility filters as postings(); None when not pinned decoded."""
+        df = getattr(self, "_decoded_df", None)
+        if df is None:
+            return None
+        live = self.live_segments
+        if live is not None:
+            df = df.filter(F.col("seg").isin(live))
+        return self._drop_dead_segs(df)
 
     def postings(self) -> DataFrame:
         # cache the DataFrame handle: reuses the resolved FileIndex across

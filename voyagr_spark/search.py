@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 
 from . import bm25
 from .analysis import REVERSE_MARKER, should_reverse
+from .smallfloat import NORM_TABLE
 from .complexphrase import (
     ComplexPhraseQuery,
     EngineResolver,
@@ -1440,6 +1441,226 @@ def per_segment_topk_df(index, plan: "QueryPlan") -> DataFrame | None:
     )
 
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("norm", T.IntegerType()),
+        # NORM_TABLE[norm] pre-decoded (float32): lets the scorer compute
+        # cache[norm] as a 4-op float expression instead of a 256-literal
+        # element_at (256 py4j calls + analyzer cost PER QUERY)
+        T.StructField("ntv", T.FloatType()),
+    ]
+)
+
+_DECODE_COLS = [
+    "seg", "term", "first_doc", "df", "docs_blob", "tfs_blob", "norms_blob",
+    "block_doc_boff", "block_tf_boff",
+]
+
+
+def decode_postings_df(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explode posting rows to columnar (seg, term, doc_id, tf, norm).
+
+    The serving-mode decode pass behind `Index.pin(decoded=True)`: ONE
+    Arrow-batched mapInPandas over the posting rows (the same PostingRow
+    decode the scorers use), hash-partitioned by doc_id so per-doc score
+    aggregation (`_columnar_topk`) runs exchange-free.  At cluster scale
+    the decoded form costs ~6-10 bytes/posting in the columnar cache
+    (delta/RLE compressed) vs ~1-2 for the blobs — the classic serving
+    trade: Lucene keeps decoded-on-demand postings hot in the page cache,
+    a columnar engine keeps them hot as columns."""
+
+    def explode(it):
+        for pdf in it:
+            outs = []
+            for r in pdf.to_dict("records"):
+                pr = PostingRow(r)
+                docs = pr.docs()
+                norms = pr.norms()
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "seg": np.full(docs.size, int(r["seg"]),
+                                           dtype=np.int64),
+                            "term": np.full(docs.size, r["term"],
+                                            dtype=object),
+                            "doc_id": docs,
+                            "tf": pr.tfs(),
+                            "norm": norms.astype(np.int32),
+                            "ntv": NORM_TABLE[norms],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return (
+        df.select(*_DECODE_COLS)
+        .mapInPandas(explode, DECODED_SCHEMA)
+        .repartition(num_partitions, "doc_id")
+    )
+
+
+def _columnar_clauses(plan: "QueryPlan"):
+    """Eligibility check for the columnar (Python-free) serving path.
+
+    Returns (mode, [(clause_boost, term), ...], must_not_terms, msm) when
+    the query is a shape the declarative scorer reproduces BIT-EXACTLY —
+    a TermQuery, or a flat BooleanQuery of TermQuery leaves that is either
+    pure-MUST or pure-SHOULD (plus MUST_NOT) — else None.  MUST+SHOULD
+    mixes, phrases, spans, multi-term rewrites, non-BM25 similarities,
+    live tombstones, and non-finite norm caches (b=0's 0*inf NaN) all
+    route to the Pandas scorers."""
+    if plan.sim != "bm25" or plan.tombstones is not None:
+        return None
+    # cache[0] is +inf by design (NORM_TABLE[0] = Infinity, byte 0): the
+    # divide yields 0.0f identically in both engines.  Only NaN (b=0's
+    # 0*inf) is excluded — SQL ordering and numpy lexsort disagree on NaN.
+    if np.isnan(plan.cache).any():
+        return None
+    q = plan.query
+    if isinstance(q, TermQuery):
+        return "or", [(q.boost, q.term)], [], 0
+    if not isinstance(q, BooleanQuery):
+        return None
+    must, should, must_not = [], [], []
+    for occ, sub in q.clauses:
+        if not isinstance(sub, TermQuery):
+            return None
+        if occ == MUST:
+            must.append((q.boost * sub.boost, sub.term))
+        elif occ == SHOULD:
+            should.append((q.boost * sub.boost, sub.term))
+        elif occ == MUST_NOT:
+            must_not.append(sub.term)
+        else:  # FILTER and anything else: pandas path
+            return None
+    if must and should:
+        return None
+    if must:
+        return "and", must, must_not, 0
+    if should:
+        return "or", should, must_not, q.min_should_match
+    return None
+
+
+def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
+    """K1/K2/K3 for term/AND/OR queries as ONE declarative plan over the
+    decoded columnar cache — no Python stage, no exchange (the cache is
+    pre-partitioned by doc_id), one task wave + TakeOrderedAndProject.
+
+    Float32 parity with the Pandas scorers (and therefore with Lucene):
+    per-posting score = fl(wv * tf) / fl(tf + cache[norm]) — Spark FloatType
+    multiply/add are JVM float ops; the divide promotes to double and casts
+    back, which equals float division exactly (double's 53-bit mantissa
+    > 2*24+2, Figueroa's innocuous-double-rounding bound).  Boolean scores
+    fold per doc in CLAUSE ORDER with a float32 cast per addition — the
+    same left fold DisjunctionSumScorer/_union_scorer run."""
+    decoded = getattr(index, "decoded_postings", lambda: None)()
+    if decoded is None:
+        return None
+    spec = _columnar_clauses(plan)
+    if spec is None:
+        return None
+    mode, clauses, must_not, msm = spec
+    terms = sorted({t for _, t in clauses})
+    # cache[norm] recomputed from the pre-decoded NORM_TABLE value with
+    # bm25.norm_cache's EXACT float32 op chain — ((b*nt)/avgdl + (1-b))*k1,
+    # one float32 rounding per op (every literal is an exact float32, so
+    # the .cast("float") is lossless; the divide promotes to double and
+    # casts back, which equals float division — see _columnar_topk doc)
+    tf_f = F.col("tf").cast("float")
+    bf = F.lit(float(plan.b)).cast("float")
+    one_minus_b = F.lit(float(np.float32(1.0) - plan.b)).cast("float")
+    k1f = F.lit(float(plan.k1)).cast("float")
+    avgdl_f = F.lit(float(plan.avgdl)).cast("float")
+    norm_f = (
+        k1f
+        * (one_minus_b + ((bf * F.col("ntv")) / avgdl_f).cast("float"))
+    )
+    # clause weights as LITERAL case/explode expressions, never a join: a
+    # per-query BroadcastExchange costs ~0.35s of pure latency (measured),
+    # a literal branch costs nothing.  A term can appear in several
+    # clauses, so each branch carries the (cidx, wv) list of the clauses
+    # naming it and explodes — one generator row per (posting, clause).
+    by_term: dict[str, list] = {}
+    for i, (boost, t) in enumerate(clauses):
+        by_term.setdefault(t, []).append(
+            (i, float(_term_weight(plan, t, boost)))
+        )
+    # MUST_NOT terms ride the SAME scan as marker rows (cidx=-1, wv=0):
+    # adding 0.0f is exact identity in the fold, and the doc drops on the
+    # _mn flag — no per-query anti-join (a join means a BroadcastExchange,
+    # ~0.35s of pure latency)
+    for t in must_not:
+        by_term.setdefault(t, []).append((-1, 0.0))
+    all_terms = sorted(by_term)
+    matched = decoded.filter(F.col("term").isin(all_terms))
+    if len(clauses) == 1 and not must_not:
+        wv = F.lit(by_term[terms[0]][0][1]).cast("float")
+        s = ((wv * tf_f) / (tf_f + norm_f)).cast("float")
+        hits = matched.select("doc_id", s.alias("score"))
+    else:
+        pairs = None
+        for t, lst in by_term.items():
+            arr = F.array(*[
+                F.struct(
+                    F.lit(i).alias("cidx"),
+                    F.lit(w).cast("float").alias("wv"),
+                )
+                for i, w in lst
+            ])
+            cond = F.col("term") == F.lit(t)
+            pairs = F.when(cond, arr) if pairs is None else pairs.when(cond, arr)
+        scored = matched.select(
+            "doc_id", tf_f.alias("_tf"), norm_f.alias("_nf"),
+            F.explode(pairs).alias("_cw"),
+        ).select(
+            "doc_id",
+            F.col("_cw.cidx").alias("cidx"),
+            ((F.col("_cw.wv") * F.col("_tf"))
+             / (F.col("_tf") + F.col("_nf"))).cast("float").alias("s"),
+        )
+        # one conditional-max aggregate per clause (primitive agg buffers,
+        # cheaper than a collect_list+sort+fold), then the clause-order
+        # float32 left fold over the per-clause score array — coalescing a
+        # missing clause to +0.0f is an exact identity add, so the fold
+        # equals _union_scorer's "accumulate present parts in clause
+        # order" bit for bit
+        n_cl = len(clauses)
+        aggs = [
+            F.max(F.when(F.col("cidx") == i, F.col("s"))).alias(f"_s{i}")
+            for i in range(n_cl)
+        ]
+        aggs.append(F.max((F.col("cidx") < 0).cast("int")).alias("_mn"))
+        grouped = scored.groupBy("doc_id").agg(*aggs)
+        zero_f = F.lit(0.0).cast("float")
+        score = F.aggregate(
+            F.array(*[F.col(f"_s{i}") for i in range(n_cl)]),
+            zero_f,
+            lambda acc, x: acc + F.coalesce(x, zero_f),
+        )
+        nm = None
+        for i in range(n_cl):
+            e = F.col(f"_s{i}").isNotNull().cast("int")
+            nm = e if nm is None else nm + e
+        need = n_cl if mode == "and" else max(msm, 1)
+        hits = grouped.filter(
+            (nm >= F.lit(need)) & (F.coalesce(F.col("_mn"), F.lit(0)) == 0)
+        ).select("doc_id", score.alias("score"))
+    if plan.after is not None:
+        s_after = F.lit(float(np.float32(plan.after[0]))).cast("float")
+        hits = hits.filter(
+            (F.col("score") < s_after)
+            | ((F.col("score") == s_after)
+               & (F.col("doc_id") > int(plan.after[1])))
+        )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+
+
 def search(
     index, query_or_text, k: int = 10, prune: bool = True,
     after: tuple[float, int] | None = None,
@@ -1483,11 +1704,15 @@ def search(
     plan = make_plan(index, q, k, prune, after, k1=k1, b=b,
                      similarity=similarity, sim_param=sim_param,
                      df_overrides=df_overrides)
-    per_seg = per_segment_topk_df(index, plan)
-    if per_seg is None:
-        return index.spark.createDataFrame([], RESULT_SCHEMA)
-    # K3 global merge: identical tie-break (score desc, doc_id asc)
-    out = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # columnar serving fast path (pinned decoded cache, eligible shapes):
+    # same top-k, bit-identical scores, zero Python stages
+    out = _columnar_topk(index, plan)
+    if out is None:
+        per_seg = per_segment_topk_df(index, plan)
+        if per_seg is None:
+            return index.spark.createDataFrame([], RESULT_SCHEMA)
+        # K3 global merge: identical tie-break (score desc, doc_id asc)
+        out = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if cache_key is not None:
         rows_out = [(int(r["doc_id"]), float(r["score"])) for r in out.collect()]
         cache = index._result_cache
