@@ -1604,26 +1604,44 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
         s = ((wv * tf_f) / (tf_f + norm_f)).cast("float")
         hits = matched.select("doc_id", s.alias("score"))
     else:
-        pairs = None
-        for t, lst in by_term.items():
-            arr = F.array(*[
-                F.struct(
-                    F.lit(i).alias("cidx"),
-                    F.lit(w).cast("float").alias("wv"),
-                )
-                for i, w in lst
-            ])
-            cond = F.col("term") == F.lit(t)
-            pairs = F.when(cond, arr) if pairs is None else pairs.when(cond, arr)
-        scored = matched.select(
-            "doc_id", tf_f.alias("_tf"), norm_f.alias("_nf"),
-            F.explode(pairs).alias("_cw"),
-        ).select(
-            "doc_id",
-            F.col("_cw.cidx").alias("cidx"),
-            ((F.col("_cw.wv") * F.col("_tf"))
-             / (F.col("_tf") + F.col("_nf"))).cast("float").alias("s"),
-        )
+        if all(len(lst) == 1 for lst in by_term.values()):
+            # the common case — every term belongs to exactly ONE clause:
+            # cidx/wv are plain CASE expressions, no Generate node in the
+            # plan (explode would also break the codegen span)
+            cidx_e, wv_e = None, None
+            for t, lst in by_term.items():
+                i, w = lst[0]
+                cond = F.col("term") == F.lit(t)
+                ce = F.lit(i)
+                we = F.lit(w).cast("float")
+                cidx_e = F.when(cond, ce) if cidx_e is None else cidx_e.when(cond, ce)
+                wv_e = F.when(cond, we) if wv_e is None else wv_e.when(cond, we)
+            scored = matched.select(
+                "doc_id",
+                cidx_e.alias("cidx"),
+                ((wv_e * tf_f) / (tf_f + norm_f)).cast("float").alias("s"),
+            )
+        else:
+            pairs = None
+            for t, lst in by_term.items():
+                arr = F.array(*[
+                    F.struct(
+                        F.lit(i).alias("cidx"),
+                        F.lit(w).cast("float").alias("wv"),
+                    )
+                    for i, w in lst
+                ])
+                cond = F.col("term") == F.lit(t)
+                pairs = F.when(cond, arr) if pairs is None else pairs.when(cond, arr)
+            scored = matched.select(
+                "doc_id", tf_f.alias("_tf"), norm_f.alias("_nf"),
+                F.explode(pairs).alias("_cw"),
+            ).select(
+                "doc_id",
+                F.col("_cw.cidx").alias("cidx"),
+                ((F.col("_cw.wv") * F.col("_tf"))
+                 / (F.col("_tf") + F.col("_nf"))).cast("float").alias("s"),
+            )
         # one conditional-max aggregate per clause (primitive agg buffers,
         # cheaper than a collect_list+sort+fold), then the clause-order
         # float32 left fold over the per-clause score array — coalescing a
@@ -1637,12 +1655,15 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
         ]
         aggs.append(F.max((F.col("cidx") < 0).cast("int")).alias("_mn"))
         grouped = scored.groupBy("doc_id").agg(*aggs)
+        # clause-order float32 left fold as a PLAIN add chain (a
+        # higher-order F.aggregate falls out of whole-stage codegen):
+        # float+float is one JVM float op per step, and coalescing a
+        # missing clause to +0.0f is an exact identity add
         zero_f = F.lit(0.0).cast("float")
-        score = F.aggregate(
-            F.array(*[F.col(f"_s{i}") for i in range(n_cl)]),
-            zero_f,
-            lambda acc, x: acc + F.coalesce(x, zero_f),
-        )
+        score = None
+        for i in range(n_cl):
+            e = F.coalesce(F.col(f"_s{i}"), zero_f)
+            score = e if score is None else score + e
         nm = None
         for i in range(n_cl):
             e = F.col(f"_s{i}").isNotNull().cast("int")
