@@ -117,6 +117,20 @@ def test_custom_k1_b_parity(cold_and_pinned):
     assert _columnar_clauses(plan) is None
 
 
+def test_count_parity(cold_and_pinned):
+    from voyagr_spark.search import count
+
+    idx, qs, _ = cold_and_pinned
+    sample = qs[:20] + ["file AND NOT handle", "zzqx", "file OR zzqx"]
+    fast = [count(idx, q) for q in sample]
+    idx.unpin()
+    try:
+        cold = [count(idx, q) for q in sample]
+    finally:
+        idx.pin()
+    assert fast == cold
+
+
 def test_delete_invalidates_fast_path(spark, corpus_pdf, tmp_path_factory):
     """Tombstones make plan.tombstones non-None -> pandas path, results
     reflect the delete on the still-pinned index."""

@@ -1971,6 +1971,32 @@ def count_df(index, query_or_text) -> DataFrame:
     multis = query_multis(plan.query)
     if not terms and not multis:
         return index.spark.range(1).select(F.lit(0).cast("long").alias("n_hits"))
+    # columnar serving fast path: eligible shapes count declaratively from
+    # the decoded cache (scores never computed — TotalHitCountCollector
+    # skips them in the reference too)
+    decoded = getattr(index, "decoded_postings", lambda: None)()
+    spec = _columnar_clauses(plan) if decoded is not None else None
+    if spec is not None:
+        mode, clauses, must_not, msm = spec
+        n_by_term: dict[str, int] = {}
+        for _, t in clauses:
+            n_by_term[t] = n_by_term.get(t, 0) + 1
+        all_terms = sorted(set(n_by_term) | set(must_not))
+        ncl_e, mn_e = None, None
+        for t in all_terms:
+            cond = F.col("term") == F.lit(t)
+            ce = F.lit(n_by_term.get(t, 0))
+            me = F.lit(1 if t in must_not else 0)
+            ncl_e = F.when(cond, ce) if ncl_e is None else ncl_e.when(cond, ce)
+            mn_e = F.when(cond, me) if mn_e is None else mn_e.when(cond, me)
+        need = len(clauses) if mode == "and" else max(msm, 1)
+        grouped = (
+            decoded.filter(F.col("term").isin(all_terms))
+            .groupBy("doc_id")
+            .agg(F.sum(ncl_e).alias("_nm"), F.max(mn_e).alias("_mn"))
+            .filter((F.col("_nm") >= F.lit(need)) & (F.col("_mn") == 0))
+        )
+        return grouped.agg(F.count("*").cast("long").alias("n_hits"))
     rows = index.postings().filter(_posting_filter(terms, multis))
     schema = T.StructType([T.StructField("n", T.LongType())])
 
