@@ -1213,6 +1213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher A1.1 with the LINE-structured signals (bullet/ellipsis
         # line fractions) over deterministic 6-token bulleted lines
         "gopher_lined_quality": lambda s, d: CU.gopher_lined_quality_table(s, d),
+        # C4 cleaning rules (Raffel et al. 2020 section 2.2): terminal-punct
+        # line keep, min words/line, javascript-line drop, curly/lorem/
+        # bad-word page drops, min-sentence page gate — over deterministic
+        # 5-token lines with planted rule triggers
+        "c4_filters": lambda s, d: CU.c4_filters_table(s, d),
+        # Dolma/FineWeb PII masking: email/IPv4/phone regex redaction with
+        # counts, over deterministically planted PII
+        "pii_redact": lambda s, d: CU.pii_redact_table(s, d),
         # training-set decontamination: 8-gram collision vs a held-out set
         "decontaminate": lambda s, d: R.decontaminate(s, d, [0, 1, 2, 3, 4], 4),
         "engine_expr_rescore": _engine_expr_rescore,
@@ -5687,4 +5695,94 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
                 AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
                 AND n_req >= 2)::BIGINT AS keep
         FROM m"""
+    # C4 cleaning rules (Raffel et al. 2020 section 2.2) over deterministic
+    # 5-token lines with planted javascript/short/punct-free lines and
+    # curly/lorem/bad-word pages (curation.c4_filters_table).  NB coalesce:
+    # DuckDB's array_to_string([]) is NULL where Spark's array_join is ''.
+    d["c4_filters"] = r"""
+        WITH base AS (SELECT doc_id, string_split(text,' ') AS toks
+                      FROM documents),
+        lined AS (
+          SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(toks)/5.0) AS BIGINT)),
+                   i -> (CASE WHEN (doc_id+i)%11=0
+                              THEN 'javascript ' ELSE '' END)
+                     || array_to_string(list_slice(toks, i*5+1, i*5+5), ' ')
+                     || (CASE (doc_id+i)%4 WHEN 0 THEN '.' WHEN 1 THEN '?'
+                              WHEN 2 THEN '!' ELSE '' END)
+                 ) AS lines
+          FROM base),
+        doc AS (
+          SELECT doc_id,
+                 array_to_string(lines, chr(10))
+                 || (CASE WHEN doc_id%13=0 THEN chr(10)||'curly { brace.'
+                          ELSE '' END)
+                 || (CASE WHEN doc_id%17=0
+                          THEN chr(10)||'Lorem ipsum dolor sit.' ELSE '' END)
+                 || (CASE WHEN doc_id%19=0 THEN chr(10)||'badword here today.'
+                          ELSE '' END) AS text
+          FROM lined),
+        s AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+              FROM doc),
+        k AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+                   AND len(string_split(l, ' ')) >= 3
+                   AND NOT regexp_matches(l, '\bjavascript\b', 'i')) AS kept
+          FROM s),
+        c AS (SELECT doc_id, text, lines, kept,
+                     coalesce(array_to_string(kept, chr(10)), '') AS clean
+              FROM k)
+        SELECT doc_id,
+               len(lines)::BIGINT AS n_lines,
+               len(kept)::BIGINT AS n_kept_lines,
+               len(regexp_extract_all(clean, '[.!?]'))::BIGINT AS n_sentences,
+               length(clean)::BIGINT AS clean_nchars,
+               md5(clean) AS clean_md5,
+               contains(text, '{')::BIGINT AS has_curly,
+               contains(lower(text), 'lorem ipsum')::BIGINT AS has_lorem,
+               regexp_matches(text, '\b(badword)\b', 'i')::BIGINT
+                 AS has_badword,
+               (len(regexp_extract_all(clean, '[.!?]')) >= 5
+                AND NOT contains(text, '{')
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT regexp_matches(text, '\b(badword)\b', 'i'))::BIGINT
+                 AS keep
+        FROM c"""
+    # Dolma/FineWeb PII masking over deterministically planted emails/IPs/
+    # phone numbers (curation.pii_redact_table); identical RE2-safe regexes
+    # run in Spark and here, replacements global ('g') to match Spark's
+    # replace-all regexp_replace.
+    d["pii_redact"] = r"""
+        WITH doc AS (
+          SELECT doc_id, text
+            || (CASE WHEN doc_id%7=0
+                     THEN ' u'||doc_id||'@example.com' ELSE '' END)
+            || (CASE WHEN doc_id%9=0
+                     THEN ' 10.0.'||(doc_id%256)||'.'||(doc_id%100)
+                     ELSE '' END)
+            || (CASE WHEN doc_id%6=0
+                     THEN ' call 555-'||(doc_id%9000+1000) ELSE '' END)
+            AS text
+          FROM documents),
+        r AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '|||EMAIL_ADDRESS|||', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '|||IP_ADDRESS|||', 'g'),
+                   '\b\d{3}-\d{4}\b', '|||PHONE_NUMBER|||', 'g') AS red
+          FROM doc)
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+               len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))::BIGINT
+                 AS n_phones,
+               length(red)::BIGINT AS redacted_nchars,
+               md5(red) AS redacted_md5
+        FROM r"""
     return d

@@ -526,6 +526,33 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in cur_checks],
     ))
 
+    # 12b. C4 filters + PII redaction: the same single-scan contract —
+    # at 100 TB these run at parquet-read speed with no exchange
+    pc4 = _plan(_CU.c4_filters_table(spark, "/root/testdata/sf0.001"))
+    ppii = _plan(_CU.pii_redact_table(spark, "/root/testdata/sf0.001"))
+    c4_checks = [
+        ("c4_filters has no aggregate/join exchange (only the gate's "
+         "presentation sort)", "hashpartitioning" not in pc4),
+        ("c4_filters has no Python stage (regex + higher-order JVM "
+         "expressions only)",
+         all(s not in pc4 for s in
+             ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"))),
+        ("pii_redact has no aggregate/join exchange",
+         "hashpartitioning" not in ppii),
+        ("pii_redact has no Python stage",
+         all(s not in ppii for s in
+             ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"))),
+        ("pii_redact reads only (doc_id, text) from parquet",
+         all(("ReadSchema" not in l) or
+             ("doc_id" in l and "text" in l and "lang" not in l)
+             for l in ppii.splitlines())),
+    ]
+    sections.append((
+        "C4 filters + PII redaction (c4_filters / pii_redact)",
+        _excerpt(pc4, ["ReadSchema"])[:2],
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in c4_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",

@@ -170,3 +170,163 @@ def test_gate_surfaces_zero_shuffle(spark):
     lined6 = CU.lined_documents(spark, SF, line_tokens=6, bullets=True)
     plan = CU.gopher_quality(lined6)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# C4 filters (Raffel et al. 2020 section 2.2)
+# ---------------------------------------------------------------------------
+
+C4_DOCS = [
+    # 6 kept sentence lines -> keep
+    (0, "one two three here now.\n" * 5 + "final line stands alone!"),
+    # enough sentences but a curly bracket -> page drop
+    (1, "one two three here now.\n" * 5 + "code { block }."),
+    # lorem ipsum (case-insensitive) -> page drop
+    (2, "one two three here now.\n" * 5 + "LoReM IpSuM filler."),
+    # javascript line dropped at line level; still 5 sentences -> keep
+    (3, "one two three here now.\n" * 5 + "enable javascript to view."),
+    # only 4 sentences survive -> drop (min_sentences=5)
+    (4, "one two three here now.\n" * 4 + "no terminal punct here"),
+    # short line (2 words) dropped; bad word page-drops
+    (5, "one two three here now.\n" * 5 + "ok.\nbadword appears today."),
+]
+
+
+def py_c4(text, bad_words=("badword",), min_wpl=3, min_sent=5):
+    import hashlib
+    import re
+
+    lines = text.split("\n")
+    kept = [
+        l
+        for l in lines
+        if re.search(r'[.!?"]$', l)
+        and len(l.split(" ")) >= min_wpl
+        and not re.search(r"(?i)\bjavascript\b", l)
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    has_curly = "{" in text
+    has_lorem = "lorem ipsum" in text.lower()
+    has_bad = bool(
+        bad_words
+        and re.search(
+            r"(?i)\b(" + "|".join(map(re.escape, bad_words)) + r")\b", text
+        )
+    )
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sent,
+        "clean_nchars": len(clean),
+        "clean_md5": hashlib.md5(clean.encode()).hexdigest(),
+        "has_curly": int(has_curly),
+        "has_lorem": int(has_lorem),
+        "has_badword": int(has_bad),
+        "keep": int(
+            n_sent >= min_sent and not has_curly and not has_lorem and not has_bad
+        ),
+    }
+
+
+def test_c4_planted_rules(spark):
+    df = spark.createDataFrame(C4_DOCS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in CU.c4_filters(df, bad_words=("badword",)).collect()
+    }
+    for doc_id, text in C4_DOCS:
+        want = py_c4(text)
+        row = {k: got[doc_id][k] for k in want}
+        assert row == want, (doc_id, row, want)
+    # the rule-by-rule outcomes the corpus was planted for
+    assert got[0]["keep"] == 1
+    assert got[1]["keep"] == 0 and got[1]["has_curly"] == 1
+    assert got[2]["keep"] == 0 and got[2]["has_lorem"] == 1
+    assert got[3]["keep"] == 1 and got[3]["n_kept_lines"] == 5
+    assert got[4]["keep"] == 0 and got[4]["n_sentences"] == 4
+    assert got[5]["keep"] == 0 and got[5]["has_badword"] == 1
+    # short "ok." line (< 3 words) was dropped at line level; the badword
+    # line itself is a kept sentence line (the drop is page-level)
+    assert got[5]["n_lines"] == 7 and got[5]["n_kept_lines"] == 6
+
+
+def test_c4_randomized_differential(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "javascript", "badword", "{x}"]
+    sufs = [".", "?", "!", '"', "", " ..."]
+    docs = []
+    for d in range(60):
+        lines = []
+        for _ in range(rng.randrange(1, 12)):
+            words = [rng.choice(vocab) for _ in range(rng.randrange(1, 7))]
+            lines.append(" ".join(words) + rng.choice(sufs))
+        if rng.random() < 0.2:
+            lines.append("lorem ipsum dolor.")
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in CU.c4_filters(df, bad_words=("badword",)).collect()
+    }
+    for d, text in docs:
+        want = py_c4(text)
+        row = {k: got[d][k] for k in want}
+        assert row == want, (d, row, want)
+
+
+def test_c4_no_bad_words_param(spark):
+    df = spark.createDataFrame(C4_DOCS[-1:], ["doc_id", "text"])
+    row = CU.c4_filters(df).collect()[0]
+    assert row["has_badword"] == 0 and row["keep"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def py_pii(text):
+    import hashlib
+    import re
+
+    e, i, p = CU.EMAIL_RE, CU.IPV4_RE, CU.PHONE_RE
+    red = re.sub(e, "|||EMAIL_ADDRESS|||", text)
+    red = re.sub(i, "|||IP_ADDRESS|||", red)
+    red = re.sub(p, "|||PHONE_NUMBER|||", red)
+    return {
+        "n_emails": len(re.findall(e, text)),
+        "n_ips": len(re.findall(i, text)),
+        "n_phones": len(re.findall(p, text)),
+        "redacted_nchars": len(red),
+        "redacted_md5": hashlib.md5(red.encode()).hexdigest(),
+    }
+
+
+def test_pii_planted(spark):
+    docs = [
+        (0, "write to a.user+tag@sub.example.co.uk or admin@x.io today"),
+        (1, "server at 10.0.3.25 then 192.168.1.1, call 555-0199"),
+        (2, "no pii here at all"),
+        (3, "v1.2.3.4 is a version but 1.2.3.4 alone is an ip"),
+        (4, "email-ish @ not an email; 555-12345 has five digits"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in CU.pii_redact(df).collect()}
+    for d, text in docs:
+        want = py_pii(text)
+        row = {k: got[d][k] for k in want}
+        assert row == want, (d, row, want)
+    assert got[0]["n_emails"] == 2
+    assert got[1]["n_ips"] == 2 and got[1]["n_phones"] == 1
+    assert got[2]["redacted_md5"] == py_pii("no pii here at all")["redacted_md5"]
+
+
+def test_c4_pii_gate_surfaces_zero_shuffle(spark):
+    for surface in (CU.c4_filters_table, CU.pii_redact_table):
+        df = surface(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one sort for the gate's presentation order is fine; no join /
+        # aggregate exchange may appear
+        assert "hashpartitioning" not in plan, (surface.__name__, plan)

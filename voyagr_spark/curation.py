@@ -335,3 +335,193 @@ def gopher_repetition_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 31-word-vocabulary corpus)."""
     lined = lined_documents(spark, sf_dir, line_tokens=3, bullets=False)
     return gopher_repetition(lined).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic filters (Raffel et al. 2020, arXiv:1910.10683 section 2.2)
+# ---------------------------------------------------------------------------
+
+def c4_lined_text(line_tokens: int = 5):
+    """Column expr: deterministic C4-shaped line structure for the gate
+    surface.  Line i of doc d: 'javascript ' prefix iff (d+i) % 11 == 0,
+    terminal suffix by (d+i) % 4 (0 -> '.', 1 -> '?', 2 -> '!', 3 -> none);
+    page extras: a curly-brace line iff d % 13 == 0, a 'Lorem ipsum' line
+    iff d % 17 == 0, a planted bad-word line iff d % 19 == 0.  The same
+    arithmetic renders in the DuckDB oracle, so the synthetic page is
+    byte-identical on both engines."""
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    d = F.col("doc_id")
+
+    def line(i):
+        base = F.array_join(F.slice(toks, i * line_tokens + 1, line_tokens), " ")
+        pre = F.when((d + i) % 11 == 0, F.lit("javascript ")).otherwise(F.lit(""))
+        m = (d + i) % 4
+        suf = (
+            F.when(m == 0, F.lit("."))
+            .when(m == 1, F.lit("?"))
+            .when(m == 2, F.lit("!"))
+            .otherwise(F.lit(""))
+        )
+        return F.concat(pre, base, suf)
+
+    body = F.array_join(F.transform(F.sequence(F.lit(0), n_lines - 1), line), "\n")
+    curly = F.when(d % 13 == 0, F.lit("\ncurly { brace.")).otherwise(F.lit(""))
+    lorem = F.when(d % 17 == 0, F.lit("\nLorem ipsum dolor sit.")).otherwise(
+        F.lit("")
+    )
+    bad = F.when(d % 19 == 0, F.lit("\nbadword here today.")).otherwise(F.lit(""))
+    return F.concat(body, curly, lorem, bad)
+
+
+def c4_filters(
+    docs: DataFrame,
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    bad_words: tuple = (),
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 section 2.2) as one scan.
+
+    Line level: keep a line iff it ends in terminal punctuation (. ! ? \"),
+    has >= min_words_per_line words, and does not contain the word
+    'javascript' (case-insensitive).  Page level: drop the page when the
+    cleaned text has < min_sentences sentence enders, when the RAW page
+    contains a curly bracket or the phrase 'lorem ipsum' (case-insensitive),
+    or when any `bad_words` entry appears as a word (the paper's
+    'Dirty/Naughty/Obscene' list, parameterized).  The paper's remaining
+    rule — drop repeated three-sentence spans corpus-wide — is the
+    cross-doc dedup already provided by `relational.dedup_lines` /
+    `substring_dup_spans` and is deliberately not re-implemented here.
+
+    Sentence counting is the deterministic proxy `count of [.!?]` over the
+    cleaned text (the paper used a sentence splitter; any monotone proxy
+    orders pages identically on this corpus and is bit-reproducible in SQL).
+
+    Zero shuffles: every signal is a JVM higher-order array expression over
+    the staged line array, so at 100 TB the filter runs at parquet scan
+    speed with no exchange.  -> (doc_id, n_lines, n_kept_lines,
+    n_sentences, clean_nchars, clean_md5, has_curly, has_lorem,
+    has_badword, keep).
+    """
+    staged = docs.select(
+        "doc_id", "text", F.split(F.col("text"), "\n").alias("_lines")
+    )
+    lines = F.col("_lines")
+
+    def line_kept(l):
+        return (
+            l.rlike(r'[.!?"]$')
+            & (F.size(F.split(l, " ")) >= min_words_per_line)
+            & ~l.rlike(r"(?i)\bjavascript\b")
+        )
+
+    kept = F.filter(lines, line_kept)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
+    has_curly = F.col("text").contains("{")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    if bad_words:
+        import re as _re
+
+        pat = r"(?i)\b(" + "|".join(_re.escape(w) for w in bad_words) + r")\b"
+        has_bad = F.col("text").rlike(pat)
+    else:
+        has_bad = F.lit(False)
+    keep = (
+        (n_sent >= min_sentences) & ~has_curly & ~has_lorem & ~has_bad
+    )
+    return staged.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        F.length(clean).cast("long").alias("clean_nchars"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+        has_curly.cast("long").alias("has_curly"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_bad.cast("long").alias("has_badword"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+def c4_filters_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q: c4_filters over the documents table re-laid as deterministic
+    5-token lines with planted javascript/short/punctuation-free lines and
+    curly/lorem/bad-word pages (c4_lined_text)."""
+    docs = documents(spark, sf_dir).select(
+        "doc_id", c4_lined_text(5).alias("text")
+    )
+    return c4_filters(docs, bad_words=("badword",)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the Dolma/FineWeb pre-tokenization masking pass)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no backrefs/lookaround) so the identical regex runs in
+# Spark (java.util.regex) and the DuckDB oracle (RE2).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Deterministic PII masking (the Dolma/FineWeb recipe: regex-mask
+    emails, IPv4 addresses, and phone numbers before tokenization).
+
+    Counts come from the RAW text; replacements apply in a fixed order
+    (email first — its pattern can span dots that IPv4 would otherwise
+    claim — then IP, then phone) with the Dolma mask tokens.  One scan,
+    zero shuffles, all JVM regexp expressions.  -> (doc_id, n_emails,
+    n_ips, n_phones, redacted_nchars, redacted_md5).
+    """
+    text = F.col("text")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+    red = F.regexp_replace(text, EMAIL_RE, "|||EMAIL_ADDRESS|||")
+    red = F.regexp_replace(red, IPV4_RE, "|||IP_ADDRESS|||")
+    red = F.regexp_replace(red, PHONE_RE, "|||PHONE_NUMBER|||")
+    return docs.select(
+        "doc_id",
+        n(EMAIL_RE).cast("long").alias("n_emails"),
+        n(IPV4_RE).cast("long").alias("n_ips"),
+        n(PHONE_RE).cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_nchars"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def pii_text():
+    """Column expr: corpus text with deterministically planted PII —
+    ' u{d}@example.com' iff d % 7 == 0, ' 10.0.{d%256}.{d%100}' iff
+    d % 9 == 0, ' 555-{1000 + d%9000}' iff d % 6 == 0; arithmetic
+    identical in the SQL oracle."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" u"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 9 == 0,
+        F.concat(
+            F.lit(" 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 6 == 0,
+        F.concat(F.lit(" call 555-"), (d % 9000 + 1000).cast("string")),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, ip, phone)
+
+
+def pii_redact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q: pii_redact over the documents table with deterministically
+    planted emails/IPs/phone numbers (pii_text)."""
+    docs = documents(spark, sf_dir).select("doc_id", pii_text().alias("text"))
+    return pii_redact(docs).orderBy("doc_id")
