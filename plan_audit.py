@@ -153,9 +153,10 @@ def main() -> None:
              "TakeOrderedAndProject" in final),
         ]
         # columnar serving fast path: eligible term/AND/OR queries answer
-        # from the decoded (seg, term, doc_id, tf, norm, ntv) cache with NO
-        # Python stage at all (search._columnar_topk); phrase queries keep
-        # the Pandas scorer shape
+        # from the decoded (seg, term, doc_id, tf, norm, ntv, pos) cache
+        # with NO Python stage at all (search._columnar_topk); exact
+        # phrases too (search._columnar_phrase_topk — phraseFreq as a JVM
+        # array expression); sloppy phrases keep the Pandas scorer shape
         checks.append((
             "columnar fast path: AND query has NO Python stage per query",
             "Pandas" not in above and "Python" not in above,
@@ -163,9 +164,39 @@ def main() -> None:
         dfp = search(idx, '"fast key"', k=10)
         dfp.collect()
         pph = _plan(dfp).split("== Initial Plan ==")[0]
+        pph_above = pph.split("InMemoryRelation")[0]
         checks.append((
-            "phrase query still serves via the Pandas scorer",
-            "FlatMapGroupsInPandas" in pph,
+            "exact phrase is columnar too (no Python stage per query)",
+            "Pandas" not in pph_above and "Python" not in pph_above,
+        ))
+        dfs = search(idx, '"fast key"~2', k=10)
+        dfs.collect()
+        psl = _plan(dfs).split("== Initial Plan ==")[0]
+        checks.append((
+            "sloppy phrase still serves via the Pandas scorer",
+            "FlatMapGroupsInPandas" in psl,
+        ))
+        for label, qq in (("MUST+SHOULD mix", "+batch dup"),
+                          ("prefix rewrite", "bat*")):
+            dmx = search(idx, qq, k=10)
+            dmx.collect()
+            pmx = _plan(dmx).split("== Initial Plan ==")[0]
+            pmx_above = pmx.split("InMemoryRelation")[0]
+            checks.append((
+                f"{label} is columnar too (no Python stage per query)",
+                "Pandas" not in pmx_above and "Python" not in pmx_above,
+            ))
+        dfb = search_many(
+            idx, {"a": "batch", "b": "dup OR fast", "c": '"fast key"'},
+            k=10, columnar=True,
+        )
+        dfb.collect()
+        pb = _plan(dfb).split("== Initial Plan ==")[0]
+        pb_above = pb.split("InMemoryRelation")[0]
+        checks.append((
+            "all-eligible batch (incl. exact phrase) is one Python-free "
+            "plan",
+            "Pandas" not in pb_above and "Python" not in pb_above,
         ))
         sections.append((
             "pinned searcher (serving mode, batch AND dup)",

@@ -3,9 +3,10 @@ queries answered from the pinned decoded cache with NO Python stage and NO
 per-query exchange, bit-identical to the Pandas scorers.
 
 Contract mirrors test_pinned_searcher: the fast path changes ONLY the
-physical plan — ids and float32 scores stay exact; ineligible shapes
-(phrase, spans, multi-term, non-BM25, tombstones) still route to the
-Pandas path; unpin restores the cold path.
+physical plan — ids and float32 scores stay exact; exact phrases have
+their own columnar path (_columnar_phrase_topk) over the cache's pos
+arrays; ineligible shapes (sloppy phrase, spans, multi-term, non-BM25,
+tombstones) still route to the Pandas path; unpin restores the cold path.
 """
 
 import numpy as np
@@ -81,10 +82,218 @@ def test_fast_path_plan_is_python_free(cold_and_pinned):
 
 def test_ineligible_shapes_still_pandas(cold_and_pinned):
     idx, _, _ = cold_and_pinned
-    for q in ('"parse query tree"', "fil*"):
+    # sloppy phrase (slop>0) and regex-refined multi-term rewrites stay on
+    # the Pandas path; exact phrases and pure-range rewrites (fil*) are
+    # columnar since their fast paths landed
+    for q in ('"parse tree"~2', "f?le"):
         plan = _final_plan(search(idx, q, k=10))
         final = plan.split("== Initial Plan ==")[0]
         assert "FlatMapGroupsInPandas" in final, q
+
+
+CONSTS = ("fil*", "[file TO index]", "{file TO parse}", "zzq*")
+
+
+def test_const_multiterm_parity_bit_exact(cold_and_pinned):
+    """Prefix / term-range rewrites on the columnar path: constant-score
+    doc sets identical to the Pandas ConstScoreMulti scorer."""
+    idx, _, _ = cold_and_pinned
+    idx.unpin()
+    try:
+        cold = {q: _rows(search(idx, q, k=10)) for q in CONSTS}
+    finally:
+        idx.pin()
+    for q in CONSTS:
+        assert _rows(search(idx, q, k=10)) == cold[q], q
+    assert any(cold[q] for q in CONSTS)
+
+
+def test_const_multiterm_plan_is_python_free(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    plan = _final_plan(search(idx, "fil*", k=10))
+    final = plan.split("== Initial Plan ==")[0]
+    above = final.split("InMemoryRelation")[0]
+    assert "Pandas" not in above and "Python" not in above, above
+    assert "Exchange" not in above, above
+    assert "TakeOrderedAndProject" in above, above
+
+
+PHRASES = (
+    '"parse query tree"', '"file handle"', '"query parse"', '"file file"',
+    '"tree node"^2', '"handle parse file"', '"zzqx file"',
+)
+
+
+def test_phrase_parity_bit_exact(cold_and_pinned):
+    """Exact phrases on the columnar path: ids and float32 scores identical
+    to the Pandas two-phase scorer, including repeated-term phrases,
+    boosts, and empty results."""
+    idx, _, _ = cold_and_pinned
+    idx.unpin()
+    try:
+        cold = {q: _rows(search(idx, q, k=10)) for q in PHRASES}
+    finally:
+        idx.pin()
+    for q in PHRASES:
+        assert _rows(search(idx, q, k=10)) == cold[q], q
+    assert any(cold[q] for q in PHRASES)  # non-degenerate
+
+
+def test_phrase_fast_path_plan_is_python_free(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    plan = _final_plan(search(idx, '"file handle"', k=10))
+    final = plan.split("== Initial Plan ==")[0]
+    above = final.split("InMemoryRelation")[0]
+    assert "Pandas" not in above and "Python" not in above, above
+    assert "Exchange" not in above, above
+    assert "TakeOrderedAndProject" in above, above
+
+
+def test_phrase_after_paging_parity(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    first = search(idx, '"file handle"', k=3).collect()
+    if not first:
+        pytest.skip("corpus has no 'file handle' bigram")
+    after = (float(first[-1]["score"]), int(first[-1]["doc_id"]))
+    fast = _rows(search(idx, '"file handle"', k=5, after=after))
+    idx.unpin()
+    try:
+        cold = _rows(search(idx, '"file handle"', k=5, after=after))
+    finally:
+        idx.pin()
+    assert fast == cold
+
+
+MIXES = (
+    "+file handle", "+file +parse handle tree", "+file handle -node",
+    "+file zzqx", "+zzqxmissing handle",
+)
+
+
+def _dismaxes():
+    from voyagr_spark.parser import DisjunctionMaxQuery, TermQuery
+
+    return [
+        DisjunctionMaxQuery((TermQuery("file"), TermQuery("handle")), 0.0),
+        DisjunctionMaxQuery((TermQuery("file"), TermQuery("handle")), 0.3),
+        DisjunctionMaxQuery(
+            (TermQuery("file", 2.0), TermQuery("parse"), TermQuery("tree")),
+            1.0, boost=1.5),
+        DisjunctionMaxQuery((TermQuery("file"),), 0.7),
+        DisjunctionMaxQuery((TermQuery("zzqxmissing"), TermQuery("file")),
+                            0.5),
+    ]
+
+
+def test_mix_parity_bit_exact(cold_and_pinned):
+    """MUST+SHOULD mixes on the columnar path: ids and float32 scores
+    identical to the Pandas ReqOptSum scorer, incl. MUST_NOT and
+    absent-term edge cases."""
+    idx, _, _ = cold_and_pinned
+    idx.unpin()
+    try:
+        cold = {q: _rows(search(idx, q, k=10)) for q in MIXES}
+    finally:
+        idx.pin()
+    for q in MIXES:
+        assert _rows(search(idx, q, k=10)) == cold[q], q
+    assert any(cold[q] for q in MIXES)
+
+
+def test_dismax_parity_bit_exact(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    dqs = _dismaxes()
+    idx.unpin()
+    try:
+        cold = [_rows(search(idx, q, k=10)) for q in dqs]
+    finally:
+        idx.pin()
+    for q, c in zip(dqs, cold):
+        assert _rows(search(idx, q, k=10)) == c, q
+    assert any(cold)
+
+
+def test_mix_dismax_plan_is_python_free(cold_and_pinned):
+    idx, _, _ = cold_and_pinned
+    for q in ("+file handle -node", _dismaxes()[1]):
+        plan = _final_plan(search(idx, q, k=10))
+        final = plan.split("== Initial Plan ==")[0]
+        above = final.split("InMemoryRelation")[0]
+        assert "Pandas" not in above and "Python" not in above, (q, above)
+        assert "Exchange" not in above, (q, above)
+        assert "TakeOrderedAndProject" in above, (q, above)
+
+
+def _many_rows(df):
+    return sorted(
+        (r["query_id"], int(r["doc_id"]), np.float32(r["score"]).tobytes())
+        for r in df.collect()
+    )
+
+
+def test_search_many_columnar_parity(cold_and_pinned):
+    """All-eligible batches run as ONE Python-free plan: rows bit-identical
+    to the Pandas batch path."""
+    from voyagr_spark.search import search_many
+
+    idx, _, _ = cold_and_pinned
+    batch = {
+        "q1": "file", "q2": "file AND handle", "q3": "file OR parse OR tree",
+        "q4": "+file handle", "q5": "file AND NOT node", "q6": "zzqxmissing",
+        "q8": '"file handle"',  # exact phrase rides its own pivot
+    }
+    batch["q7"] = _dismaxes()[1]
+    idx.unpin()
+    try:
+        cold = _many_rows(search_many(idx, batch, k=5))
+    finally:
+        idx.pin()
+    fast_df = search_many(idx, batch, k=5, columnar=True)
+    assert _many_rows(fast_df) == cold
+    assert cold  # non-degenerate
+    plan = _final_plan(fast_df)
+    # the pin-time decode (MapInPandas) legitimately appears INSIDE the
+    # cached relation's lineage; the per-query plan above it must be
+    # Python-free
+    above = plan.split("== Initial Plan ==")[0].split("InMemoryRelation")[0]
+    assert "Pandas" not in above and "Python" not in above, above
+
+
+def test_search_many_mixed_batch_falls_back(cold_and_pinned):
+    from voyagr_spark.search import search_many
+
+    idx, _, _ = cold_and_pinned
+    batch = {"q1": "file", "q2": '"parse tree"~2'}  # sloppy: ineligible
+    idx.unpin()
+    try:
+        cold = _many_rows(search_many(idx, batch, k=5))
+    finally:
+        idx.pin()
+    df = search_many(idx, batch, k=5, columnar=True)
+    assert _many_rows(df) == cold
+    assert "FlatMapGroupsInPandas" in _final_plan(df)
+
+
+def test_pin_without_positions_falls_back(cold_and_pinned):
+    """pin(positions=False): leaner cache (no pos arrays) — term/AND/OR
+    stay columnar, exact phrases fall back to the Pandas scorer with
+    identical results."""
+    idx, _, _ = cold_and_pinned
+    idx.unpin()
+    try:
+        cold = _rows(search(idx, '"file handle"', k=10))
+        idx.pin(positions=False)
+        assert "pos" not in idx.decoded_postings().columns
+        assert _rows(search(idx, '"file handle"', k=10)) == cold
+        pph = _final_plan(search(idx, '"file handle"', k=10))
+        assert "FlatMapGroupsInPandas" in pph.split("== Initial Plan ==")[0]
+        tplan = _final_plan(search(idx, "file AND handle", k=10))
+        above = tplan.split("== Initial Plan ==")[0].split(
+            "InMemoryRelation")[0]
+        assert "Pandas" not in above and "Python" not in above
+    finally:
+        idx.unpin()
+        idx.pin()  # restore the module fixture's serving state
 
 
 def test_after_paging_parity(cold_and_pinned):

@@ -689,7 +689,7 @@ class Index:
         return self.meta.get("live_segments")
 
     def pin(self, num_partitions: int | None = None,
-            decoded: bool = True) -> "Index":
+            decoded: bool = True, positions: bool = True) -> "Index":
         """Warm this reader for query serving: pin the postings table in the
         executor-memory columnar cache, pre-hash-partitioned by segment.
 
@@ -748,14 +748,16 @@ class Index:
             self._pinned_df = base.repartition(num_partitions, "seg").persist()
             if decoded:
                 # columnar serving cache: postings exploded to (seg, term,
-                # doc_id, tf, norm) and hash-partitioned by doc_id, so
-                # eligible term/AND/OR queries run as ONE declarative stage
-                # with no Python worker round trip (search._columnar_topk).
+                # doc_id, tf, norm, ntv[, pos]) and hash-partitioned by
+                # doc_id, so eligible term/AND/OR queries — and, when
+                # positions=True, exact phrases — run as ONE declarative
+                # stage with no Python worker round trip
+                # (search._columnar_topk / _columnar_phrase_topk).
                 # Lazy like the blob pin: the decode job runs on first use.
                 from .search import decode_postings_df
 
                 self._decoded_df = decode_postings_df(
-                    base, num_partitions
+                    base, num_partitions, positions=positions
                 ).persist()
             self._pin_decoded = decoded
         return self
@@ -771,8 +773,9 @@ class Index:
         self._decoded_df = None
 
     def decoded_postings(self) -> DataFrame | None:
-        """The pinned columnar (seg, term, doc_id, tf, norm) cache with the
-        same visibility filters as postings(); None when not pinned decoded."""
+        """The pinned columnar (seg, term, doc_id, tf, norm, ntv[, pos])
+        cache with the same visibility filters as postings(); None when not
+        pinned decoded."""
         df = getattr(self, "_decoded_df", None)
         if df is None:
             return None

@@ -1452,17 +1452,24 @@ DECODED_SCHEMA = T.StructType(
         # cache[norm] as a 4-op float expression instead of a 256-literal
         # element_at (256 py4j calls + analyzer cost PER QUERY)
         T.StructField("ntv", T.FloatType()),
+        # absolute token positions per (term, doc) — lets exact phrases run
+        # columnar too; the cached relation is columnar, so term/AND/OR
+        # queries never read these batches (column pruning)
+        T.StructField("pos", T.ArrayType(T.IntegerType())),
     ]
 )
 
 _DECODE_COLS = [
     "seg", "term", "first_doc", "df", "docs_blob", "tfs_blob", "norms_blob",
-    "block_doc_boff", "block_tf_boff",
+    "block_doc_boff", "block_tf_boff", "pos_blob",
 ]
 
 
-def decode_postings_df(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Explode posting rows to columnar (seg, term, doc_id, tf, norm).
+def decode_postings_df(
+    df: DataFrame, num_partitions: int, positions: bool = True
+) -> DataFrame:
+    """Explode posting rows to columnar (seg, term, doc_id, tf, norm, ntv
+    [, pos]).
 
     The serving-mode decode pass behind `Index.pin(decoded=True)`: ONE
     Arrow-batched mapInPandas over the posting rows (the same PostingRow
@@ -1471,35 +1478,56 @@ def decode_postings_df(df: DataFrame, num_partitions: int) -> DataFrame:
     the decoded form costs ~6-10 bytes/posting in the columnar cache
     (delta/RLE compressed) vs ~1-2 for the blobs — the classic serving
     trade: Lucene keeps decoded-on-demand postings hot in the page cache,
-    a columnar engine keeps them hot as columns."""
+    a columnar engine keeps them hot as columns.
+
+    `positions=True` also decodes per-posting absolute position lists
+    (~4 bytes/token extra in the cache) so exact phrases serve columnar
+    too (`_columnar_phrase_topk`); term/AND/OR queries never read those
+    batches (in-memory column pruning).  Pass False on memory-tight
+    deployments — phrases then fall back to the Pandas two-phase scorer."""
 
     def explode(it):
+        from .codec import decode_positions_flat
+
         for pdf in it:
             outs = []
             for r in pdf.to_dict("records"):
                 pr = PostingRow(r)
                 docs = pr.docs()
                 norms = pr.norms()
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "seg": np.full(docs.size, int(r["seg"]),
-                                           dtype=np.int64),
-                            "term": np.full(docs.size, r["term"],
-                                            dtype=object),
-                            "doc_id": docs,
-                            "tf": pr.tfs(),
-                            "norm": norms.astype(np.int32),
-                            "ntv": NORM_TABLE[norms],
-                        }
+                tfs = pr.tfs()
+                cols = {
+                    "seg": np.full(docs.size, int(r["seg"]),
+                                   dtype=np.int64),
+                    "term": np.full(docs.size, r["term"], dtype=object),
+                    "doc_id": docs,
+                    "tf": tfs,
+                    "norm": norms.astype(np.int32),
+                    "ntv": NORM_TABLE[norms],
+                }
+                if positions:
+                    # per-posting absolute position lists: one bulk varint
+                    # decode, then a boundary split (flat is
+                    # posting-ordered)
+                    flat, _ = decode_positions_flat(r["pos_blob"], tfs)
+                    cols["pos"] = (
+                        np.split(flat.astype(np.int32), np.cumsum(tfs)[:-1])
+                        if docs.size
+                        else []
                     )
-                )
+                outs.append(pd.DataFrame(cols))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
+    schema = DECODED_SCHEMA if positions else T.StructType(
+        [f for f in DECODED_SCHEMA.fields if f.name != "pos"]
+    )
+    cols = _DECODE_COLS if positions else [
+        c for c in _DECODE_COLS if c != "pos_blob"
+    ]
     return (
-        df.select(*_DECODE_COLS)
-        .mapInPandas(explode, DECODED_SCHEMA)
+        df.select(*cols)
+        .mapInPandas(explode, schema)
         .repartition(num_partitions, "doc_id")
     )
 
@@ -1507,13 +1535,18 @@ def decode_postings_df(df: DataFrame, num_partitions: int) -> DataFrame:
 def _columnar_clauses(plan: "QueryPlan"):
     """Eligibility check for the columnar (Python-free) serving path.
 
-    Returns (mode, [(clause_boost, term), ...], must_not_terms, msm) when
+    Returns (mode, [(clause_boost, term), ...], must_not_terms, extra) when
     the query is a shape the declarative scorer reproduces BIT-EXACTLY —
-    a TermQuery, or a flat BooleanQuery of TermQuery leaves that is either
-    pure-MUST or pure-SHOULD (plus MUST_NOT) — else None.  MUST+SHOULD
-    mixes, phrases, spans, multi-term rewrites, non-BM25 similarities,
-    live tombstones, and non-finite norm caches (b=0's 0*inf NaN) all
-    route to the Pandas scorers."""
+    a TermQuery, a flat BooleanQuery of TermQuery leaves (pure-MUST,
+    pure-SHOULD with minShouldMatch, or MUST+SHOULD with msm=0; plus
+    MUST_NOT), or a flat DisjunctionMaxQuery of TermQuery disjuncts —
+    else None.  `extra` is msm for "or", the MUST-clause count for "mix"
+    (clauses list MUST-first, mirroring _bool_scorer's ReqOptSum fold
+    order), and the tie-break multiplier for "dismax".  Standalone exact
+    phrases have their own columnar path (`_columnar_phrase_topk`);
+    sloppy/multi phrases, spans, multi-term rewrites, non-BM25
+    similarities, live tombstones, and non-finite norm caches (b=0's
+    0*inf NaN) all route to the Pandas scorers."""
     if plan.sim != "bm25" or plan.tombstones is not None:
         return None
     # cache[0] is +inf by design (NORM_TABLE[0] = Infinity, byte 0): the
@@ -1524,6 +1557,17 @@ def _columnar_clauses(plan: "QueryPlan"):
     q = plan.query
     if isinstance(q, TermQuery):
         return "or", [(q.boost, q.term)], [], 0
+    if isinstance(q, DisjunctionMaxQuery):
+        if not q.disjuncts or not all(
+            isinstance(s, TermQuery) for s in q.disjuncts
+        ):
+            return None
+        return (
+            "dismax",
+            [(q.boost * s.boost, s.term) for s in q.disjuncts],
+            [],
+            float(q.tie),
+        )
     if not isinstance(q, BooleanQuery):
         return None
     must, should, must_not = [], [], []
@@ -1539,7 +1583,9 @@ def _columnar_clauses(plan: "QueryPlan"):
         else:  # FILTER and anything else: pandas path
             return None
     if must and should:
-        return None
+        if q.min_should_match:  # pandas ReqOptSum path ignores msm too,
+            return None         # but keep the gate conservative
+        return "mix", must + should, must_not, len(must)
     if must:
         return "and", must, must_not, 0
     if should:
@@ -1565,7 +1611,7 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
     spec = _columnar_clauses(plan)
     if spec is None:
         return None
-    mode, clauses, must_not, msm = spec
+    mode, clauses, must_not, extra = spec
     terms = sorted({t for _, t in clauses})
     # cache[norm] recomputed from the pre-decoded NORM_TABLE value with
     # bm25.norm_cache's EXACT float32 op chain — ((b*nt)/avgdl + (1-b))*k1,
@@ -1599,7 +1645,9 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
         by_term.setdefault(t, []).append((-1, 0.0))
     all_terms = sorted(by_term)
     matched = decoded.filter(F.col("term").isin(all_terms))
-    if len(clauses) == 1 and not must_not:
+    # single-disjunct dismax still needs the max(0, s) clamp (the Pandas
+    # scorer's zero-initialized running max), so it skips this fast path
+    if len(clauses) == 1 and not must_not and mode != "dismax":
         wv = F.lit(by_term[terms[0]][0][1]).cast("float")
         s = ((wv * tf_f) / (tf_f + norm_f)).cast("float")
         hits = matched.select("doc_id", s.alias("score"))
@@ -1664,11 +1712,32 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
         for i in range(n_cl):
             e = F.coalesce(F.col(f"_s{i}"), zero_f)
             score = e if score is None else score + e
+        if mode == "dismax":
+            # DisjunctionMaxScorer: fl(max + tie*(sum - max)); the running
+            # max is zero-initialized in the Pandas scorer, hence the 0.0f
+            # floor; `score` above IS the clause-order ssum fold
+            smax = F.greatest(
+                zero_f,
+                *[F.coalesce(F.col(f"_s{i}"), zero_f) for i in range(n_cl)],
+            )
+            tie_f = F.lit(float(np.float32(extra))).cast("float")
+            score = smax + tie_f * (score - smax)
+        # match predicate: count present clauses — ALL for "and", the
+        # MUST prefix for "mix" (clauses are MUST-first), >=msm ("or") or
+        # >=1 ("dismax") otherwise
+        count_n = extra if mode == "mix" else n_cl
         nm = None
-        for i in range(n_cl):
+        for i in range(count_n):
             e = F.col(f"_s{i}").isNotNull().cast("int")
             nm = e if nm is None else nm + e
-        need = n_cl if mode == "and" else max(msm, 1)
+        if mode == "and":
+            need = n_cl
+        elif mode == "mix":
+            need = extra
+        elif mode == "dismax":
+            need = 1
+        else:
+            need = max(extra, 1)
         hits = grouped.filter(
             (nm >= F.lit(need)) & (F.coalesce(F.col("_mn"), F.lit(0)) == 0)
         ).select("doc_id", score.alias("score"))
@@ -1680,6 +1749,149 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
                & (F.col("doc_id") > int(plan.after[1])))
         )
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+
+
+def _columnar_const_topk(index, plan: "QueryPlan") -> DataFrame | None:
+    """Constant-score multi-term top-k (prefix / wildcard-as-prefix / term
+    range / explicit term sets) as ONE declarative stage over the decoded
+    cache: term predicate (pruned by the in-memory batch min/max stats,
+    the FST/term-index analog) -> distinct doc_id (zero exchange — the
+    cache is doc_id-partitioned) -> constant float32 score ->
+    TakeOrderedAndProject.  Regex-refined ConstScoreMulti stays on the
+    Pandas path: Java `rlike` and Python `re.fullmatch` semantics differ
+    at the edges, and bit-parity with the engine's own scorer is the
+    contract here."""
+    q = plan.query
+    if plan.tombstones is not None:
+        return None
+    if isinstance(q, ConstScoreTerms):
+        pred = F.col("term").isin(list(q.terms))
+    elif isinstance(q, ConstScoreMulti) and q.regex is None:
+        pred = F.lit(True)
+        if q.lower is not None:
+            pred = pred & (
+                F.col("term") >= q.lower
+                if q.include_lower
+                else F.col("term") > q.lower
+            )
+        if q.upper is not None:
+            pred = pred & (
+                F.col("term") <= q.upper
+                if q.include_upper
+                else F.col("term") < q.upper
+            )
+    else:
+        return None
+    decoded = getattr(index, "decoded_postings", lambda: None)()
+    if decoded is None:
+        return None
+    score = F.lit(float(np.float32(q.boost))).cast("float")
+    hits = (
+        decoded.filter(pred)
+        .groupBy("doc_id")
+        .agg(F.lit(1).alias("_m"))
+        .select("doc_id", score.alias("score"))
+    )
+    if plan.after is not None:
+        s_after = F.lit(float(np.float32(plan.after[0]))).cast("float")
+        hits = hits.filter(
+            (F.col("score") < s_after)
+            | ((F.col("score") == s_after)
+               & (F.col("doc_id") > int(plan.after[1])))
+        )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+
+
+def _columnar_phrase_topk(index, plan: "QueryPlan") -> DataFrame | None:
+    """Exact-phrase top-k as ONE declarative stage over the decoded cache.
+
+    Eligibility: a standalone slop-0 PhraseQuery under BM25 with no live
+    tombstones and a finite norm cache (same gates as `_columnar_clauses`);
+    MultiPhrase, sloppy, and phrase-in-boolean stay on the Pandas path.
+
+    Shape: the cache's (term, doc, pos[]) rows for the phrase terms pivot
+    per doc via conditional-first aggregates (the cache is pre-partitioned
+    by doc_id — zero exchange), then phraseFreq is a JVM array expression:
+    count of starts p in the first term's position list with
+    p - qpos0 + qpos_i present in term_i's list for every i (the same
+    |∩(pos_i - i)| the Pandas `_phrase_scorer` computes).  freq is an
+    exact small integer, so the float32 score chain is bit-identical to
+    `bm25.score` (see `_columnar_topk` on the divide-via-double bound)."""
+    decoded = getattr(index, "decoded_postings", lambda: None)()
+    if decoded is None:
+        return None
+    hits = _columnar_phrase_hits(decoded, plan)
+    if hits is None:
+        return None
+    if plan.after is not None:
+        s_after = F.lit(float(np.float32(plan.after[0]))).cast("float")
+        hits = hits.filter(
+            (F.col("score") < s_after)
+            | ((F.col("score") == s_after)
+               & (F.col("doc_id") > int(plan.after[1])))
+        )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+
+
+def _columnar_phrase_hits(decoded, plan: "QueryPlan") -> DataFrame | None:
+    """(doc_id, score) hits for an eligible standalone exact phrase over
+    the decoded cache (see `_columnar_phrase_topk`); None if ineligible."""
+    q = plan.query
+    if (
+        not isinstance(q, PhraseQuery)
+        or getattr(q, "slop", 0) > 0
+        or plan.sim != "bm25"
+        or plan.tombstones is not None
+        or np.isnan(plan.cache).any()
+    ):
+        return None
+    if "pos" not in decoded.columns:
+        return None
+    terms = list(dict.fromkeys(q.terms))  # distinct, first-seen order
+    t2j = {t: j for j, t in enumerate(terms)}
+    matched = decoded.filter(F.col("term").isin(terms))
+    # pivot: one position-array column per distinct term.  first() with
+    # ignorenulls is deterministic here — a (term, doc) pair occurs on
+    # exactly one cache row
+    aggs = [
+        F.first(F.when(F.col("term") == t, F.col("pos")), ignorenulls=True)
+        .alias(f"_p{j}")
+        for t, j in t2j.items()
+    ]
+    aggs.append(F.first("ntv", ignorenulls=True).alias("ntv"))
+    g = matched.groupBy("doc_id").agg(*aggs)
+    present = None
+    for j in range(len(terms)):
+        e = F.col(f"_p{j}").isNotNull()
+        present = e if present is None else present & e
+    g = g.filter(present)
+    q0 = int(q.positions[0])
+    base = F.col(f"_p{t2j[q.terms[0]]}")
+
+    def aligned(p):
+        cond = (p >= q0) if q0 else F.lit(True)
+        for t, qp in list(zip(q.terms, q.positions))[1:]:
+            cond = cond & F.array_contains(
+                F.col(f"_p{t2j[t]}"), p - q0 + int(qp)
+            )
+        return cond
+
+    pf = F.size(F.filter(base, aligned))
+    wv = bm25.weight_value(
+        _sum_idfs(plan, q.terms), boost=q.boost, k1=plan.k1
+    )
+    pf_f = pf.cast("float")
+    bf = F.lit(float(plan.b)).cast("float")
+    one_minus_b = F.lit(float(np.float32(1.0) - plan.b)).cast("float")
+    k1f = F.lit(float(plan.k1)).cast("float")
+    avgdl_f = F.lit(float(plan.avgdl)).cast("float")
+    norm_f = (
+        k1f * (one_minus_b + ((bf * F.col("ntv")) / avgdl_f).cast("float"))
+    )
+    score = (
+        (F.lit(float(wv)).cast("float") * pf_f) / (pf_f + norm_f)
+    ).cast("float")
+    return g.filter(pf > 0).select("doc_id", score.alias("score"))
 
 
 def search(
@@ -1729,6 +1941,10 @@ def search(
     # same top-k, bit-identical scores, zero Python stages
     out = _columnar_topk(index, plan)
     if out is None:
+        out = _columnar_phrase_topk(index, plan)
+    if out is None:
+        out = _columnar_const_topk(index, plan)
+    if out is None:
         per_seg = per_segment_topk_df(index, plan)
         if per_seg is None:
             return index.spark.createDataFrame([], RESULT_SCHEMA)
@@ -1753,8 +1969,156 @@ MANY_SCHEMA = T.StructType(
 )
 
 
+def _columnar_search_many(index, plans: dict, k: int) -> DataFrame | None:
+    """Batched top-k with ZERO Python stages when every query in the batch
+    is columnar-eligible (term/AND/OR/mix/dismax — plus standalone exact
+    phrases when the cache carries positions — over the pinned decoded
+    cache).
+
+    One scan of the cache filtered to the union of all query terms; per
+    (query, clause) a conditional-max aggregate column over the SAME
+    groupBy("doc_id") (zero exchange — the cache is doc_id-partitioned);
+    per-query score folds and match predicates exactly as `_columnar_topk`
+    (same float32 op chains, bit-identical scores); results explode to
+    (query_id, doc_id, score) and the per-query k-cut is the same
+    row_number window the Pandas batch path uses — the only exchange in
+    the whole job, over candidate hits only.  Falls back (None) if ANY
+    query is ineligible, so mixed batches keep the one-scan Pandas path."""
+    decoded = getattr(index, "decoded_postings", lambda: None)()
+    if decoded is None or not plans:
+        return None
+    specs = []
+    phrase_hits = []  # standalone exact phrases ride their own pivots
+    kb = None
+    for qid, plan in plans.items():
+        spec = _columnar_clauses(plan)
+        if spec is None:
+            ph = _columnar_phrase_hits(decoded, plan)
+            if ph is None:
+                return None
+            phrase_hits.append(
+                ph.select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+            )
+            continue
+        if kb is None:
+            kb = (plan.k1, plan.b, plan.avgdl)
+        elif kb != (plan.k1, plan.b, plan.avgdl):
+            return None  # shared tf/norm subexpressions assume one sim config
+        specs.append((qid, plan, spec))
+    parts = list(phrase_hits)
+    if specs:
+        parts.append(_columnar_many_clause_hits(decoded, specs))
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _columnar_many_clause_hits(decoded, specs: list) -> DataFrame:
+    """(query_id, doc_id, score) candidate hits for the clause-eligible
+    queries of a batch: one scan, one zero-exchange groupBy("doc_id") with
+    per-(query, clause) conditional-max aggregates, per-query folds."""
+    plan0 = specs[0][1]
+    tf_f = F.col("tf").cast("float")
+    bf = F.lit(float(plan0.b)).cast("float")
+    one_minus_b = F.lit(float(np.float32(1.0) - plan0.b)).cast("float")
+    k1f = F.lit(float(plan0.k1)).cast("float")
+    avgdl_f = F.lit(float(plan0.avgdl)).cast("float")
+    norm_f = (
+        k1f
+        * (one_minus_b + ((bf * F.col("ntv")) / avgdl_f).cast("float"))
+    )
+    all_terms: set[str] = set()
+    aggs: list = []
+    per_query: list = []  # (qid, mode, extra, clause col names, mn col)
+    j = 0
+    for qid, plan, (mode, clauses, must_not, extra) in specs:
+        names = []
+        for boost, t in clauses:
+            w = float(_term_weight(plan, t, boost))
+            s = (
+                (F.lit(w).cast("float") * tf_f) / (tf_f + norm_f)
+            ).cast("float")
+            name = f"_s{j}"
+            aggs.append(
+                F.max(F.when(F.col("term") == F.lit(t), s)).alias(name)
+            )
+            names.append(name)
+            all_terms.add(t)
+            j += 1
+        mn_name = None
+        if must_not:
+            mn_name = f"_mn{j}"
+            aggs.append(
+                F.max(
+                    F.when(F.col("term").isin(list(must_not)), F.lit(1))
+                ).alias(mn_name)
+            )
+            all_terms.update(must_not)
+            j += 1
+        per_query.append((qid, mode, extra, names, mn_name))
+
+    matched = decoded.filter(F.col("term").isin(sorted(all_terms)))
+    grouped = matched.groupBy("doc_id").agg(*aggs)
+
+    zero_f = F.lit(0.0).cast("float")
+    structs = []
+    for qid, mode, extra, names, mn_name in per_query:
+        score = None
+        for name in names:  # clause-order float32 left fold
+            e = F.coalesce(F.col(name), zero_f)
+            score = e if score is None else score + e
+        if mode == "dismax":
+            smax = F.greatest(
+                zero_f, *[F.coalesce(F.col(n), zero_f) for n in names]
+            )
+            tie_f = F.lit(float(np.float32(extra))).cast("float")
+            score = smax + tie_f * (score - smax)
+        count_names = names[:extra] if mode == "mix" else names
+        nm = None
+        for name in count_names:
+            e = F.col(name).isNotNull().cast("int")
+            nm = e if nm is None else nm + e
+        if mode == "and":
+            need = len(names)
+        elif mode == "mix":
+            need = extra
+        elif mode == "dismax":
+            need = 1
+        else:
+            need = max(extra, 1)
+        keep = nm >= F.lit(need)
+        if mn_name is not None:
+            keep = keep & (F.coalesce(F.col(mn_name), F.lit(0)) == 0)
+        structs.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                score.alias("score"),
+                keep.alias("keep"),
+            )
+        )
+    ex = grouped.select("doc_id", F.explode(F.array(*structs)).alias("r"))
+    return ex.filter(F.col("r.keep")).select(
+        F.col("r.query_id").alias("query_id"),
+        "doc_id",
+        F.col("r.score").alias("score"),
+    )
+
+
 def search_many(
-    index, queries: dict[str, object], k: int = 10, prune: bool = True
+    index, queries: dict[str, object], k: int = 10, prune: bool = True,
+    columnar: bool = False,
 ) -> DataFrame:
     """Batched top-k: many queries in ONE distributed job.
 
@@ -1804,6 +2168,20 @@ def search_many(
     }
     if not plans:
         return index.spark.createDataFrame([], MANY_SCHEMA)
+
+    # columnar batch path: OPT-IN, unlike the single-query fast path.
+    # Measured (bench corpus, min-of-3): the one-stage Pandas batch
+    # amortizes job+Python overhead across the whole batch and wins at
+    # both sf0.001 local[8] (0.35s vs 0.72s) and sf0.1 local[32] (0.36s
+    # vs 0.81s) — the columnar form pays 3-4 AQE stage waves (agg,
+    # explode, window shuffle, phrase pivots) per batch where Pandas
+    # pays one.  The flag exists for deployments where Python workers
+    # are the scarce resource; results are bit-identical either way
+    # (tested), so flipping it is purely a physical-plan choice.
+    if columnar:
+        out = _columnar_search_many(index, plans, k)
+        if out is not None:
+            return out
 
     posting_cols = [
         "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
