@@ -617,6 +617,33 @@ def _engine_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 for the hot term on the COLD scan path with the bloom term
+    sidecar active (lucene/codecs/bloom BloomFilteringPostingsFormat.java
+    :56-63 + FuzzySet.java + MurmurHash2.java: per-segment lossy term
+    sets that fast-fail lookups on segments definitely lacking a key).
+    Oracle: same SQL as engine_topk_hot — bloom pruning may only skip
+    segments that contribute nothing, never change a bit of any score."""
+    from pyspark.sql import Window
+
+    from voyagr_spark import bloom
+    from voyagr_spark.indexer import Index
+    from voyagr_spark.search import search
+
+    base = _engine_index(spark, sf_dir)
+    cold = Index(spark, str(base.dir))  # unpinned: exercises the scan path
+    if not (cold.dir / "bloom").exists():
+        bloom.build_bloom_sidecar(cold)
+    # absent-term correctness with the sidecar live (usually a zero-scan
+    # fast-fail; a ~10%/segment false-positive rate may scan, never lies)
+    assert not search(cold, "zzqxnosuchterm", k=3).collect()
+    res = search(cold, _HOT, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 _SHARD_CACHE: dict[str, list] = {}
 
 
@@ -1159,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # commit-last atomic publish — the top-k served from the REPLICA
         # must be bit-identical to the oracle over the primary's corpus
         "engine_replica": _engine_replica,
+        # bloom term sidecar (lucene/codecs/bloom): per-segment fast-fail
+        # filters prune the scan; results bit-identical to no-sidecar
+        "engine_bloom_term": _engine_bloom,
         # SolrCloud data semantics: index split into 2 shards (stats
         # recomputed per shard), then scatter-gather with ExactStatsCache
         # global df/N/avgdl — distributed top-k == unsplit top-k bit-exactly
@@ -4437,6 +4467,9 @@ def oracle_sql() -> dict[str, str]:
     # replication changes no bit of any score: the replica's top-k answers
     # the primary's oracle verbatim
     d["engine_replica"] = d["engine_topk_hot"]
+    # bloom pruning may only skip segments that contain nothing: the
+    # sidecar-active cold search answers the hot-term oracle verbatim
+    d["engine_bloom_term"] = d["engine_topk_hot"]
     # sharded scatter-gather with global stats answers the UNSPLIT oracles
     # verbatim: exact distributed IDF == single-index scoring, bit for bit
     d["engine_sharded_or"] = d["engine_topk_or"]

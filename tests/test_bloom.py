@@ -1,0 +1,137 @@
+"""Bloom term sidecars (voyagr_spark.bloom — lucene/codecs/bloom).
+
+Contract: MurmurHash2/FuzzySet semantics are ported bit-for-bit (the
+scalar Python port is the oracle for the vectorized build path); the
+filter NEVER false-negatives (before or after downsize, and across
+serialization); the sidecar only ever PRUNES segments that definitely
+lack every query term, so search results are identical with and
+without it, and an absent term fast-fails with every segment pruned.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from voyagr_spark.bloom import (
+    USABLE_SIZES,
+    FuzzySet,
+    build_bloom_sidecar,
+    load_blooms,
+    murmur2_np,
+    murmur2_py,
+    nearest_set_size_quality,
+    prune_segments,
+    term_exists,
+)
+
+
+def _rand_bytes(rng, n):
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+def test_murmur_vectorized_matches_scalar_port():
+    rng = random.Random(7)
+    terms = [
+        _rand_bytes(rng, n) for n in list(range(20)) * 30
+    ] + [b"", b"a", "héllo".encode(), "日本語テキスト".encode()]
+    rng.shuffle(terms)
+    vec = murmur2_np(terms)
+    for t, h in zip(terms, vec.tolist()):
+        assert h == murmur2_py(t), t
+
+
+def test_usable_sizes_are_all_ones():
+    for s in USABLE_SIZES:
+        assert (s & (s + 1)) == 0 and s >= 3  # binary all-ones
+    assert USABLE_SIZES[-1] == 2**31 - 1
+
+
+def test_quality_sizing_monotone():
+    sizes = [nearest_set_size_quality(n) for n in (10, 1000, 100_000)]
+    assert sizes == sorted(sizes)
+    assert all(s in USABLE_SIZES for s in sizes)
+
+
+def test_no_false_negatives_incl_downsize_and_serde():
+    rng = random.Random(11)
+    terms = [_rand_bytes(rng, rng.randrange(1, 24)) for _ in range(500)]
+    # oversized accumulator so downsize() actually re-projects
+    fs = FuzzySet.create_by_quality(200_000)
+    fs.add_terms(terms)
+    assert all(fs.may_contain(t) for t in terms)
+    small = fs.downsize()
+    assert small is not None and small.bloom_size < fs.bloom_size
+    assert all(small.may_contain(t) for t in terms)
+    back = FuzzySet.deserialize(small.serialize())
+    assert back.bloom_size == small.bloom_size
+    assert all(back.may_contain(t) for t in terms)
+    # definite-NO actually fires for most absent keys at low saturation
+    absent = [_rand_bytes(rng, 16) for _ in range(200)]
+    hits = sum(back.may_contain(t) for t in absent)
+    assert hits < 60  # ~10% saturation -> ~10% false-positive rate
+
+
+def test_saturation_retire_threshold():
+    fs = FuzzySet(USABLE_SIZES[0])  # 3 bits of space
+    fs.add_terms([b"a", b"b", b"c", b"d", b"e", b"f"])
+    assert fs.saturation() > 0.9
+
+
+@pytest.fixture(scope="module")
+def bloom_index(spark, tmp_path_factory):
+    from voyagr_spark.corpus import generate_corpus
+    from voyagr_spark.indexer import build_index
+
+    d = tmp_path_factory.mktemp("bloom_index")
+    docs = spark.createDataFrame(generate_corpus(200, seed=5)).repartition(4)
+    idx = build_index(spark, docs, str(d), num_segments=4)
+    return idx
+
+
+def test_sidecar_search_parity_and_fast_fail(bloom_index):
+    from voyagr_spark.search import search
+
+    idx = bloom_index
+    queries = ("file", "file AND handle", "file OR zzqxabsent",
+               '"file handle"', "handle AND NOT file")
+    before = {
+        q: [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
+            for r in search(idx, q, k=10).collect()]
+        for q in queries
+    }
+    n = build_bloom_sidecar(idx)
+    assert n >= 1
+    for q in queries:
+        after = [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
+                 for r in search(idx, q, k=10).collect()]
+        assert after == before[q], q
+    # absent term: every segment answers definitely-NO
+    assert prune_segments(idx, ["zzqxabsentterm"]) == []
+    assert search(idx, "zzqxabsentterm", k=10).collect() == []
+    assert term_exists(idx, "file") is True
+    assert term_exists(idx, "zzqxabsentterm") is False
+
+
+def test_pruning_is_conservative(bloom_index):
+    """Every segment that actually holds the term survives pruning, and
+    segments without a filter row (staleness) are always kept."""
+    from pyspark.sql import functions as F
+
+    idx = bloom_index
+    load_blooms(idx)
+    actual = {
+        int(r["seg"])
+        for r in idx.postings().filter(F.col("term") == "file")
+        .select("seg").distinct().collect()
+    }
+    surv = prune_segments(idx, ["file"])
+    survivors = set(surv) if surv is not None else actual
+    assert actual <= survivors
+    # simulate a post-sidecar appended segment: no filter row -> kept
+    blooms = dict(idx._blooms)
+    dropped = next(iter(blooms))
+    idx._blooms = {s: f for s, f in blooms.items() if s != dropped}
+    surv2 = prune_segments(idx, ["zzqxabsentterm"])
+    assert surv2 is not None and dropped in surv2
+    idx._blooms = blooms

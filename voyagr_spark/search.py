@@ -1436,6 +1436,19 @@ def per_segment_topk_df(index, plan: "QueryPlan") -> DataFrame | None:
         .filter(_posting_filter(terms, multis))
         .select(*posting_cols)
     )
+    if not multis:
+        # bloom sidecar fast-fail (lucene/codecs/bloom): prune `seg`
+        # partitions whose term filters answer definitely-NO for every
+        # query term — an absent term scans nothing at all.  Multi-term
+        # predicates bypass the filters (a range can match terms the
+        # bloom never saw asked).  Conjunctions could prune harder (ALL
+        # terms must be MAYBE) but any-term is safe for every query
+        # shape, including SHOULD and MUST_NOT clauses.
+        from .bloom import prune_segments
+
+        surv = prune_segments(index, terms)
+        if surv is not None:
+            rows = rows.filter(F.col("seg").isin(surv))
     return rows.groupBy("seg").applyInPandas(
         lambda pdf: _segment_topk(pdf, plan), RESULT_SCHEMA
     )
