@@ -91,19 +91,32 @@ def run(sf_dir: str, cpus: int, runs: int, out_dir: str | None = None) -> dict:
             search(widx, q, k=10).collect()
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-        # build timed min-of-2: one full-size build per trial, keep the
-        # faster (steady-state throughput, symmetric with the query-median
-        # protocol; single-shot timings on this shared host carry 3-5x
-        # neighbor-VM noise — see CHANGES_r3.md noise incidents)
+        # build timed best-of-k (2 <= k <= 4): one full-size build per
+        # trial, keep the fastest (steady-state throughput, symmetric with
+        # the query-median protocol; single-shot timings on this shared
+        # host carry 3-5x neighbor-VM noise — see CHANGES_r3.md noise
+        # incidents).  Extra trials only run while consecutive results
+        # still disagree by >20% — a quiet host stops at 2, a noisy one
+        # gets two more chances at a clean window.  sync+settle between
+        # trials keeps one build's writeback out of the next one's timing
+        # (same protocol as scaling_bench.py).
         idx_dir = out_dir or tempfile.mkdtemp(prefix="voyagr_bench_idx_")
         build_s = float("inf")
-        for _ in range(2):
+        prev = None
+        for trial in range(4):
             shutil.rmtree(idx_dir, ignore_errors=True)
+            os.sync()
+            time.sleep(1.0)
             t0 = time.time()
             idx = build_index(
                 spark, corpus, idx_dir, num_segments=max(cpus, 8)
             )
-            build_s = min(build_s, time.time() - t0)
+            dt = time.time() - t0
+            build_s = min(build_s, dt)
+            if trial >= 1 and prev is not None:
+                if abs(dt - prev) <= 0.2 * min(dt, prev):
+                    break
+            prev = dt
         corpus.unpersist()
 
         # serving mode: pin the searcher (hash-partitioned columnar cache,
