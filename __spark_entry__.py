@@ -706,6 +706,19 @@ def _sharded_stats_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded_stats_field(shards, _HOT, "nchars")
 
 
+def _sharded_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed StatsComponent: per-shard (count, min, max, sum,
+    sumOfSquares) partials merge component-wise, stddev derives from the
+    merged triple (StatsValuesFactory.java:415,524), and calcdistinct's
+    countDistinct is the size of the union of per-shard distinct value
+    sets (:182 distinctValues.addAll) — must equal the unsplit corpus
+    stats exactly."""
+    from voyagr_spark.shards import sharded_stats_field
+
+    shards = _engine_shards(spark, sf_dir)
+    return sharded_stats_field(shards, _HOT, "nchars", full=True)
+
+
 def _sharded_group_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed grouping (TopGroups.merge): per-shard lang group heads
     scored with GLOBAL stats, merged per group by (score desc, doc_id asc)
@@ -896,6 +909,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["[*,500)", "[500,1500)", "(1000,2000]", "[2000,*]"],
         ),
         "stats_nchars": lambda s, d: R.stats_field(s, d, _HOT, "n_chars"),
+        # full StatsComponent surface: + sumOfSquares, stddev
+        # (StatsValuesFactory.java:432,524) and calcdistinct countDistinct
+        "stats_full": lambda s, d: R.stats_field(
+            s, d, _HOT, "n_chars", full=True
+        ),
         "group_top1": lambda s, d: R.group_top1(s, d, _HOT),
         "group_topk": lambda s, d: R.group_topk(s, d, _HOT, 3),
         # ExpandComponent (collapse/expand pair): per collapsed-page group,
@@ -1201,6 +1219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merged component-wise, mean derived post-merge (StatsValuesFactory
         # accumulate semantics — exact over the disjoint doc partition)
         "sharded_stats_nchars": _sharded_stats_nchars,
+        # full distributed stats: sumOfSquares adds, stddev derives
+        # post-merge, calcdistinct = |union of per-shard value sets|
+        "sharded_stats_full": _sharded_stats_full,
         # distributed grouping two-phase merge (TopGroups.merge via
         # TopGroupsShardResponseProcessor): per-shard group heads scored
         # with GLOBAL stats, merged per group by (score desc, doc_id asc)
@@ -3365,6 +3386,26 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(d.n_chars) AS DOUBLE) / count(*) AS mean_v
               FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
               JOIN documents d USING (doc_id)""",
+        # full StatsComponent: sumOfSquares exact integer sum; stddev =
+        # sqrt((n*sumSq - sum^2)/(n*(n-1))) on exactly-representable
+        # integer inputs (IEEE-deterministic); calcdistinct exact
+        "stats_full": _BASE
+        + f"""SELECT n, min_v, max_v, sum_v,
+                     CAST(sum_v AS DOUBLE) / n AS mean_v, sumsq_v,
+                     CASE WHEN n <= 1 THEN 0.0
+                          ELSE sqrt((CAST(n AS DOUBLE) * CAST(sumsq_v AS DOUBLE)
+                                     - CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     END AS stddev_v, distinct_v
+              FROM (
+                SELECT count(*)::BIGINT AS n,
+                       min(d.n_chars) AS min_v, max(d.n_chars) AS max_v,
+                       sum(d.n_chars)::BIGINT AS sum_v,
+                       sum(d.n_chars * d.n_chars)::BIGINT AS sumsq_v,
+                       count(DISTINCT d.n_chars)::BIGINT AS distinct_v
+                FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
+                JOIN documents d USING (doc_id)
+              )""",
         "group_top1": _BASE
         + f"""SELECT lang, doc_id, score4 FROM (
                 SELECT d.lang, s.doc_id, round(s.score, 4) AS score4,
@@ -4487,6 +4528,27 @@ def oracle_sql() -> dict[str, str]:
                max(nchars) AS max_v, sum(nchars)::BIGINT AS sum_v,
                CAST(sum(nchars) AS DOUBLE) / count(*) AS mean_v
         FROM m JOIN nc USING (doc_id)"""
+    # full distributed stats vs the UNSPLIT oracle: sumOfSquares adds over
+    # the disjoint doc partition, stddev derives from the merged triple,
+    # calcdistinct = |union of per-shard value sets| = corpus distinct
+    d["sharded_stats_full"] = _engine_base_sql() + f"""
+        , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}'),
+        nc AS (SELECT doc_id, length(text)::BIGINT AS nchars FROM docmap),
+        agg AS (
+          SELECT count(*)::BIGINT AS n, min(nchars) AS min_v,
+                 max(nchars) AS max_v, sum(nchars)::BIGINT AS sum_v,
+                 sum(nchars * nchars)::BIGINT AS sumsq_v,
+                 count(DISTINCT nchars)::BIGINT AS distinct_v
+          FROM m JOIN nc USING (doc_id)
+        )
+        SELECT n, min_v, max_v, sum_v,
+               CAST(sum_v AS DOUBLE) / n AS mean_v, sumsq_v,
+               CASE WHEN n <= 1 THEN 0.0
+                    ELSE sqrt((CAST(n AS DOUBLE) * CAST(sumsq_v AS DOUBLE)
+                               - CAST(sum_v AS DOUBLE) * CAST(sum_v AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+               END AS stddev_v, distinct_v
+        FROM agg"""
     # distributed grouping: a group's global best is the best of its
     # per-shard bests (total order on (score desc, doc_id asc); shards
     # partition the doc set) — float32 scores from the engine cast chain

@@ -380,20 +380,50 @@ def facet_pivot(spark, sf_dir, term: str, f1: str, f2: str) -> DataFrame:
     return m.join(d, "doc_id").groupBy(f1, f2).agg(F.count("*").alias("n"))
 
 
-def stats_field(spark, sf_dir, term: str, field: str) -> DataFrame:
+def stats_field(spark, sf_dir, term: str, field: str, full: bool = False) -> DataFrame:
     """q: numeric field statistics over the match set — the Solr
     StatsComponent surface (stats.field=<f>&q=<term>).  count/min/max/sum
     are exact integer aggregates; mean is the ONE double division
     sum/count (not a parallel float mean), so the result is deterministic
-    under any partitioning — safe at any cluster size."""
+    under any partitioning — safe at any cluster size.
+
+    full=True adds the rest of the reference's per-field stats
+    (solr/core/src/java/org/apache/solr/handler/component/
+    StatsValuesFactory.java): sumOfSquares (:432 `value*value*count`
+    accumulation — exact integer sum here, the values are integral),
+    stddev (:524 getStandardDeviation — sqrt((n*sumSq - sum^2)/(n*(n-1))),
+    0.0 when n <= 1), and calcdistinct's countDistinct (:130-145,
+    TreeSet size — here an exact distributed count_distinct, which
+    partial-aggregates instead of collecting the value set per node).
+    Every double op (mul/sub/div/sqrt) runs on exactly-representable
+    integer inputs, so the result is IEEE-deterministic under any
+    partitioning and reproduces bit-equal in SQL."""
     m = terms_tf(spark, sf_dir).filter(F.col("term") == term).select("doc_id")
     d = documents(spark, sf_dir).select("doc_id", field)
-    return m.join(d, "doc_id").agg(
+    j = m.join(d, "doc_id")
+    aggs = [
         F.count("*").alias("n"),
         F.min(field).alias("min_v"),
         F.max(field).alias("max_v"),
         F.sum(field).alias("sum_v"),
         (F.sum(field).cast("double") / F.count("*")).alias("mean_v"),
+    ]
+    if not full:
+        return j.agg(*aggs)
+    aggs += [
+        F.sum(F.col(field).cast("long") * F.col(field).cast("long")).alias("sumsq_v"),
+        F.count_distinct(field).alias("distinct_v"),
+    ]
+    out = j.agg(*aggs)
+    nD = F.col("n").cast("double")
+    sumD = F.col("sum_v").cast("double")
+    sqD = F.col("sumsq_v").cast("double")
+    stddev = F.when(F.col("n") <= F.lit(1), F.lit(0.0)).otherwise(
+        F.sqrt((nD * sqD - sumD * sumD) / (nD * (nD - F.lit(1.0))))
+    )
+    return out.select(
+        "n", "min_v", "max_v", "sum_v", "mean_v", "sumsq_v",
+        stddev.alias("stddev_v"), "distinct_v",
     )
 
 

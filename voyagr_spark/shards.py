@@ -403,7 +403,8 @@ def sharded_count(shards: list[Index], query_or_text) -> int:
 
 
 def sharded_stats_field(
-    shards: list[Index], query_or_text, field: str = "nchars"
+    shards: list[Index], query_or_text, field: str = "nchars",
+    full: bool = False,
 ) -> DataFrame:
     """Distributed StatsComponent: per-shard partial stats merged exactly
     (solr/core/src/java/org/apache/solr/handler/component/StatsComponent.java
@@ -413,32 +414,65 @@ def sharded_stats_field(
     because all four partials are associative integer aggregates; the mean is
     derived AFTER the merge as the one double division sum/count — the same
     determinism discipline as relational.stats_field, so the result is
-    independent of shard count and partitioning."""
+    independent of shard count and partitioning.
+
+    full=True mirrors relational.stats_field(full=True): sumOfSquares
+    merges by addition (StatsValuesFactory.java:415 `sumOfSquares +=`),
+    stddev derives AFTER the merge from the global (n, sum, sumSq)
+    (:524), and calcdistinct merges per-shard distinct value SETS
+    (:182 `distinctValues.addAll`, countDistinct = union size) — here
+    the per-shard distinct frames union and count-distinct, bounded by
+    value cardinality, never by doc count."""
     from .search import scores
 
-    parts = []
+    parts, val_parts = [], []
     for s in shards:
         ids = scores(s, query_or_text).select("doc_id")
         dm = s.docmap().select("doc_id", field)
-        parts.append(
-            ids.join(dm, "doc_id").agg(
-                F.count("*").alias("n"),
-                F.min(field).alias("min_v"),
-                F.max(field).alias("max_v"),
-                F.sum(field).alias("sum_v"),
+        j = ids.join(dm, "doc_id")
+        aggs = [
+            F.count("*").alias("n"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).alias("sum_v"),
+        ]
+        if full:
+            aggs.append(
+                F.sum(
+                    F.col(field).cast("long") * F.col(field).cast("long")
+                ).alias("sumsq_v")
             )
-        )
+            val_parts.append(j.select(field).distinct())
+        parts.append(j.agg(*aggs))
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.agg(
+    merge = [
         F.sum("n").alias("n"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
         F.sum("sum_v").alias("sum_v"),
-    ).select(
+    ]
+    if not full:
+        return u.agg(*merge).select(
+            "n", "min_v", "max_v", "sum_v",
+            (F.col("sum_v").cast("double") / F.col("n")).alias("mean_v"),
+        )
+    merged = u.agg(*merge, F.sum("sumsq_v").alias("sumsq_v"))
+    uv = val_parts[0]
+    for v in val_parts[1:]:
+        uv = uv.unionByName(v)
+    distinct_df = uv.agg(F.count_distinct(field).alias("distinct_v"))
+    nD = F.col("n").cast("double")
+    sumD = F.col("sum_v").cast("double")
+    sqD = F.col("sumsq_v").cast("double")
+    stddev = F.when(F.col("n") <= F.lit(1), F.lit(0.0)).otherwise(
+        F.sqrt((nD * sqD - sumD * sumD) / (nD * (nD - F.lit(1.0))))
+    )
+    return merged.crossJoin(distinct_df).select(
         "n", "min_v", "max_v", "sum_v",
         (F.col("sum_v").cast("double") / F.col("n")).alias("mean_v"),
+        "sumsq_v", stddev.alias("stddev_v"), "distinct_v",
     )
 
 
