@@ -135,3 +135,27 @@ def test_pruning_is_conservative(bloom_index):
     surv2 = prune_segments(idx, ["zzqxabsentterm"])
     assert surv2 is not None and dropped in surv2
     idx._blooms = blooms
+
+
+def test_driver_budget_skips_oversized_sidecar(bloom_index):
+    """Past the driver-memory budget the sidecar is ignored (no pruning,
+    full scan) — conservative, identical results, no driver OOM at
+    10^4-segment scale."""
+    from voyagr_spark.search import search
+
+    idx = bloom_index
+    build_bloom_sidecar(idx)
+    baseline = [(int(r["doc_id"]), float(r["score"]))
+                for r in search(idx, "file", k=10).collect()]
+    idx._blooms = None
+    idx._bloom_budget_bytes = 1  # force the budget fallback
+    try:
+        assert load_blooms(idx) == {}
+        assert prune_segments(idx, ["zzqxabsentterm"]) is None  # no fast-fail
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in search(idx, "file", k=10).collect()]
+        assert got == baseline
+    finally:
+        idx._bloom_budget_bytes = None
+        idx._blooms = None
+    assert len(load_blooms(idx)) >= 1  # budget restored -> filters load

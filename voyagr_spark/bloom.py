@@ -333,16 +333,53 @@ def build_bloom_sidecar(index) -> int:
     return len(load_blooms(index))
 
 
+# Driver-memory budget for the memoized filter set.  The reference holds
+# one FuzzySet per segment on the searcher's heap
+# (BloomFilteringPostingsFormat.java — filters live with the FieldsProducer);
+# on Spark the analogous holder is the driver, which also runs everything
+# else.  A 100 TB index (10^4+ segments x MB-scale filters) must not OOM
+# the driver for a pruning *optimization*: past the budget the sidecar is
+# ignored and every segment scans — conservative, never lossy.  Raise via
+# Index._bloom_budget_bytes or spark.conf voyagr.bloom.maxBytes.
+BLOOM_DRIVER_BUDGET_BYTES = 512 * 1024 * 1024
+
+
 def load_blooms(index) -> dict[int, FuzzySet]:
-    """Memoized {seg: FuzzySet} from the sidecar; {} when absent."""
+    """Memoized {seg: FuzzySet} from the sidecar; {} when absent or when
+    the sidecar exceeds the driver-memory budget (see
+    BLOOM_DRIVER_BUDGET_BYTES — skipping is conservative: no pruning,
+    full scan, identical results)."""
     cached = getattr(index, "_blooms", None)
     if cached is not None:
         return cached
     bdir = Path(index.dir) / "bloom"
     blooms: dict[int, FuzzySet] = {}
     if bdir.exists():
+        budget = getattr(index, "_bloom_budget_bytes", None)
+        if budget is None:
+            try:
+                budget = int(
+                    index.spark.conf.get(
+                        "voyagr.bloom.maxBytes",
+                        str(BLOOM_DRIVER_BUDGET_BYTES),
+                    )
+                )
+            except Exception:
+                budget = BLOOM_DRIVER_BUDGET_BYTES
+        # cheap file-size pre-check before any collect: parquet blob bytes
+        # lower-bound the deserialized bitset bytes
+        on_disk = sum(p.stat().st_size for p in Path(bdir).glob("*.parquet"))
+        if on_disk > budget:
+            index._blooms = blooms  # {} -> prune_segments returns None
+            return blooms
+        total = 0
         for row in index.spark.read.parquet(str(bdir)).collect():
-            blooms[int(row["seg"])] = FuzzySet.deserialize(bytes(row["blob"]))
+            blob = bytes(row["blob"])
+            total += len(blob)
+            if total > budget:
+                blooms = {}
+                break
+            blooms[int(row["seg"])] = FuzzySet.deserialize(blob)
     index._blooms = blooms
     return blooms
 
