@@ -584,6 +584,28 @@ def main() -> None:
         [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in c4_checks],
     ))
 
+    # full StatsComponent: one partial-aggregated pass, no window, no
+    # corpus-sized collect — stddev/calcdistinct derive from merged
+    # partials (count_distinct two-phase agg is value-cardinality-bounded)
+    from voyagr_spark import relational as _R
+
+    pst = _plan(_R.stats_field(spark, "/root/testdata/sf0.001",
+                               "batch", "n_chars", full=True))
+    st_checks = [
+        ("stats_full aggregates are partial (map-side combine)",
+         "partial" in pst.lower()),
+        ("stats_full has no Window", "Window" not in pst),
+        ("stats_full's only Python stage is the Arrow tokenize pass",
+         sum(pst.count(k) for k in ("MapInPandas", "ArrowEvalPython",
+                                    "BatchEvalPython",
+                                    "FlatMapGroupsInPandas")) == 1),
+    ]
+    sections.append((
+        "full StatsComponent (stats_full)",
+        _excerpt(pst, ["HashAggregate"])[:2],
+        [f"{'PASS' if ok else 'FAIL'}: {name}" for name, ok in st_checks],
+    ))
+
     md = ["# BENCH/PLANS.md — executed-plan audit of the hot paths",
           "",
           "Generated by `python plan_audit.py` (plans captured from the real",
