@@ -159,3 +159,52 @@ def test_driver_budget_skips_oversized_sidecar(bloom_index):
         idx._bloom_budget_bytes = None
         idx._blooms = None
     assert len(load_blooms(idx)) >= 1  # budget restored -> filters load
+
+
+def test_may_contain_many_matches_scalar():
+    rng = random.Random(11)
+    fs = FuzzySet.create_by_quality(500)
+    terms = [f"t{rng.randrange(10**6)}".encode() for _ in range(400)]
+    fs.add_terms(terms[:200])
+    probe = terms + [f"x{i}".encode() for i in range(100)]
+    got = fs.may_contain_many(probe)
+    want = np.array([fs.may_contain(t) for t in probe])
+    assert (got == want).all()
+
+
+def test_checkindex_validates_sidecar(bloom_index, spark):
+    """check_sidecar: 0 on a healthy index; a corrupted blob (bits
+    cleared) surfaces as false negatives through check_index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from voyagr_spark.bloom import check_sidecar
+    from voyagr_spark.checkindex import CorruptIndexError, check_index
+
+    idx = bloom_index
+    build_bloom_sidecar(idx)
+    assert check_sidecar(idx) == 0
+    check_index(idx)  # healthy: no raise
+    # corrupt one filter: keep the seg row but zero its bitset
+    bdir = Path(idx.dir) / "bloom"
+    f = sorted(bdir.glob("*.parquet"))[0]
+    tbl = pq.read_table(f)
+    segs = tbl["seg"].to_pylist()
+    blobs = [bytes(b) for b in tbl["blob"].to_pylist()]
+    orig0 = blobs[0]
+    fs = FuzzySet.deserialize(blobs[0])
+    fs.bits[:] = 0
+    blobs[0] = fs.serialize()
+    pq.write_table(pa.table({"seg": segs, "blob": blobs}), f)
+    idx._blooms = None
+    try:
+        assert check_sidecar(idx) > 0
+        with pytest.raises(CorruptIndexError, match="bloom"):
+            check_index(idx)
+    finally:
+        # restore the healthy sidecar for any later fixture users
+        blobs[0] = orig0
+        pq.write_table(pa.table({"seg": segs, "blob": blobs}), f)
+        idx._blooms = None
+    assert check_sidecar(idx) == 0

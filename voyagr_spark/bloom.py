@@ -240,6 +240,15 @@ class FuzzySet:
         )
         return bool((int(self.bits[pos >> 6]) >> (pos & 63)) & 1)
 
+    def may_contain_many(self, terms: list[bytes]) -> np.ndarray:
+        """Vectorized may_contain: one murmur batch + one gather."""
+        pos = _positive(murmur2_np(terms)) & np.uint32(self.bloom_size)
+        words = self.bits[(pos >> np.uint32(6)).astype(np.int64)]
+        return (
+            (words >> (pos.astype(np.uint64) & np.uint64(63)))
+            & np.uint64(1)
+        ).astype(bool)
+
     def cardinality(self) -> int:
         return int(np.unpackbits(self.bits.view(np.uint8)).sum())
 
@@ -454,3 +463,48 @@ def term_exists(index, term: str) -> bool:
     if surv is not None and not surv:
         return False
     return index.term_dfs([term]).get(term, 0) > 0
+
+
+def check_sidecar(index) -> int:
+    """CheckIndex-style sidecar validation: a bloom filter must NEVER
+    answer definitely-NO for a term its segment actually contains (false
+    positives are expected, false negatives are corruption —
+    FuzzySet.java's contract).  One distributed groupBy(seg).applyInPandas
+    pass over the live posting (seg, term) rows joined with the (seg,
+    blob) sidecar: each group deserializes its filter once and tests all
+    terms vectorized.  Returns the number of (seg, term) false-negative
+    pairs — 0 on a healthy index.  Segments without a filter row are
+    skipped (conservative pruning never consults a missing filter)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    bdir = Path(index.dir) / "bloom"
+    if not bdir.exists():
+        return 0
+    bpath = str(bdir)
+
+    def _check(pdf: pd.DataFrame) -> pd.DataFrame:
+        # blob fetched EXECUTOR-SIDE per group (pyarrow seg-filtered read,
+        # the load_tombstones pattern) — never shuffled onto term rows
+        import pyarrow.dataset as ds
+
+        seg = int(pdf["seg"].iloc[0])
+        tbl = ds.dataset(bpath).to_table(
+            filter=ds.field("seg") == seg, columns=["blob"]
+        )
+        if tbl.num_rows == 0:  # no filter for this seg: nothing to check
+            return pd.DataFrame({"seg": [seg], "misses": [0]})
+        fs = FuzzySet.deserialize(tbl["blob"][0].as_py())
+        ok = fs.may_contain_many(
+            [t.encode("utf-8") for t in pdf["term"].tolist()]
+        )
+        return pd.DataFrame({"seg": [seg], "misses": [int((~ok).sum())]})
+
+    out = (
+        index.postings()
+        .select("seg", "term")
+        .groupBy("seg")
+        .applyInPandas(_check, "seg long, misses long")
+    )
+    return int(out.agg(F.sum("misses")).collect()[0][0] or 0)

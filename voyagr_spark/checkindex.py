@@ -199,6 +199,20 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
             problems["block_parent_as_child"] = (
                 child_parents, "parent doc appears as a blockmap child")
 
+    # bloom sidecar: a filter answering definitely-NO for a term its
+    # segment contains is corruption (false positives are expected,
+    # false negatives never — FuzzySet's contract); one distributed
+    # per-seg pass, blob fetched executor-side
+    from pathlib import Path as _Path
+
+    if (_Path(index.dir) / "bloom").exists():
+        from .bloom import check_sidecar
+
+        fn = check_sidecar(index)
+        if fn:
+            problems["bloom_false_negatives"] = (
+                fn, "bloom filter rejects a term its segment contains")
+
     report = {k: v[0] for k, v in problems.items()}
     if problems and raise_on_failure:
         first = next(iter(problems.items()))
