@@ -470,8 +470,9 @@ def check_sidecar(index) -> int:
     answer definitely-NO for a term its segment actually contains (false
     positives are expected, false negatives are corruption —
     FuzzySet.java's contract).  One distributed groupBy(seg).applyInPandas
-    pass over the live posting (seg, term) rows joined with the (seg,
-    blob) sidecar: each group deserializes its filter once and tests all
+    pass over the live posting (seg, term) rows; each group fetches its
+    own filter blob executor-side (pyarrow seg-filtered read — blobs are
+    never shuffled onto term rows), deserializes it once, and tests all
     terms vectorized.  Returns the number of (seg, term) false-negative
     pairs — 0 on a healthy index.  Segments without a filter row are
     skipped (conservative pruning never consults a missing filter)."""
