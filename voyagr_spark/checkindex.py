@@ -139,15 +139,36 @@ def check_index(index, raise_on_failure: bool = True) -> dict:
     # postings only — so the whole kind=doc dataset is checked, never a
     # live_segments slice (live_segments tracks POSTING segments).
     dm = index.docmap()
-    bad_rows = dm.select("doc_id", "doclen", "norm_byte").toPandas()
-    want_nb = encode_norm(bad_rows["doclen"].to_numpy(dtype=np.int64))
-    nb_bad = int((want_nb != bad_rows["norm_byte"].to_numpy()).sum())
+
+    @F.pandas_udf("int")
+    def _want_norm(doclen: pd.Series) -> pd.Series:
+        return pd.Series(
+            encode_norm(doclen.to_numpy(dtype=np.int64)).astype(np.int32))
+
+    # One distributed pass over the docmap: the norm round-trip is
+    # vectorized per Arrow batch executor-side and only three counts
+    # reach the driver (rows, norm mismatches, distinct ids) — at 10^10
+    # docs nothing larger than one row ever leaves the executors.
+    doc_counts = (
+        dm.select(
+            (F.col("norm_byte") != _want_norm(F.col("doclen")))
+            .cast("long").alias("nb_bad"),
+            "doc_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb_bad").alias("nb_bad"),
+            F.countDistinct("doc_id").alias("n_ids"),
+        )
+        .collect()[0]
+    )
+    nb_bad = int(doc_counts["nb_bad"] or 0)
     if nb_bad:
         problems["norm_byte"] = (nb_bad, "norm byte != SmallFloat(doclen)")
-    n_docs = len(bad_rows)
-    if bad_rows["doc_id"].nunique() != n_docs:
-        problems["doc_id_unique"] = (
-            n_docs - bad_rows["doc_id"].nunique(), "duplicate doc ids")
+    n_docs = int(doc_counts["n_docs"])
+    n_ids = int(doc_counts["n_ids"])
+    if n_ids != n_docs:
+        problems["doc_id_unique"] = (n_docs - n_ids, "duplicate doc ids")
     if n_docs != index.max_doc:
         problems["max_doc"] = (
             abs(n_docs - index.max_doc),
