@@ -375,20 +375,27 @@ def load_blooms(index) -> dict[int, FuzzySet]:
                 )
             except Exception:
                 budget = BLOOM_DRIVER_BUDGET_BYTES
-        # cheap file-size pre-check before any collect: parquet blob bytes
-        # lower-bound the deserialized bitset bytes
+        # cheap file-size early-out before any Spark job: compressed
+        # parquet already over budget certainly means raw blobs are too
+        # (compression never inflates the blob column enough to matter;
+        # this check only ever SKIPS, it never admits)
         on_disk = sum(p.stat().st_size for p in Path(bdir).glob("*.parquet"))
         if on_disk > budget:
             index._blooms = blooms  # {} -> prune_segments returns None
             return blooms
-        total = 0
-        for row in index.spark.read.parquet(str(bdir)).collect():
-            blob = bytes(row["blob"])
-            total += len(blob)
-            if total > budget:
-                blooms = {}
-                break
-            blooms[int(row["seg"])] = FuzzySet.deserialize(blob)
+        df = index.spark.read.parquet(str(bdir))
+        # exact raw-byte bound computed executor-side BEFORE any blob
+        # reaches the driver — compressed parquet bytes do NOT lower-bound
+        # in-memory bitset bytes (sparse/low-saturation bitsets compress
+        # well), so the admit decision must use sum(length(blob))
+        raw_bytes = df.agg(F.sum(F.length("blob"))).collect()[0][0] or 0
+        if raw_bytes > budget:
+            index._blooms = blooms
+            return blooms
+        # stream rows so the driver never holds more than one partition
+        # of blobs beyond the (already budget-checked) memoized set
+        for row in df.toLocalIterator():
+            blooms[int(row["seg"])] = FuzzySet.deserialize(bytes(row["blob"]))
     index._blooms = blooms
     return blooms
 
@@ -497,9 +504,10 @@ def check_sidecar(index) -> int:
         if tbl.num_rows == 0:  # no filter for this seg: nothing to check
             return pd.DataFrame({"seg": [seg], "misses": [0]})
         fs = FuzzySet.deserialize(tbl["blob"][0].as_py())
-        ok = fs.may_contain_many(
-            [t.encode("utf-8") for t in pdf["term"].tolist()]
-        )
+        # dedupe: a term split over several posting rows (per-block
+        # splitting) is still ONE (seg, term) pair in the count
+        terms = pdf["term"].drop_duplicates()
+        ok = fs.may_contain_many([t.encode("utf-8") for t in terms.tolist()])
         return pd.DataFrame({"seg": [seg], "misses": [int((~ok).sum())]})
 
     out = (
