@@ -1,0 +1,143 @@
+"""filterCache: version-keyed fq -> DocSet reuse across different q.
+
+Reference: solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java
+:128-129 (filterCache) — fq DocSets computed once per searcher, shared by
+every query that sends the same fq, dropped on searcher reopen.
+"""
+
+import pandas as pd
+import pytest
+
+from voyagr_spark import solr_api as SA
+from voyagr_spark.corpus import generate_corpus
+from voyagr_spark.indexer import build_index
+from voyagr_spark.solr_api import (
+    apply_fq,
+    clear_filter_cache,
+    facet_domain,
+    filter_docset,
+    solr_select,
+)
+from voyagr_spark.streaming import append_batch
+
+
+def _stats(idx):
+    return dict(idx._fq_cache_stats)
+
+
+def test_repeated_fq_is_a_hit_with_identical_results(built_index):
+    clear_filter_cache(built_index)
+    lang = built_index.docmap().select("lang").first()["lang"]
+    fq = f"lang:{lang}"
+    r1 = solr_select(built_index, "file", fq=fq, rows=10).collect()
+    s1 = _stats(built_index)
+    assert s1["misses"] == 1
+    # DIFFERENT q, same fq: still a hit — the Solr sharing contract
+    solr_select(built_index, "open", fq=fq, rows=10).collect()
+    r2 = solr_select(built_index, "file", fq=fq, rows=10).collect()
+    s2 = _stats(built_index)
+    assert s2["misses"] == 1 and s2["hits"] == s1["hits"] + 2
+    assert [(r["doc_id"], r["score"]) for r in r1] == [
+        (r["doc_id"], r["score"]) for r in r2
+    ]
+
+
+def test_hit_recomputes_nothing(built_index, monkeypatch):
+    """On a hit neither the fq predicate nor the docmap is touched."""
+    clear_filter_cache(built_index)
+    fq = "doclen:[10 TO 100000]"
+    ds0, small = filter_docset(built_index, fq)
+    n0 = ds0.count()
+    assert small  # 300-doc fixture: driver-side tier
+
+    def boom(*a, **k):
+        raise AssertionError("recomputed on hit")
+
+    monkeypatch.setattr(SA, "_fq_predicate", boom)
+    monkeypatch.setattr(built_index, "docmap", boom, raising=False)
+    ds1, _ = filter_docset(built_index, fq)
+    assert ds1 is ds0 and ds1.count() == n0  # zero reconstruction jobs
+
+
+@pytest.mark.parametrize(
+    "fq",
+    [
+        "lang:python",
+        "path:src*",
+        "doclen:[20 TO 200]",
+        "{!terms f=lang}python,java",
+    ],
+)
+def test_semi_join_equals_pushed_predicate(built_index, fq):
+    clear_filter_cache(built_index)
+    dm = built_index.docmap()
+    want = sorted(
+        r["doc_id"]
+        for r in dm.filter(SA._fq_predicate(fq)).select("doc_id").collect()
+    )
+    got = sorted(
+        r["doc_id"] for r in apply_fq(built_index, dm, fq).select("doc_id").collect()
+    )
+    assert got == want
+    # cache=false keeps the plain predicate path and the same rows
+    raw = sorted(
+        r["doc_id"]
+        for r in apply_fq(built_index, dm, fq, use_cache=False)
+        .select("doc_id")
+        .collect()
+    )
+    assert raw == want
+
+
+def test_append_invalidates(spark, tmp_path_factory):
+    pdf = generate_corpus(80, seed=11)
+    d = tmp_path_factory.mktemp("fq_idx")
+    idx = build_index(spark, spark.createDataFrame(pdf.iloc[:60]), str(d),
+                      num_segments=2)
+    fq = "doclen:[1 TO 100000]"
+    ds0, _ = filter_docset(idx, fq)
+    n0 = ds0.count()
+    assert _stats(idx)["misses"] == 1
+    append_batch(idx, spark.createDataFrame(pdf.iloc[60:]), num_partitions=2)
+    idx.reload_meta()
+    ds1, _ = filter_docset(idx, fq)  # searcher reopened -> recompute
+    s = _stats(idx)
+    assert s["misses"] == 2
+    assert ds1.count() == n0 + 20  # new docs visible to the fresh DocSet
+
+
+def test_large_tier_persists_and_evicts(built_index, monkeypatch):
+    monkeypatch.setattr(SA, "FILTER_CACHE_SMALL_ROWS", 5)
+    monkeypatch.setattr(SA, "FILTER_CACHE_MAX", 1)
+    clear_filter_cache(built_index)
+    fq = "doclen:[1 TO 100000]"  # matches ~all 300 docs > 5
+    ds, small = filter_docset(built_index, fq)
+    assert not small
+    assert ds.storageLevel.useMemory  # persisted executor-side tier
+    want = sorted(r["doc_id"] for r in built_index.docmap()
+                  .filter(SA._fq_predicate(fq)).select("doc_id").collect())
+    assert sorted(r["doc_id"] for r in ds.collect()) == want
+    # a second fq evicts the first (MAX=1) and unpersists its storage
+    filter_docset(built_index, "lang:python")
+    assert _stats(built_index)["evictions"] == 1
+    assert not ds.storageLevel.useMemory
+    clear_filter_cache(built_index)
+
+
+def test_facet_domain_consults_cache(built_index):
+    clear_filter_cache(built_index)
+    from voyagr_spark.jsonfacet import json_facet
+
+    fq = "doclen:[10 TO 100000]"
+    spec = {"langs": {"type": "terms", "field": "lang", "limit": 3}}
+    r1 = json_facet(facet_domain(built_index, "file", fq=fq), spec)
+    s1 = _stats(built_index)
+    assert s1["misses"] == 1
+    r2 = json_facet(facet_domain(built_index, "open", fq=fq), spec)
+    assert _stats(built_index)["misses"] == 1  # drill re-used the DocSet
+    assert r1["count"] > 0 and r2["count"] > 0
+    # parity vs the uncached domain
+    dm = built_index.docmap().join(
+        SA.scores(built_index, "file").select("doc_id"), "doc_id", "semi"
+    ).filter(SA._fq_predicate(fq))
+    assert json_facet(dm, spec) == r1

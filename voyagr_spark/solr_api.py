@@ -315,7 +315,7 @@ def export(
         if isinstance(fq, str):
             fq = [fq]
         for f_ in fq:
-            joined = joined.filter(_fq_predicate(f_))
+            joined = apply_fq(index, joined, f_)
     keys = [F.asc(f) if asc else F.desc(f) for f, asc in clauses]
     return joined.orderBy(*keys, F.asc("doc_id")).select(*fl)
 
@@ -394,7 +394,7 @@ def cursor_page(
         if isinstance(fq, str):
             fq = [fq]
         for f_ in fq:
-            joined = joined.filter(_fq_predicate(f_))
+            joined = apply_fq(index, joined, f_)
 
     if cursor_mark != CURSOR_MARK_START:
         vals = json.loads(base64.b64decode(cursor_mark.encode()).decode())
@@ -544,6 +544,136 @@ def _apply_collapse(joined, params: dict):
     )
 
 
+# ---------------------------------------------------------------------------
+# filterCache — SolrIndexSearcher.java:128-129: per-searcher cache of
+# fq -> DocSet, shared across DIFFERENT q, dropped on searcher reopen.
+# ---------------------------------------------------------------------------
+
+FILTER_CACHE_MAX = 64  # entries, LRU (solrconfig.xml filterCache size)
+# DocSets at or under this row count live driver-side (a LocalRelation
+# DataFrame reused on every hit -> ZERO Spark jobs to reconstruct, the
+# analog of Solr's in-heap SortedIntDocSet) and broadcast into the semi
+# join.  Bigger sets stay executor-side as a persisted MEMORY_AND_DISK
+# doc_id DataFrame: at 10^10 docs a hot fq's DocSet is GBs — Solr's
+# in-heap bitset does not survive that scale, a cached+spillable Spark
+# partition set does.  262144 rows = 2 MiB/entry, <=128 MiB driver worst
+# case across the whole cache.
+FILTER_CACHE_SMALL_ROWS = 262_144
+
+
+def _filter_cache(index):
+    cache = getattr(index, "_fq_cache", None)
+    if cache is None:
+        from collections import OrderedDict
+
+        cache = index._fq_cache = OrderedDict()
+        index._fq_cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
+    return cache
+
+
+def _evict_entry(entry) -> None:
+    if entry[1] == "df":
+        try:
+            entry[2].unpersist()
+        except Exception:
+            pass
+
+
+def filter_docset(index, fq: str) -> tuple[DataFrame, bool]:
+    """fq -> cached DocSet; returns (doc_id DataFrame, is_small).
+
+    Key = (fq text, index version): any commit/append/merge/delete bumps
+    `_index_version` (the searcher-reopen point), so stale entries are
+    recomputed — and their persisted storage released — on next touch,
+    exactly Solr's cache-per-searcher lifetime.  A miss evaluates the fq
+    predicate ONCE against the docmap: a single limit-pushed probe job
+    decides the tier (small -> the probe already holds the ids; large ->
+    persist + materialize).  Hits run zero jobs beyond the consumer's own
+    semi join."""
+    from .search import _index_version
+
+    ver = _index_version(index)
+    cache = _filter_cache(index)
+    stats = index._fq_cache_stats
+    ent = cache.get(fq)
+    if ent is not None:
+        if ent[0] == ver:
+            cache.move_to_end(fq)
+            stats["hits"] += 1
+            return ent[2], ent[1] == "arr"
+        _evict_entry(ent)  # searcher reopened: drop + recompute
+        del cache[fq]
+    stats["misses"] += 1
+    base = index.docmap().filter(_fq_predicate(fq)).select("doc_id")
+    probe = base.limit(FILTER_CACHE_SMALL_ROWS + 1).collect()
+    if len(probe) <= FILTER_CACHE_SMALL_ROWS:
+        import pandas as pd
+
+        ds = index.spark.createDataFrame(
+            pd.DataFrame({"doc_id": [r["doc_id"] for r in probe]}),
+            "doc_id long",
+        )
+        ent = (ver, "arr", ds)
+    else:
+        from pyspark import StorageLevel
+
+        ds = base.persist(StorageLevel.MEMORY_AND_DISK)
+        ds.count()  # materialize now so every consumer hits warm storage
+        ent = (ver, "df", ds)
+    cache[fq] = ent
+    if len(cache) > FILTER_CACHE_MAX:
+        _, old = cache.popitem(last=False)
+        _evict_entry(old)
+        stats["evictions"] += 1
+    return ds, ent[1] == "arr"
+
+
+def apply_fq(index, df: DataFrame, fq: str, use_cache: bool = True) -> DataFrame:
+    """Filter `df` (any doc_id-keyed frame) to the fq's DocSet.
+
+    Cached path: left-semi join against the version-keyed DocSet —
+    broadcast (zero exchange) for the small tier, a persisted executor-side
+    set for the large tier.  `use_cache=False` (Solr's {!cache=false}) or a
+    disabled index (`index._no_filter_cache`) keeps the plain pushed-down
+    Catalyst predicate."""
+    if not use_cache or getattr(index, "_no_filter_cache", False):
+        return df.filter(_fq_predicate(fq))
+    ds, small = filter_docset(index, fq)
+    return df.join(F.broadcast(ds) if small else ds, "doc_id", "semi")
+
+
+def clear_filter_cache(index) -> None:
+    """Release every cached DocSet (persisted tiers unpersisted)."""
+    cache = getattr(index, "_fq_cache", None)
+    if cache:
+        for ent in cache.values():
+            _evict_entry(ent)
+        cache.clear()
+    if getattr(index, "_fq_cache_stats", None):
+        index._fq_cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
+
+
+def facet_domain(
+    index,
+    q: str | None = None,
+    fq: list[str] | str | None = None,
+) -> DataFrame:
+    """The JSON Facet API's domain: main query matches (or the whole
+    docmap for q=None / *:*) filtered by fq through the filterCache —
+    faceted browsing re-sends the SAME fq set with every drill, which is
+    exactly the workload the cache exists for.  Feed the result to
+    `jsonfacet.json_facet`."""
+    dm = index.docmap()
+    if q is not None and q.strip() not in ("", "*:*"):
+        dm = dm.join(scores(index, q).select("doc_id"), "doc_id", "semi")
+    if fq:
+        if isinstance(fq, str):
+            fq = [fq]
+        for f_ in fq:
+            dm = apply_fq(index, dm, f_)
+    return dm
+
+
 def _fq_predicate(fq: str):
     lp = _LOCAL_PARAMS_RE.match(fq.strip())
     if lp:
@@ -665,7 +795,7 @@ def solr_select(
             if lp and lp.group(1) == "frange":
                 joined = joined.filter(_frange_predicate(lp))
                 continue
-            joined = joined.filter(_fq_predicate(f_))
+            joined = apply_fq(index, joined, f_)
     if collapse is not None:
         joined = _apply_collapse(joined, collapse)
     if sort is None or sort.strip().lower() in ("score desc", "score"):
