@@ -137,6 +137,42 @@ def test_pruning_is_conservative(bloom_index):
     idx._blooms = blooms
 
 
+def test_conjunction_pruning_is_all_terms(bloom_index):
+    """Query-shape-aware pruning: an AND of a present + an absent term
+    scans ZERO segments (any-term would keep every segment the present
+    term lives in), while the same pair under OR keeps them all — and
+    results stay identical to the unpruned scorer either way."""
+    from voyagr_spark.bloom import prune_segments_query
+    from voyagr_spark.parser import parse
+    from voyagr_spark.search import search
+
+    idx = bloom_index
+    load_blooms(idx)
+    q_and = parse("file AND zzqxabsentterm")
+    assert prune_segments_query(idx, q_and) == []
+    assert search(idx, "file AND zzqxabsentterm", k=10).collect() == []
+    q_or = parse("file OR zzqxabsentterm")
+    surv_or = prune_segments_query(idx, q_or)
+    any_term = prune_segments(idx, ["file", "zzqxabsentterm"])
+    assert surv_or == any_term  # SHOULD trees keep the any-term rule
+    # phrases require every term: one absent word kills the segment
+    assert prune_segments_query(idx, parse('"file zzqxabsentterm"')) == []
+    # MUST_NOT contributes nothing (pruning on it would LOSE matches)
+    q_not = parse("file AND NOT zzqxabsentterm")
+    surv_not = prune_segments_query(idx, q_not)
+    file_surv = prune_segments(idx, ["file"])
+    assert surv_not == file_surv
+    # msm counts live disjuncts: 2 required, only 1 can exist
+    from voyagr_spark.parser import SHOULD, BooleanQuery, TermQuery
+
+    q_msm = BooleanQuery(
+        clauses=((SHOULD, TermQuery("file")),
+                 (SHOULD, TermQuery("zzqxabsentterm"))),
+        min_should_match=2,
+    )
+    assert prune_segments_query(idx, q_msm) == []
+
+
 def test_driver_budget_skips_oversized_sidecar(bloom_index):
     """Past the driver-memory budget the sidecar is ignored (no pruning,
     full scan) — conservative, identical results, no driver OOM at
