@@ -186,6 +186,35 @@ def main() -> None:
                 f"{label} is columnar too (no Python stage per query)",
                 "Pandas" not in pmx_above and "Python" not in pmx_above,
             ))
+        # r4 widened eligibility: msm-bearing MUST+SHOULD mixes and the
+        # full match-set scores() surface (the /select fq flow) are
+        # columnar too
+        from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
+        from voyagr_spark.search import scores as _scores
+
+        qmm = BooleanQuery(
+            clauses=((MUST, TermQuery("batch")), (SHOULD, TermQuery("dup")),
+                     (SHOULD, TermQuery("fast"))),
+            min_should_match=1,
+        )
+        dmm = search(idx, qmm, k=10)
+        dmm.collect()
+        pmm = _plan(dmm).split("== Initial Plan ==")[0]
+        pmm_above = pmm.split("InMemoryRelation")[0]
+        checks.append((
+            "MUST+SHOULD with msm>0 is columnar (no Python stage)",
+            "Pandas" not in pmm_above and "Python" not in pmm_above,
+        ))
+        dsc = _scores(idx, "batch AND dup")
+        dsc.collect()
+        psc = _plan(dsc).split("== Initial Plan ==")[0]
+        psc_above = psc.split("InMemoryRelation")[0]
+        checks.append((
+            "scores() full match set (the /select fq flow) is columnar: "
+            "no Python stage, zero per-query Exchange",
+            "Pandas" not in psc_above and "Python" not in psc_above
+            and "Exchange" not in psc_above,
+        ))
         dfb = search_many(
             idx, {"a": "batch", "b": "dup OR fast", "c": '"fast key"'},
             k=10, columnar=True,

@@ -387,3 +387,49 @@ def test_append_reopen_repins_decoded(spark, corpus_pdf, tmp_path_factory):
     finally:
         idx.unpin()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_msm_mix_parity_and_python_free(cold_and_pinned):
+    """MUST+SHOULD with msm>0 (r4 widened eligibility): identical rows to
+    the Pandas ReqOptSum scorer — which never count-filters when required
+    clauses exist — and a Python-free plan."""
+    from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
+
+    idx, _, _ = cold_and_pinned
+    q = BooleanQuery(
+        clauses=((MUST, TermQuery("file")), (SHOULD, TermQuery("handle")),
+                 (SHOULD, TermQuery("parse"))),
+        min_should_match=1,
+    )
+    idx.unpin()
+    try:
+        cold = _rows(search(idx, q, k=10))
+    finally:
+        idx.pin()
+    assert cold
+    assert _rows(search(idx, q, k=10)) == cold
+    plan = _final_plan(search(idx, q, k=10))
+    above = plan.split("== Initial Plan ==")[0].split("InMemoryRelation")[0]
+    assert "Pandas" not in above and "Python" not in above
+
+
+def test_scores_full_matchset_columnar(cold_and_pinned):
+    """scores() — the /select filter-then-rank surface — rides the
+    columnar path when eligible: full match set bit-identical to the
+    Pandas path, zero Python stages, zero per-query exchange."""
+    from voyagr_spark.search import scores
+
+    idx, _, _ = cold_and_pinned
+    for q in ("file", "file AND handle", "file OR handle OR parse",
+              "+file handle -node"):
+        idx.unpin()
+        try:
+            cold = sorted(_rows(scores(idx, q)))
+        finally:
+            idx.pin()
+        got = sorted(_rows(scores(idx, q)))
+        assert cold and got == cold, q
+        plan = _final_plan(scores(idx, q))
+        above = plan.split("== Initial Plan ==")[0].split("InMemoryRelation")[0]
+        assert "Pandas" not in above and "Python" not in above, q
+        assert "Exchange" not in above, q
