@@ -681,7 +681,8 @@ class Index:
         self._df_cache = None  # global stats may have changed
         if was_pinned:
             # re-warm the searcher over the new lineage (lazy)
-            self.pin(decoded=getattr(self, "_pin_decoded", True))
+            self.pin(decoded=getattr(self, "_pin_decoded", True),
+                     storage=getattr(self, "_pin_storage", None))
 
     @property
     def live_segments(self) -> list[int] | None:
@@ -689,7 +690,8 @@ class Index:
         return self.meta.get("live_segments")
 
     def pin(self, num_partitions: int | None = None,
-            decoded: bool = True, positions: bool = True) -> "Index":
+            decoded: bool = True, positions: bool = True,
+            storage=None) -> "Index":
         """Warm this reader for query serving: pin the postings table in the
         executor-memory columnar cache, pre-hash-partitioned by segment.
 
@@ -707,7 +709,12 @@ class Index:
 
         Pinning is the serving mode; the default (cold) path scans parquet
         with full predicate pushdown and needs no cluster memory — right for
-        one-shot/batch queries.  Returns self for chaining."""
+        one-shot/batch queries.  `storage` overrides the cache StorageLevel
+        (default MEMORY_AND_DISK deserialized): a memory-constrained fleet
+        can pin DISK_ONLY and keep bit-identical answers — eviction/spill
+        changes WHERE cached batches live, never what they contain (the
+        memory-capped-pin contract, tested in
+        tests/test_pinned_cache_economics.py).  Returns self for chaining."""
         if getattr(self, "_pinned_df", None) is None:
             # keep the cached plan's HashPartitioning visible to the planner:
             # with this off (Spark >=3.5 default on), AQE recompiles cached
@@ -745,7 +752,9 @@ class Index:
                 num_partitions = max(
                     by_bytes, max(1, min(nseg, par // 4))
                 )
-            self._pinned_df = base.repartition(num_partitions, "seg").persist()
+            part = base.repartition(num_partitions, "seg")
+            self._pinned_df = (part.persist(storage) if storage is not None
+                               else part.persist())
             if decoded:
                 # columnar serving cache: postings exploded to (seg, term,
                 # doc_id, tf, norm, ntv[, pos]) and hash-partitioned by
@@ -756,10 +765,13 @@ class Index:
                 # Lazy like the blob pin: the decode job runs on first use.
                 from .search import decode_postings_df
 
-                self._decoded_df = decode_postings_df(
+                dec = decode_postings_df(
                     base, num_partitions, positions=positions
-                ).persist()
+                )
+                self._decoded_df = (dec.persist(storage)
+                                    if storage is not None else dec.persist())
             self._pin_decoded = decoded
+            self._pin_storage = storage
         return self
 
     def unpin(self) -> None:
