@@ -1590,6 +1590,25 @@ def _verified_edges(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
     cand = _lsh_candidates(u, bucket_cap)
     t = terms_tf(spark, sf_dir).select("doc_id", "term")
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # size-ratio prefilter (the PPJoin/AllPairs length filter, Xiao et al.
+    # WWW'08): inter <= min(sa, sb), so the best achievable Jaccard is
+    # min/(sa+sb-min) — pairs below threshold on that bound cannot pass the
+    # final filter and skip the expensive per-term verification join
+    # entirely.  EXACT: J(inter) = i/(sa+sb-i) is monotone in i, division
+    # is a single correctly-rounded op, and IEEE rounding is monotone, so
+    # the double-valued bound dominates the double-valued J for every
+    # inter <= min — no pair that would pass the final filter is dropped.
+    cand = (
+        cand.join(sizes.select(F.col("doc_id").alias("da"),
+                               F.col("sz").alias("sa")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("sb")), "db")
+        .filter(
+            F.least("sa", "sb")
+            / (F.col("sa") + F.col("sb") - F.least("sa", "sb"))
+            >= threshold
+        )
+    )
     inter = (
         cand.join(t.alias("ta"), F.col("da") == F.col("ta.doc_id"))
         .join(
@@ -1597,15 +1616,11 @@ def _verified_edges(spark, sf_dir, bands: int = 4, threshold: float = 0.7,
             (F.col("db") == F.col("tb.doc_id"))
             & (F.col("ta.term") == F.col("tb.term")),
         )
-        .groupBy("da", "db")
+        .groupBy("da", "db", "sa", "sb")
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("da"),
-                                F.col("sz").alias("sa")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"),
-                           F.col("sz").alias("sb")), "db")
-        .filter(
+        inter.filter(
             F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
             >= threshold
         )
