@@ -1036,6 +1036,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": lambda s, d: R.semantic_dedup(s, d, 0.4),
         "events_window": lambda s, d: R.events_window(s, d, 6),
         "dedup_pipeline": lambda s, d: R.dedup_pipeline(s, d, 4, 0.7),
+        # discriminative variant (r4): signatures AND verification over
+        # word 3-gram shingles — the scale form for common-vocab corpora
+        # where whole-doc term sets collide into giant LSH buckets (the
+        # 250k soak measured a 6,894-doc hot bucket under term signatures)
+        "dedup_pipeline_shingled": lambda s, d: R.dedup_pipeline(
+            s, d, 4, 0.7, shingle=3),
         # connected-component duplicate clustering: cluster = min doc_id
         # reachable through verified near-dup edges (transitive closure);
         # iterative min-label propagation, oracle = recursive CTE
@@ -3783,6 +3789,42 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c
               JOIN t ta ON ta.doc_id = c.da
               JOIN t tb ON tb.doc_id = c.db AND tb.term = ta.term
+              GROUP BY c.da, c.db),
+            dropped AS (
+              SELECT DISTINCT i.db AS doc_id
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.da
+              JOIN sz sb ON sb.doc_id = i.db
+              WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.7)
+            SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
+            FROM documents d LEFT JOIN dropped dr USING (doc_id)""",
+        "dedup_pipeline_shingled": _BASE
+        + """, sh AS (
+              SELECT DISTINCT a.doc_id,
+                     a.term || ' ' || b.term || ' ' || c.term AS shingle
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            sig AS (
+              SELECT doc_id,
+                     min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+                     min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT 0 AS band, mh0 AS sig, doc_id FROM sig UNION ALL
+              SELECT 1, mh1, doc_id FROM sig UNION ALL
+              SELECT 2, mh2, doc_id FROM sig UNION ALL
+              SELECT 3, mh3, doc_id FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.da, c.db, count(*)::BIGINT AS i
+              FROM cand c
+              JOIN sh ta ON ta.doc_id = c.da
+              JOIN sh tb ON tb.doc_id = c.db AND tb.shingle = ta.shingle
               GROUP BY c.da, c.db),
             dropped AS (
               SELECT DISTINCT i.db AS doc_id
