@@ -171,6 +171,24 @@ def test_conjunction_pruning_is_all_terms(bloom_index):
         min_should_match=2,
     )
     assert prune_segments_query(idx, q_msm) == []
+    # MUST+SHOULD: optionals NEVER gate matching when requireds exist
+    # (the engine's ReqOptSum ignores msm there), so pruning must not
+    # count SHOULD liveness — '+file zzqxabsent' with msm=1 keeps every
+    # segment 'file' keeps, and search still returns file's hits
+    from voyagr_spark.parser import MUST
+    from voyagr_spark.search import search as _search
+
+    q_opt = BooleanQuery(
+        clauses=((MUST, TermQuery("file")),
+                 (SHOULD, TermQuery("zzqxabsentterm"))),
+        min_should_match=1,
+    )
+    assert prune_segments_query(idx, q_opt) == file_surv
+    got = [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
+           for r in _search(idx, q_opt, k=10).collect()]
+    want = [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
+            for r in _search(idx, "file", k=10).collect()]
+    assert got == want and got
 
 
 def test_driver_budget_skips_oversized_sidecar(bloom_index):

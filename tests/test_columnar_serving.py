@@ -433,3 +433,33 @@ def test_scores_full_matchset_columnar(cold_and_pinned):
         above = plan.split("== Initial Plan ==")[0].split("InMemoryRelation")[0]
         assert "Pandas" not in above and "Python" not in above, q
         assert "Exchange" not in above, q
+
+
+def test_count_mix_matches_pandas(cold_and_pinned):
+    """count() on MUST+SHOULD shapes: the columnar count must gate on the
+    MUST prefix only (ReqOptSum — optionals score, never filter), msm or
+    not (r4 review fix: SHOULD hits used to count toward the MUST
+    requirement, so a doc matching only the optional term was counted)."""
+    from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
+    from voyagr_spark.search import count
+
+    idx, _, _ = cold_and_pinned
+    qs = [
+        BooleanQuery(((MUST, TermQuery("handle")),
+                      (SHOULD, TermQuery("file"))), min_should_match=1),
+        BooleanQuery(((MUST, TermQuery("zzqxabsentterm")),
+                      (SHOULD, TermQuery("file"))), min_should_match=1),
+        BooleanQuery(((MUST, TermQuery("file")), (MUST, TermQuery("handle")),
+                      (SHOULD, TermQuery("parse")))),
+        BooleanQuery(((MUST, TermQuery("file")),
+                      (SHOULD, TermQuery("handle")),
+                      (SHOULD, TermQuery("parse")))),
+    ]
+    idx.unpin()
+    try:
+        cold = [count(idx, q) for q in qs]
+    finally:
+        idx.pin()
+    warm = [count(idx, q) for q in qs]
+    assert warm == cold, (warm, cold)
+    assert cold[1] == 0 and cold[0] > 0

@@ -89,7 +89,7 @@ def test_semi_join_equals_pushed_predicate(built_index, fq):
     assert raw == want
 
 
-def test_append_invalidates(spark, tmp_path_factory):
+def test_append_invalidates_and_sweeps(spark, tmp_path_factory):
     pdf = generate_corpus(80, seed=11)
     d = tmp_path_factory.mktemp("fq_idx")
     idx = build_index(spark, spark.createDataFrame(pdf.iloc[:60]), str(d),
@@ -97,13 +97,36 @@ def test_append_invalidates(spark, tmp_path_factory):
     fq = "doclen:[1 TO 100000]"
     ds0, _ = filter_docset(idx, fq)
     n0 = ds0.count()
-    assert _stats(idx)["misses"] == 1
+    filter_docset(idx, "lang:python")  # a second entry, same version
+    assert _stats(idx)["misses"] == 2
     append_batch(idx, spark.createDataFrame(pdf.iloc[60:]), num_partitions=2)
     idx.reload_meta()
     ds1, _ = filter_docset(idx, fq)  # searcher reopened -> recompute
     s = _stats(idx)
-    assert s["misses"] == 2
+    assert s["misses"] == 3
     assert ds1.count() == n0 + 20  # new docs visible to the fresh DocSet
+    # EVERY stale-version entry is swept on access, not just the requested
+    # key — the untouched lang:python entry must be gone too
+    assert set(idx._fq_cache) == {fq}
+
+
+def test_cache_false_prefix_bypasses(built_index):
+    """Solr's {!cache=false} local param: per-request cache opt-out."""
+    clear_filter_cache(built_index)
+    lang = built_index.docmap().select("lang").first()["lang"]
+    rows = solr_select(
+        built_index, "file", fq=f"{{!cache=false}}lang:{lang}", rows=10
+    ).collect()
+    assert rows
+    stats = getattr(built_index, "_fq_cache_stats", None)
+    assert stats in (None, {"hits": 0, "misses": 0, "evictions": 0})
+    assert not getattr(built_index, "_fq_cache", None)  # nothing cached
+    # parity with the cached form
+    cached = solr_select(built_index, "file", fq=f"lang:{lang}",
+                         rows=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in cached
+    ]
 
 
 def test_large_tier_persists_and_evicts(built_index, monkeypatch):

@@ -392,9 +392,10 @@ def load_blooms(index) -> dict[int, FuzzySet]:
         if raw_bytes > budget:
             index._blooms = blooms
             return blooms
-        # stream rows so the driver never holds more than one partition
-        # of blobs beyond the (already budget-checked) memoized set
-        for row in df.toLocalIterator():
+        # the collect is bounded by the budget just verified executor-side
+        # (raw blob bytes, not compressed estimates), so the driver never
+        # holds more than `budget` worth of blobs
+        for row in df.collect():
             blooms[int(row["seg"])] = FuzzySet.deserialize(bytes(row["blob"]))
     index._blooms = blooms
     return blooms
@@ -504,13 +505,16 @@ def _node_may_match(q, maybe) -> bool:
     if isinstance(q, BooleanQuery):
         musts = [c for occ, c in q.clauses if occ == MUST]
         shoulds = [c for occ, c in q.clauses if occ == SHOULD]
-        if musts and not all(_node_may_match(c, maybe) for c in musts):
-            return False
-        need = max(int(q.min_should_match or 0), 0 if musts else 1)
-        if shoulds and need:
+        if musts:
+            # SHOULD clauses are purely optional here: the engine's
+            # ReqOptSum path (_bool_scorer) never count-filters when
+            # required clauses exist — msm is intentionally ignored, so
+            # pruning on it would LOSE matches the scorer returns
+            return all(_node_may_match(c, maybe) for c in musts)
+        if shoulds:
+            need = max(int(q.min_should_match or 0), 1)
             alive = sum(_node_may_match(c, maybe) for c in shoulds)
-            if alive < need:
-                return False
+            return alive >= need
         return True
     return True  # MUST_NOT-only trees, spans, automata, ...: never prune
 

@@ -2391,9 +2391,16 @@ def count_df(index, query_or_text) -> DataFrame:
     decoded = getattr(index, "decoded_postings", lambda: None)()
     spec = _columnar_clauses(plan) if decoded is not None else None
     if spec is not None:
-        mode, clauses, must_not, msm = spec
+        mode, clauses, must_not, extra = spec
+        # matching clauses: for "mix" (MUST+SHOULD) only the MUST prefix
+        # gates matching — the engine's ReqOptSum semantics score the
+        # optionals but never filter on them (and ignore msm once
+        # requireds exist); counting SHOULD hits toward the requirement
+        # would overcount docs that miss a required term.  "and"/"or"/
+        # "dismax" count every clause.
+        match_clauses = clauses[:extra] if mode == "mix" else clauses
         n_by_term: dict[str, int] = {}
-        for _, t in clauses:
+        for _, t in match_clauses:
             n_by_term[t] = n_by_term.get(t, 0) + 1
         all_terms = sorted(set(n_by_term) | set(must_not))
         ncl_e, mn_e = None, None
@@ -2403,7 +2410,12 @@ def count_df(index, query_or_text) -> DataFrame:
             me = F.lit(1 if t in must_not else 0)
             ncl_e = F.when(cond, ce) if ncl_e is None else ncl_e.when(cond, ce)
             mn_e = F.when(cond, me) if mn_e is None else mn_e.when(cond, me)
-        need = len(clauses) if mode == "and" else max(msm, 1)
+        if mode in ("and", "mix"):
+            need = len(match_clauses)
+        elif mode == "dismax":
+            need = 1
+        else:  # "or": msm-many optionals must match
+            need = max(int(extra), 1)
         grouped = (
             decoded.filter(F.col("term").isin(all_terms))
             .groupBy("doc_id")

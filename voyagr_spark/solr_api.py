@@ -595,30 +595,40 @@ def filter_docset(index, fq: str) -> tuple[DataFrame, bool]:
     ver = _index_version(index)
     cache = _filter_cache(index)
     stats = index._fq_cache_stats
+    # searcher reopened: sweep EVERY stale-version entry now, not just the
+    # requested key — a long-lived server that moves on to other fqs after
+    # a commit must not leave GB-scale persisted DocSets pinned until the
+    # old fq happens to recur or LRU pressure reaches it
+    stale = [k for k, e in cache.items() if e[0] != ver]
+    for k in stale:
+        _evict_entry(cache[k])
+        del cache[k]
     ent = cache.get(fq)
     if ent is not None:
-        if ent[0] == ver:
-            cache.move_to_end(fq)
-            stats["hits"] += 1
-            return ent[2], ent[1] == "arr"
-        _evict_entry(ent)  # searcher reopened: drop + recompute
-        del cache[fq]
+        cache.move_to_end(fq)
+        stats["hits"] += 1
+        return ent[2], ent[1] == "arr"
     stats["misses"] += 1
-    base = index.docmap().filter(_fq_predicate(fq)).select("doc_id")
-    probe = base.limit(FILTER_CACHE_SMALL_ROWS + 1).collect()
-    if len(probe) <= FILTER_CACHE_SMALL_ROWS:
+    from pyspark import StorageLevel
+
+    # one scan decides the tier AND warms the cache: persist, count (an
+    # aggregate — no rows reach the driver), then collect only the small
+    # tier (<= FILTER_CACHE_SMALL_ROWS ids) into the driver-side
+    # LocalRelation, releasing the executor copy
+    pers = (
+        index.docmap().filter(_fq_predicate(fq)).select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = pers.count()
+    if n <= FILTER_CACHE_SMALL_ROWS:
         import pandas as pd
 
-        ds = index.spark.createDataFrame(
-            pd.DataFrame({"doc_id": [r["doc_id"] for r in probe]}),
-            "doc_id long",
-        )
+        pdf = pers.toPandas()
+        pers.unpersist()
+        ds = index.spark.createDataFrame(pdf, "doc_id long")
         ent = (ver, "arr", ds)
     else:
-        from pyspark import StorageLevel
-
-        ds = base.persist(StorageLevel.MEMORY_AND_DISK)
-        ds.count()  # materialize now so every consumer hits warm storage
+        ds = pers
         ent = (ver, "df", ds)
     cache[fq] = ent
     if len(cache) > FILTER_CACHE_MAX:
@@ -628,14 +638,21 @@ def filter_docset(index, fq: str) -> tuple[DataFrame, bool]:
     return ds, ent[1] == "arr"
 
 
+_CACHE_FALSE_RE = re.compile(r"^\{!cache=false\}(.*)$", re.S)
+
+
 def apply_fq(index, df: DataFrame, fq: str, use_cache: bool = True) -> DataFrame:
     """Filter `df` (any doc_id-keyed frame) to the fq's DocSet.
 
     Cached path: left-semi join against the version-keyed DocSet —
     broadcast (zero exchange) for the small tier, a persisted executor-side
-    set for the large tier.  `use_cache=False` (Solr's {!cache=false}) or a
-    disabled index (`index._no_filter_cache`) keeps the plain pushed-down
-    Catalyst predicate."""
+    set for the large tier.  A `{!cache=false}` prefix on the fq (Solr's
+    per-request opt-out), `use_cache=False`, or a disabled index
+    (`index._no_filter_cache`) keeps the plain pushed-down Catalyst
+    predicate."""
+    m = _CACHE_FALSE_RE.match(fq.strip())
+    if m:
+        fq, use_cache = m.group(1), False
     if not use_cache or getattr(index, "_no_filter_cache", False):
         return df.filter(_fq_predicate(fq))
     ds, small = filter_docset(index, fq)
