@@ -1207,6 +1207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S6 stored-field read: top-5 hydrated back to the source table —
         # (doc_id, score, content) must match the oracle's docmap join
         "engine_hydrate": _engine_hydrate,
+        # filterCache-backed faceted browse (r4): BM25 match set, fq
+        # DocSet semi join (solr_api.filter_docset — the
+        # SolrIndexSearcher filterCache analog), term facet — the
+        # /select + JSON-facet drill flow end to end
+        "engine_fq_facet": _engine_fq_facet,
         # IVF ANN at nprobe=all == brute force (same oracle as the baseline)
         "ann_ivf_topk": _ann_ivf,
         # MoreLikeThis (Lucene queries module): interesting-term selection
@@ -2432,6 +2437,21 @@ def _engine_common_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PHON_CACHE: dict = {}
+
+
+def _engine_fq_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted browse through the filterCache: the q='batch' BM25 match
+    set, fq='lang:en' applied as a cached DocSet semi join
+    (solr_api.filter_docset), then a terms facet over repo via
+    jsonfacet.json_facet_flat — one aggregation, no per-bucket jobs."""
+    from voyagr_spark.jsonfacet import json_facet_flat
+    from voyagr_spark.solr_api import facet_domain
+
+    idx = _engine_index(spark, sf_dir)
+    dom = facet_domain(idx, _HOT, fq="lang:en")
+    return json_facet_flat(
+        dom, {"by_repo": {"type": "terms", "field": "repo", "limit": 1000}}
+    )
 
 
 def _engine_phonetic_index(spark: SparkSession, sf_dir: str):
@@ -5581,6 +5601,14 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
             FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
             WHERE dl.doclen BETWEEN 50 AND 200
           ) WHERE rn <= 10"""
+    # filterCache-backed faceted browse: BM25 match set (term presence),
+    # fq DocSet intersection, per-repo bucket counts
+    d["engine_fq_facet"] = _engine_base_sql() + f"""
+        SELECT dm.source AS repo, count(*)::BIGINT AS by_repo_count
+        FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{_HOT}') m
+        JOIN docmap0 dm USING (doc_id)
+        WHERE dm.lang = 'en'
+        GROUP BY 1"""
     # {!terms} + {!hash} fq parsers: lang set-membership AND the numeric
     # worker partition (Long.hashCode = l ^ (l>>>32); the & 0x7FFFFFFF is
     # low-31-bits, i.e. mod 2^31 — int truncation/sign extension are
