@@ -1552,8 +1552,9 @@ def _columnar_clauses(plan: "QueryPlan"):
     Returns (mode, [(clause_boost, term), ...], must_not_terms, extra) when
     the query is a shape the declarative scorer reproduces BIT-EXACTLY —
     a TermQuery, a flat BooleanQuery of TermQuery leaves (pure-MUST,
-    pure-SHOULD with minShouldMatch, or MUST+SHOULD with msm=0; plus
-    MUST_NOT), or a flat DisjunctionMaxQuery of TermQuery disjuncts —
+    pure-SHOULD with minShouldMatch, or MUST+SHOULD regardless of msm —
+    ReqOptSum ignores it; plus MUST_NOT), or a flat DisjunctionMaxQuery
+    of TermQuery disjuncts —
     else None.  `extra` is msm for "or", the MUST-clause count for "mix"
     (clauses list MUST-first, mirroring _bool_scorer's ReqOptSum fold
     order), and the tie-break multiplier for "dismax".  Standalone exact
