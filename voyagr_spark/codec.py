@@ -41,6 +41,10 @@ BLOCK_SIZE = 128  # Lucene50PostingsFormat.java:398
 CODEC_VERSION = "hyb128-2"
 
 
+# 7-bit varint group boundaries (bytes per value = searchsorted rank + 1);
+# shared by the encode fast paths — built once, not per call
+_VARINT_BOUNDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a non-negative int array, fully vectorized."""
     blob, _ = varint_encode_with_offsets(values)
@@ -65,7 +69,7 @@ def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         )
     # bytes per value = ceil(bit_length/7): one searchsorted pass over the
     # 7-bit group boundaries (pure uint64 compare, no float round-trip)
-    bounds = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+    bounds = _VARINT_BOUNDS
     nbytes = np.searchsorted(bounds, vals, side="right").astype(np.int64) + 1
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     total = int(offsets[-1])
@@ -394,7 +398,7 @@ def encoded_block_lengths(
     if alleq.any():
         headers[alleq] = 0
         vlen = np.searchsorted(
-            np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64),
+            _VARINT_BOUNDS,
             bmax[alleq].astype(np.uint64), side="right",
         ) + 1
         lengths[alleq] = 1 + vlen
@@ -409,7 +413,7 @@ def encoded_block_lengths(
         flat = _flat_ranges(block_start[ti], block_count[ti])
         vals = deltas[flat].astype(np.uint64)
         nb_ = np.searchsorted(
-            np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64),
+            _VARINT_BOUNDS,
             vals, side="right",
         ).astype(np.int64) + 1
         vstarts = np.concatenate(([0], np.cumsum(block_count[ti])[:-1]))
@@ -666,8 +670,10 @@ def decode_positions_flat(pos_blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray,
     doc_idx = np.repeat(np.arange(tfs.size, dtype=np.int64), tfs)
     csum = np.cumsum(flat)
     starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-    # subtract the cumulative total before each doc's first position
-    base = np.concatenate(([0], csum[starts[1:] - 1])) if starts.size > 1 else np.array([0])
+    # subtract the cumulative total before each doc's first position;
+    # docs starting at flat index 0 (including any zero-tf prefix — a
+    # starts[i]-1 index would wrap to csum[-1]) have nothing before them
+    base = np.where(starts > 0, csum[np.maximum(starts - 1, 0)], 0)
     abs_pos = csum - np.repeat(base, tfs)
     return abs_pos, doc_idx
 

@@ -1161,7 +1161,10 @@ def _or_maxscore(q: BooleanQuery, rows, plan) -> tuple[np.ndarray, np.ndarray]:
         if t in essential:
             d = p.docs()
             pos = np.searchsorted(cand, d)
-            s = _score_posting(p, np.arange(d.size), _term_weight(plan, t, b), plan)
+            # the top-ub list was already fully scored for tau — reuse it
+            # (same clause, same weight -> bit-identical values)
+            s = s0 if t == t0 and b == b0 else _score_posting(
+                p, np.arange(d.size), _term_weight(plan, t, b), plan)
             scores[pos] = (scores[pos] + s).astype(np.float32)
         else:
             mask, pidx = p.lookup(cand)
@@ -1365,6 +1368,9 @@ def _score_in_segment(
     elif (
         plan.prune
         and plan.tombstones is None
+        and plan.after is None  # MaxScore's tau is the UNFILTERED kth
+        # score — under searchAfter the page needs exactly the below-tau
+        # docs the pruning skips, so paging must take the exact path
         and isinstance(q, BooleanQuery)
         and all(o == SHOULD and isinstance(s, TermQuery) for o, s in q.clauses)
         and q.min_should_match <= 1
@@ -1409,6 +1415,15 @@ def _index_version(index) -> tuple:
     )
 
 
+# the scorer-facing posting projection (pos_blob appended only for
+# position-consuming queries — _has_phrase); ONE list so every scan site
+# (per-segment top-k, batched search, full scores) stays in lockstep
+POSTING_COLS = (
+    "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
+    "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
+    "block_min_len", "block_doc_boff", "block_tf_boff",
+)
+
 _RESULT_CACHE_MAX = 1024
 
 
@@ -1424,12 +1439,8 @@ def per_segment_topk_df(index, plan: "QueryPlan") -> DataFrame | None:
     multis = query_multis(q)
     if (not terms and not multis) or isinstance(q, MatchNoDocsQuery):
         return None
-    posting_cols = [
-        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
-        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
-        "block_min_len", "block_doc_boff", "block_tf_boff",
-    ]
-    if isinstance(q, PhraseQuery) or _has_phrase(q):
+    posting_cols = list(POSTING_COLS)
+    if _has_phrase(q):  # covers PhraseQuery itself
         posting_cols.append("pos_blob")
     rows = (
         index.postings()
@@ -1667,8 +1678,11 @@ def _columnar_hits(index, plan: "QueryPlan") -> DataFrame | None:
     all_terms = sorted(by_term)
     matched = decoded.filter(F.col("term").isin(all_terms))
     # single-disjunct dismax still needs the max(0, s) clamp (the Pandas
-    # scorer's zero-initialized running max), so it skips this fast path
-    if len(clauses) == 1 and not must_not and mode != "dismax":
+    # scorer's zero-initialized running max), so it skips this fast path;
+    # a lone SHOULD clause with msm >= 2 matches NOTHING (the general
+    # path's need > attainable count) and must not shortcut to all-matches
+    if (len(clauses) == 1 and not must_not and mode != "dismax"
+            and not (mode == "or" and extra > 1)):
         wv = F.lit(by_term[terms[0]][0][1]).cast("float")
         s = ((wv * tf_f) / (tf_f + norm_f)).cast("float")
         hits = matched.select("doc_id", s.alias("score"))
@@ -1765,12 +1779,10 @@ def _columnar_hits(index, plan: "QueryPlan") -> DataFrame | None:
     return hits
 
 
-def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
-    """K1/K2/K3 over `_columnar_hits`: one task wave +
-    TakeOrderedAndProject — the pinned serving path's top-k form."""
-    hits = _columnar_hits(index, plan)
-    if hits is None:
-        return None
+def _after_cut(hits: DataFrame, plan: "QueryPlan") -> DataFrame:
+    """searchAfter cursor predicate + the (score desc, doc asc) k-cut —
+    the paging-correctness contract shared by every columnar top-k path
+    (one definition so the float32-cast literal stays bit-identical)."""
     if plan.after is not None:
         s_after = F.lit(float(np.float32(plan.after[0]))).cast("float")
         hits = hits.filter(
@@ -1779,6 +1791,15 @@ def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
                & (F.col("doc_id") > int(plan.after[1])))
         )
     return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+
+
+def _columnar_topk(index, plan: "QueryPlan") -> DataFrame | None:
+    """K1/K2/K3 over `_columnar_hits`: one task wave +
+    TakeOrderedAndProject — the pinned serving path's top-k form."""
+    hits = _columnar_hits(index, plan)
+    if hits is None:
+        return None
+    return _after_cut(hits, plan)
 
 
 def _columnar_const_topk(index, plan: "QueryPlan") -> DataFrame | None:
@@ -1822,14 +1843,7 @@ def _columnar_const_topk(index, plan: "QueryPlan") -> DataFrame | None:
         .agg(F.lit(1).alias("_m"))
         .select("doc_id", score.alias("score"))
     )
-    if plan.after is not None:
-        s_after = F.lit(float(np.float32(plan.after[0]))).cast("float")
-        hits = hits.filter(
-            (F.col("score") < s_after)
-            | ((F.col("score") == s_after)
-               & (F.col("doc_id") > int(plan.after[1])))
-        )
-    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+    return _after_cut(hits, plan)
 
 
 def _columnar_phrase_topk(index, plan: "QueryPlan") -> DataFrame | None:
@@ -1853,14 +1867,7 @@ def _columnar_phrase_topk(index, plan: "QueryPlan") -> DataFrame | None:
     hits = _columnar_phrase_hits(decoded, plan)
     if hits is None:
         return None
-    if plan.after is not None:
-        s_after = F.lit(float(np.float32(plan.after[0]))).cast("float")
-        hits = hits.filter(
-            (F.col("score") < s_after)
-            | ((F.col("score") == s_after)
-               & (F.col("doc_id") > int(plan.after[1])))
-        )
-    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(plan.k)
+    return _after_cut(hits, plan)
 
 
 def _columnar_phrase_hits(decoded, plan: "QueryPlan") -> DataFrame | None:
@@ -2213,11 +2220,7 @@ def search_many(
         if out is not None:
             return out
 
-    posting_cols = [
-        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
-        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
-        "block_min_len", "block_doc_boff", "block_tf_boff",
-    ]
+    posting_cols = list(POSTING_COLS)
     if any(_has_phrase(q) for q in parsed.values()):
         posting_cols.append("pos_blob")
 
@@ -2262,17 +2265,18 @@ def search_many(
     )
 
 
-def scores(index, query_or_text, prune: bool = False) -> DataFrame:
+def scores(index, query_or_text) -> DataFrame:
     """ALL matching (doc_id, score) rows — no top-k cut.
 
     The full-scores surface behind joins, filter-then-rank flows
     (solr_api.solr_select applies fq filters on this before ordering), and
     function-query composition.  Same scorers as search(), same float32
-    contract; defaults to prune=False because every match must be emitted.
+    contract; always unpruned — every match must be emitted, so rank-cut
+    pruning (WAND/MaxScore) can never apply here.
     """
     q = (parse(query_or_text, analyzer=getattr(index, "analyzer", None))
          if isinstance(query_or_text, str) else query_or_text)
-    plan = make_plan(index, q, k=1, prune=prune)
+    plan = make_plan(index, q, k=1, prune=False)
     q = plan.query
     terms = sorted(query_terms(q))
     multis = query_multis(q)
@@ -2285,11 +2289,7 @@ def scores(index, query_or_text, prune: bool = False) -> DataFrame:
     hits = _columnar_hits(index, plan)
     if hits is not None:
         return hits
-    posting_cols = [
-        "seg", "term", "first_doc", "df", "max_tf", "min_len", "docs_blob",
-        "tfs_blob", "norms_blob", "block_max_doc", "block_max_tf",
-        "block_min_len", "block_doc_boff", "block_tf_boff",
-    ]
+    posting_cols = list(POSTING_COLS)
     if _has_phrase(q):
         posting_cols.append("pos_blob")
     rows = (
@@ -2663,6 +2663,8 @@ def _has_phrase(q) -> bool:
         return True
     if isinstance(q, BooleanQuery):
         return any(_has_phrase(s) for _, s in q.clauses)
+    if isinstance(q, DisjunctionMaxQuery):
+        return any(_has_phrase(s) for s in q.disjuncts)
     if isinstance(q, BoostingQuery):
         return _has_phrase(q.match) or _has_phrase(q.context)
     return False
