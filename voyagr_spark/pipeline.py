@@ -105,6 +105,12 @@ def simhash_near_dup_pairs(
     identical-signature clusters (every non-min member still pairs with the
     min at hamming 0).
     """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole guarantee: "
+            f"with {SIMHASH_BANDS} bands only hamming < {SIMHASH_BANDS} "
+            "ensures a shared band; raise SIMHASH_BANDS or lower the radius"
+        )
     from pyspark.sql import Window
 
     bands = []
@@ -201,6 +207,8 @@ def embedding_lsh_signatures(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             pdf = b.to_pandas()
+            if not len(pdf):
+                continue
             mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
             proj = mat @ planes  # (n, nbits)
             bits = (proj > 0).astype(np.uint64)
@@ -761,7 +769,7 @@ def pq_oracle_sql(
         cn2 = (books[j] ** 2).sum(axis=1)
         for c in range(ksub):
             vals = ", ".join(f"{float(v)!r}::DOUBLE" for v in books[j, c])
-            cent_rows.append(f"({j}, {c}, {cn2[c]!r}::DOUBLE, {vals})")
+            cent_rows.append(f"({j}, {c}, {float(cn2[c])!r}::DOUBLE, {vals})")
     vcols = ", ".join(f"v{i}" for i in range(1, dsub + 1))
     lut_rows = ", ".join(
         f"({j}, {c}, {float(lut[j, c])!r}::DOUBLE)"

@@ -773,6 +773,12 @@ def free_text_suggest(
         sel = cand.select("last_tok")
         seen = sel if seen is None else seen.unionByName(sel)
 
+    if not results:
+        # nothing predictable at this order (e.g. grams=1 with a
+        # trailing-space key skips every n>1 order and the unigram
+        # path): an empty suggestion frame, not an IndexError
+        return spark.createDataFrame(
+            [], "rank long, suggestion string, score double")
     allr = results[0]
     for r in results[1:]:
         allr = allr.unionByName(r)
@@ -1098,7 +1104,13 @@ SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1, "zh": 0.1}
 
 
 def _rate_hex(rate: float) -> str:
-    return format(max(0, min(65536, int(rate * 65536))), "04x")
+    """4-hex-char keep threshold; rate >= 1.0 returns 'g', which sorts
+    AFTER every hex string so the stratum keeps all docs (the naive
+    format(65536,'04x') = '10000' is 5 chars and lexicographically
+    BELOW ' 1abc'..'ffff', silently dropping ~15/16 of a rate-1.0
+    stratum)."""
+    n = max(0, min(65536, int(rate * 65536)))
+    return "g" if n >= 65536 else format(n, "04x")
 
 
 def stratified_sample(spark, sf_dir,
@@ -1133,26 +1145,34 @@ def pack_sequences(spark, sf_dir, capacity: int = 2048) -> DataFrame:
 
     Scale shape: a DISTRIBUTED PREFIX SUM, never a global window — (1)
     per-range partial sums (one small agg), (2) driver-side cumsum over
-    the partition sums (#partitions rows), (3) partition-local running
-    sums offset by the broadcast partials.  The corpus-order scan is a
-    range partition on doc_id, so step 3 is one partition-local window
-    with no shuffle beyond the range partitioning itself."""
+    the range sums (#ranges rows), (3) range-local running sums offset
+    by the broadcast partials.  Ranges are a PURE FUNCTION of doc_id
+    (uniform split of [min, max] — dense ids, so balanced), NOT
+    spark_partition_id: the collected partials stay consistent with the
+    final scan under any recomputation/eviction, so nothing needs to be
+    persisted and the result is deterministic at every cluster size."""
     toks = (
         token_counts(spark, sf_dir)
         .select("doc_id", F.col("n_ws").alias("n_tokens"))
     )
     nparts = max(2, int(spark.sparkContext.defaultParallelism))
-    ranged = toks.repartitionByRange(nparts, "doc_id").withColumn(
-        "part", F.spark_partition_id()
+    mm = toks.agg(F.min("doc_id").alias("mn"),
+                  F.max("doc_id").alias("mx")).collect()[0]
+    if mm["mn"] is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, pack_id long")
+    mn, span = int(mm["mn"]), max(1, int(mm["mx"]) - int(mm["mn"]) + 1)
+    part_expr = F.least(
+        F.lit(nparts - 1),
+        ((F.col("doc_id") - F.lit(mn)) * nparts / F.lit(span)).cast("int"),
     )
-    ranged = ranged.persist()
+    ranged = toks.withColumn("part", part_expr)
     part_sums = (
-        ranged.groupBy("part").agg(
-            F.sum("n_tokens").alias("psum"), F.min("doc_id").alias("lo"))
-        .orderBy("lo")
+        ranged.groupBy("part").agg(F.sum("n_tokens").alias("psum"))
+        .orderBy("part")  # part is monotone in doc_id by construction
         .collect()
     )
-    # driver cumsum over #partitions rows (tiny), broadcast back as offsets
+    # driver cumsum over #ranges rows (tiny), broadcast back as offsets
     off, offsets = 0, {}
     for r in part_sums:
         offsets[r["part"]] = off
@@ -1181,13 +1201,21 @@ def facet_query(spark, sf_dir, queries: dict[str, str]) -> DataFrame:
     arbitrary sub-query over the corpus; here each named query is a term,
     counted in one scan (no per-facet jobs)."""
     tf = terms_tf(spark, sf_dir)
-    mapping = F.create_map(
-        *[x for name, t in sorted(queries.items())
-          for x in (F.lit(t), F.lit(name))]
-    )
+    # term -> [facet names]: Solr allows several facet.query params over
+    # the same sub-query, so this must not be a map keyed by term (a
+    # duplicate create_map key raises under mapKeyDedupPolicy=EXCEPTION);
+    # each name gets its own (identical) count via one explode
+    names_for_term: dict[str, list] = {}
+    for name, t in sorted(queries.items()):
+        names_for_term.setdefault(t, []).append(name)
+    arr = None
+    for t, names in sorted(names_for_term.items()):
+        cond = F.col("term") == F.lit(t)
+        a = F.array(*[F.lit(n) for n in names])
+        arr = F.when(cond, a) if arr is None else arr.when(cond, a)
     return (
-        tf.filter(F.col("term").isin(sorted(queries.values())))
-        .select(mapping[F.col("term")].alias("facet"), "doc_id")
+        tf.filter(F.col("term").isin(sorted(names_for_term)))
+        .select(F.explode(arr).alias("facet"), "doc_id")
         .groupBy("facet")
         .agg(F.countDistinct("doc_id").alias("n"))
         .orderBy("facet")
@@ -1474,10 +1502,12 @@ def semantic_dedup(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
         F.col("vec_id").cast("long").alias("vec_id"))
     labels = ids.withColumn("cluster", F.col("vec_id"))
     sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # min-label propagation (same loop shape as dedup_clusters)
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()  # the O(candidates) verify join runs ONCE, not per round
+    # min-label propagation (same loop shape + contract as dedup_clusters)
+    max_rounds = 20
     prev = None
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr = (
             sym.join(labels, sym.a == labels.vec_id)
             .select(F.col("b").alias("vec_id"), "cluster")
@@ -1491,6 +1521,13 @@ def semantic_dedup(spark, sf_dir, threshold: float = 0.4) -> DataFrame:
         if s == prev:
             break
         prev = s
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"semantic_dedup did not converge in {max_rounds} rounds — "
+            "pathological chain graph; switch to large-star/small-star"
+        )
+    sym.unpersist()
     return labels.select(
         "vec_id", "cluster",
         (F.col("vec_id") == F.col("cluster")).alias("keep"),
@@ -1932,7 +1969,14 @@ def collate_spelling(index, source: DataFrame, qtext: str) -> DataFrame:
         analyzed = (an.analyze_text(w) if an is not None
                     else __import__("voyagr_spark.analysis",
                                     fromlist=["analyze_text"]).analyze_text(w))[0]
-        t = analyzed[0] if analyzed else w.lower()
+        if not analyzed:
+            # the analyzer filtered the word away (stopword, length,
+            # keep-word...): it is not misspelled, it is simply not
+            # indexed — SpellCheckCollator only rewrites terms the
+            # checker flagged, so pass it through untouched
+            fixed.append(w)
+            continue
+        t = analyzed[0]
         df = index.term_dfs([t]).get(t, 0)
         if df > 0:
             fixed.append(w)
