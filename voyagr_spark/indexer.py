@@ -407,11 +407,15 @@ def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
         buf: list[pa.RecordBatch] = []
         buffered = 0
 
-        def flush():
-            nonlocal next_id, flush_no, buf, buffered
-            if not buf:
-                return None
-            tbl = pa.Table.from_batches(buf)
+        def emit(tbl: pa.Table):
+            # EXACTLY docs_per_segment rows per flush (remainder stays
+            # buffered): segment count per partition is then the pure
+            # function ceil(count / docs_per_segment) of the row count —
+            # the invariant append_batch's predicted seg ids rely on (an
+            # overshooting Arrow batch used to flush the whole buffer,
+            # yielding FEWER real segments than predicted and phantom seg
+            # ids in live_segments/manifest)
+            nonlocal next_id, flush_no
             pdf = tbl.to_pandas()
             n = len(pdf)
             doc_ids = np.arange(next_id, next_id + n, dtype=np.int64)
@@ -420,19 +424,19 @@ def make_invert_fn(offsets: dict[int, int], docs_per_segment: int,
                                want_offsets=want_offsets)
             next_id += n
             flush_no += 1
-            buf, buffered = [], 0
             return out
 
         for b in batches:
             buf.append(b)
             buffered += b.num_rows
-            if buffered >= docs_per_segment:
-                out = flush()
-                if out is not None:
-                    yield out
-        out = flush()
-        if out is not None:
-            yield out
+            while buffered >= docs_per_segment:
+                tbl = pa.Table.from_batches(buf)
+                yield emit(tbl.slice(0, docs_per_segment))
+                rest = tbl.slice(docs_per_segment)
+                buf = rest.to_batches() if rest.num_rows else []
+                buffered = rest.num_rows
+        if buffered:
+            yield emit(pa.Table.from_batches(buf))
 
     return invert_partition
 
@@ -539,6 +543,12 @@ def build_index(
             .parquet(str(seg_p))
         )
         ranged.unpersist()
+    if num_segments is None:
+        # resumed past pass 1+2 with the default: recover the original
+        # partitioning width from the checkpointed offsets map (one entry
+        # per range partition) — resume must not require the caller to
+        # re-pass num_segments
+        num_segments = max(1, len(json.loads(offsets_p.read_text())))
 
     # ---- pass 3: global stats + manifest (TermContext analog) --------------
     if not (resume and _done(stats_p) and meta_p.exists()):
@@ -649,12 +659,20 @@ class Index:
         """Deferred stats-dir GC (ADVICE r2, medium): appends never delete
         the previous stats lineage — a reader holding the old meta pointer
         keeps valid files until it reopens; each OPEN sweeps `term_stats*`
-        dirs that no live meta references."""
+        dirs that no live meta references.  Dirs whose epoch suffix is
+        ABOVE the published stream_epoch are an in-flight writer's delta
+        (written before its meta swap) and are never touched — opening a
+        reader must not race a concurrent append's publish."""
+        import re as _re
         import shutil
 
         live = set(self.stats_dirs())
+        epoch = int(self.meta.get("stream_epoch", 0))
         for p in self.dir.glob("term_stats*"):
             if p.is_dir() and p.name not in live:
+                m = _re.fullmatch(r"term_stats_[dv](\d+)", p.name)
+                if m and int(m.group(1)) > epoch:
+                    continue  # unpublished (future-epoch) delta
                 shutil.rmtree(p, ignore_errors=True)
 
     @property
@@ -672,8 +690,13 @@ class Index:
         d = self.meta.get("analyzer")
         return Analyzer.from_dict(d) if d else None
 
-    def reload_meta(self) -> None:
-        self.meta = json.loads((self.dir / "meta.json").read_text())
+    def invalidate_reader(self) -> None:
+        """Drop every cached listing/plan after a mutation published new
+        state (append/merge/delete/addIndexes) — a PINNED searcher unpins
+        and re-warms over the new lineage, so serving visibility always
+        matches the just-swapped meta (a pinned plan references the
+        pin-time file listing and would otherwise silently miss new
+        segments while the live filter excludes the replaced ones)."""
         was_pinned = getattr(self, "_pinned_df", None) is not None
         self.unpin()  # cached plan may reference replaced segment files
         self._postings_df = None  # new segment files may exist — re-list
@@ -683,6 +706,10 @@ class Index:
             # re-warm the searcher over the new lineage (lazy)
             self.pin(decoded=getattr(self, "_pin_decoded", True),
                      storage=getattr(self, "_pin_storage", None))
+
+    def reload_meta(self) -> None:
+        self.meta = json.loads((self.dir / "meta.json").read_text())
+        self.invalidate_reader()
 
     @property
     def live_segments(self) -> list[int] | None:

@@ -40,8 +40,6 @@ from .codec import (
     CODEC_VERSION,
     decode_postings,
     encode_postings,
-    varint_decode,
-    varint_encode,
 )
 from .indexer import SEGMENT_SCHEMA, Index, _append_manifest
 from .smallfloat import NORM_TABLE
@@ -106,8 +104,16 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
         from .codec import decode_positions_flat
 
         flat, doc_idx = decode_positions_flat(r["pos_blob"], t)
-        pay = (np.frombuffer(r["pay_blob"], dtype="<f4")
-               if has_pay else None)
+        # per-row guard (not just group-level): a group can mix
+        # payload-bearing rows with null-pay rows (pre-payload segments
+        # merging with post-payload ones); missing payloads fill 0.0,
+        # keeping the stream 1:1 with positions
+        if has_pay:
+            pay = (np.frombuffer(r["pay_blob"], dtype="<f4")
+                   if r["pay_blob"] is not None
+                   else np.zeros(int(t.sum()), dtype="<f4"))
+        else:
+            pay = None
         nb = np.frombuffer(r["norms_blob"], dtype=np.uint8)
         deleted = None
         if tombstones is not None and d.size:
@@ -144,22 +150,39 @@ def _merge_term(pdf: pd.DataFrame, new_seg: int,
     docs = np.concatenate(docs)
     tfs = np.concatenate(tfs)
     norms = np.concatenate(norms)
-    # source ranges are disjoint and rows sorted by first_doc => already sorted
-    assert np.all(docs[1:] > docs[:-1]), "segment doc ranges overlap"
-    docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(docs, tfs)
-    # positions: vectorized segmented re-delta over the concatenated flat
-    # position stream (no per-doc Python loop — the hot-term merge path)
-    from .codec import encode_positions_flat
-
     flat_all = (
         np.concatenate([f for f, _ in pos_chunks])
         if pos_chunks
         else np.zeros(0, dtype=np.int64)
     )
+    pay_all = np.concatenate(pay_chunks) if pay_chunks else None
+    # first_doc order does NOT imply doc order once MERGED segments
+    # re-merge: a prior merge's output spans non-contiguous id ranges, so
+    # a later tier can interleave it with a segment from inside its span.
+    # Permute doc-major when needed — a segmented gather over the flat
+    # position/payload streams, no per-doc Python loop.
+    if docs.size > 1 and not np.all(docs[1:] > docs[:-1]):
+        order = np.argsort(docs, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        t_ord = tfs[order]
+        out_starts = np.concatenate(([0], np.cumsum(t_ord)[:-1]))
+        within = (np.arange(int(tfs.sum()), dtype=np.int64)
+                  - np.repeat(out_starts, t_ord))
+        src = np.repeat(starts[order], t_ord) + within
+        flat_all = flat_all[src]
+        if pay_all is not None:
+            pay_all = pay_all[src]
+        docs, tfs, norms = docs[order], t_ord, norms[order]
+    assert np.all(docs[1:] > docs[:-1]), "duplicate doc id across segments"
+    docs_blob, tfs_blob, bmax_doc, bmax_tf, dboff, tboff = encode_postings(docs, tfs)
+    # positions: vectorized segmented re-delta over the concatenated flat
+    # position stream (no per-doc Python loop — the hot-term merge path)
+    from .codec import encode_positions_flat
+
     pos_blob = encode_positions_flat(flat_all, tfs)
     pay_blob = (
-        np.ascontiguousarray(np.concatenate(pay_chunks), dtype="<f4").tobytes()
-        if pay_chunks else None
+        np.ascontiguousarray(pay_all, dtype="<f4").tobytes()
+        if pay_all is not None else None
     )
     lens = NORM_TABLE[norms]
     nblocks = (docs.size + BLOCK_SIZE - 1) // BLOCK_SIZE
@@ -248,8 +271,7 @@ def merge_segments(
     tmp = index.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")
-    index._postings_df = None  # new files under segments/ — drop cached listing
-    index._df_cache = None  # live-segment swap can change visible stats
+    index.invalidate_reader()  # new files + live-segment swap; re-pins
     _append_manifest(
         index.spark,
         index.dir / "manifest",
@@ -367,18 +389,31 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
         src_live if src_live is not None else
         [r["seg"] for r in src.postings().select("seg").distinct().collect()]
     )
+    # doc rows are append-only and NEVER rewritten by merge (live_segments
+    # tracks POSTING segments only — checkindex documents the same), so a
+    # merged source still carries doc rows under its original seg ids;
+    # the seg-id remap must cover the union or those docs' stored fields
+    # and norms would be dropped on copy
+    doc_segs = sorted(
+        r["seg"] for r in spark.read.parquet(
+            str(src.dir / "segments" / "kind=doc")
+        ).select("seg").distinct().collect()
+    )
+    all_src_segs = sorted(set(src_segs) | set(doc_segs))
     pid_base = max(
-        STREAM_PARTITION_BASE + epoch * max(len(src_segs), 1) * 2,
+        STREAM_PARTITION_BASE + epoch * max(len(all_src_segs), 1) * 2,
         int(dest.meta.get("pid_hwm", 0)),
     )
-    seg_map = {s: (pid_base + i) << 20 for i, s in enumerate(src_segs)}
+    seg_map = {s: (pid_base + i) << 20 for i, s in enumerate(all_src_segs)}
 
     def _remap_seg(seg_np):
         idx = np.searchsorted(src_seg_arr, seg_np)
         return new_seg_arr[idx]
 
-    src_seg_arr = np.asarray(src_segs, dtype=np.int64)
-    new_seg_arr = np.asarray([seg_map[s] for s in src_segs], dtype=np.int64)
+    src_seg_arr = np.asarray(all_src_segs, dtype=np.int64)
+    new_seg_arr = np.asarray(
+        [seg_map[s] for s in all_src_segs], dtype=np.int64)
+    post_keep_arr = np.asarray(src_segs, dtype=np.int64)
 
     def post_kernel(batches):
         import pyarrow as pa
@@ -389,7 +424,7 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
             names = b.schema.names
             col = {nm: b.column(i) for i, nm in enumerate(names)}
             seg_np = col["seg"].to_numpy(zero_copy_only=False)
-            keep = np.isin(seg_np, src_seg_arr)
+            keep = np.isin(seg_np, post_keep_arr)
             if not keep.all():
                 b = b.filter(pa.array(keep))
                 if b.num_rows == 0:
@@ -440,13 +475,8 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
             names = b.schema.names
             col = {nm: b.column(i) for i, nm in enumerate(names)}
             seg_np = col["seg"].to_numpy(zero_copy_only=False)
-            keep = np.isin(seg_np, src_seg_arr)
-            if not keep.all():
-                b = b.filter(pa.array(keep))
-                if b.num_rows == 0:
-                    continue
-                col = {nm: b.column(i) for i, nm in enumerate(names)}
-                seg_np = col["seg"].to_numpy(zero_copy_only=False)
+            # no live filter here: every doc row copies (append-only;
+            # a merged-away posting segment's docs are still live docs)
             out = {
                 **{nm: col[nm] for nm in names},
                 "seg": pa.array(_remap_seg(seg_np), type=pa.int64()),
@@ -467,9 +497,7 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
             .option("parquet.block.size", str(4 * 1024 * 1024))
             .parquet(str(seg_dir / f"kind={kind}"))
         )
-    dest._postings_df = None
-    dest._stats_df = None
-    dest._df_cache = None
+    dest.invalidate_reader()  # new files under segments/; re-pins
 
     # stats: the source's already-aggregated table IS the delta
     delta_rel = f"term_stats_d{epoch + 1}"
@@ -486,7 +514,7 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
     dest.meta["sum_total_term_freq"] = (
         dest.sum_total_term_freq + src.sum_total_term_freq)
     dest.meta["stream_epoch"] = epoch + 1
-    dest.meta["pid_hwm"] = pid_base + max(len(src_segs), 1)
+    dest.meta["pid_hwm"] = pid_base + max(len(all_src_segs), 1)
     dest.meta.pop("index_sort", None)  # appended ids break the global sort
     dest.meta.pop("stats_dir", None)
     dest.meta["stats_dirs"] = stats_dirs

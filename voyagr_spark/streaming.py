@@ -32,6 +32,7 @@ STATS_COMPACT_AFTER = 4  # max stats delta dirs before compaction to one base
 def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
                  docs_per_segment: int = 100_000,
                  tlog_version: int | None = None,
+                 stream_batch_id: int | None = None,
                  allow_blocks: bool = False) -> list[int]:
     """Index a micro-batch into new segments; returns the new segment ids.
 
@@ -101,6 +102,8 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     index._postings_df = None  # new files under segments/ — drop cached listing
     index._stats_df = None
     index._df_cache = None
+    # NOTE: the full invalidate_reader() (pin re-warm) runs after the meta
+    # swap below — the new segments only become VISIBLE at the swap
 
     # seg ids are a pure function of (pid_base, counts, flush size): no scan
     new_segs = [
@@ -177,6 +180,14 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
         index.meta["tlog_applied"] = max(
             int(index.meta.get("tlog_applied", 0)), int(tlog_version)
         )
+    if stream_batch_id is not None:
+        # the streaming analog (foreachBatch batch_id watermark) — a
+        # SEPARATE key: tlog versions are their own monotone counter and
+        # must not collide with Structured Streaming's 0-based batch ids
+        index.meta["stream_batch_applied"] = max(
+            int(index.meta.get("stream_batch_applied", -1)),
+            int(stream_batch_id),
+        )
     index.meta.pop("stats_dir", None)  # legacy single-pointer form
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
@@ -189,7 +200,8 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     tmp = index.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(index.meta))
     os.replace(tmp, index.dir / "meta.json")  # atomic publish (reopen point)
-    index._stats_df = None  # meta pointer moved
+    index.invalidate_reader()  # meta pointer moved; a pinned searcher
+    # re-warms over the new lineage so the batch is immediately visible
     _append_manifest(
         index.spark, index.dir / "manifest", f"append_epoch_{epoch}",
         [(s, -1, 0) for s in new_segs], 0.0,
@@ -218,12 +230,21 @@ def upsert_batch(index: Index, docs: DataFrame, num_partitions: int = 4) -> list
 
 def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
                   num_partitions: int = 4):
-    """foreachBatch writer: each micro-batch becomes new published segments."""
+    """foreachBatch writer: each micro-batch becomes new published segments.
+
+    Exactly-once under replay: foreachBatch re-delivers a micro-batch when
+    the driver dies between the append's meta swap and the streaming
+    checkpoint commit; the batch_id rides append_batch's stream_batch_id
+    so the already-applied batch is skipped instead of indexed twice (the
+    same swap that publishes the segments records the watermark)."""
 
     def handle(batch_df: DataFrame, batch_id: int):
+        if int(batch_id) <= int(index.meta.get("stream_batch_applied", -1)):
+            return  # replayed batch: the index already holds it
         if batch_df.isEmpty():
             return
-        append_batch(index, batch_df, num_partitions=num_partitions)
+        append_batch(index, batch_df, num_partitions=num_partitions,
+                     stream_batch_id=int(batch_id))
 
     return (
         stream_df.writeStream.foreachBatch(handle)

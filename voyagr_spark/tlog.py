@@ -78,7 +78,7 @@ def log_batch(index: Index, payload: DataFrame, op: str = "add",
     The payload parquet lands first; `entry.json` (tmp+rename) commits the
     entry — recovery ignores payload dirs without it, exactly as a torn
     tlog record past the last fsync is ignored."""
-    if op == "add":
+    if op in ("add", "upsert"):
         payload = payload.select(*_ADD_COLS)
     elif op == "delete_keys":
         payload = payload.select(*_KEY_COLS)
@@ -112,6 +112,22 @@ def durable_delete(index: Index, keys: DataFrame,
     v = log_batch(index, keys, op="delete_keys",
                   num_partitions=num_partitions)
     return index.delete_by_keys(keys, tlog_version=v)
+
+
+def durable_upsert(index: Index, docs: DataFrame,
+                   num_partitions: int = 4) -> list[int]:
+    """Log-then-apply updateDocument (delete-by-key + add) under ONE
+    version.  `upsert_batch` alone takes two independent meta swaps, so a
+    crash between them loses the new copies; logging first closes that
+    window: only the FINAL append's swap marks the version applied (the
+    tombstone swap is unversioned), so replay after any crash point
+    re-runs the idempotent delete and lands the add."""
+    v = log_batch(index, docs, op="upsert", num_partitions=num_partitions)
+    index.delete_by_keys(docs)
+    from .streaming import append_batch
+
+    return append_batch(index, docs, num_partitions=num_partitions,
+                        tlog_version=v)
 
 
 def pending(index: Index) -> list[dict]:
@@ -166,6 +182,12 @@ def recover(index: Index) -> list[int]:
                 index._swap_meta()
                 index._postings_df = None
                 index._df_cache = None
+            append_batch(index, payload, num_partitions=nparts,
+                         tlog_version=v)
+        elif rec["op"] == "upsert":
+            # delete is idempotent and unversioned; the append's swap
+            # marks v applied (see durable_upsert)
+            index.delete_by_keys(payload)
             append_batch(index, payload, num_partitions=nparts,
                          tlog_version=v)
         elif rec["op"] == "delete_keys":
