@@ -829,9 +829,7 @@ class Index:
         df = getattr(self, "_pinned_df", None)
         if df is None:
             if getattr(self, "_postings_df", None) is None:
-                self._postings_df = self.spark.read.parquet(
-                    str(self.dir / "segments" / "kind=posting")
-                )
+                self._postings_df = self._read_kind("posting")
             df = self._postings_df
         live = self.live_segments
         if live is not None:
@@ -847,10 +845,17 @@ class Index:
             df = df.filter(~((F.col("seg") >= int(lo)) & (F.col("seg") < int(hi))))
         return df
 
+    def _read_kind(self, kind: str) -> DataFrame:
+        """Typed read of one kind= dataset; a FILELESS dir (a valid empty
+        shard from split_index) reads as a typed empty frame instead of
+        UNABLE_TO_INFER_SCHEMA."""
+        p = self.dir / "segments" / f"kind={kind}"
+        if p.is_dir() and not any(p.glob("*.parquet")):
+            return self.spark.createDataFrame([], SEGMENT_SCHEMA).drop("kind")
+        return self.spark.read.parquet(str(p))
+
     def docstats(self) -> DataFrame:
-        return self._drop_dead_segs(
-            self.spark.read.parquet(str(self.dir / "segments" / "kind=doc"))
-        )
+        return self._drop_dead_segs(self._read_kind("doc"))
 
     def docmap(self) -> DataFrame:
         ds = self.docstats()
@@ -859,6 +864,21 @@ class Index:
         if "nchars" in ds.columns:  # absent on pre-index-sort indexes
             cols.append("nchars")
         return ds.select(*cols)
+
+    def live_docmap(self) -> DataFrame:
+        """docmap minus tombstoned docs — the liveDocs-filtered view every
+        MATCH-ALL-style consumer (facet domains, duplicate-filter masters,
+        elevation existence) must use; the scored paths get the same
+        filter from _apply_live_docs.  One anti join against the tiny
+        deletes dataset; no deletes -> the plain docmap, zero cost."""
+        dm = self.docmap()
+        ref = self.tombstone_ref()
+        if ref is None:
+            return dm
+        dead = self.spark.read.parquet(ref[0]).select("doc_id").distinct()
+        # no forced broadcast: deletes are usually tiny (AQE broadcasts
+        # them) but CAN be corpus-scale after a mass delete
+        return dm.join(dead, "doc_id", "left_anti")
 
     @property
     def index_sort(self) -> dict | None:

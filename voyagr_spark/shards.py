@@ -232,8 +232,21 @@ def split_index(index: Index, out_dirs: list[str]) -> list[Index]:
                 os.rename(src, seg_dir / f"kind={kind}")
             else:
                 (seg_dir / f"kind={kind}").mkdir()
-        # per-shard global stats — same pass-3 aggregation as build_index
-        postings = spark.read.parquet(str(seg_dir / "kind=posting"))
+        # per-shard global stats — same pass-3 aggregation as build_index.
+        # A shard can legitimately receive ZERO rows of a kind (fewer live
+        # docs than shards); spark.read.parquet on a fileless dir raises
+        # UNABLE_TO_INFER_SCHEMA mid-split, so empty dirs read as typed
+        # empty frames and the shard comes out valid-but-empty
+        def _read_kind(kind: str):
+            p = seg_dir / f"kind={kind}"
+            if any(p.glob("*.parquet")):
+                return spark.read.parquet(str(p))
+            from .indexer import SEGMENT_SCHEMA as _SS
+
+            empty = spark.createDataFrame([], _SS)
+            return empty.drop("kind")
+
+        postings = _read_kind("posting")
         num_partitions = int(src_meta.get("num_partitions", 4))
         (
             postings.groupBy("term")
@@ -248,7 +261,7 @@ def split_index(index: Index, out_dirs: list[str]) -> list[Index]:
             .write.mode("overwrite")
             .parquet(str(Path(out) / "term_stats"))
         )
-        docstats = spark.read.parquet(str(seg_dir / "kind=doc"))
+        docstats = _read_kind("doc")
         seg_rows = (
             docstats.groupBy("seg")
             .agg(

@@ -60,7 +60,11 @@ def elevate(index, qtext: str, elevate_ids: list[int],
     k-row driver-side splice — the elevation sets are config-sized."""
     from .search import search
 
-    elevate_ids = [int(i) for i in elevate_ids]
+    # first occurrence wins (QueryElevationComponent keeps config order;
+    # a duplicate id would fan out the join and duplicate the hit row)
+    seen: set = set()
+    elevate_ids = [int(i) for i in elevate_ids
+                   if int(i) not in seen and not seen.add(int(i))]
     exclude_set = {int(i) for i in exclude_ids}
     n_extra = len(elevate_ids) + len(exclude_set)
     base = search(index, qtext, k=k + n_extra)
@@ -76,8 +80,11 @@ def elevate(index, qtext: str, elevate_ids: list[int],
     )
     if exclude_set:
         hits = hits.filter(~F.col("doc_id").isin(sorted(exclude_set)))
-    # elevated docs must exist in the corpus (dense ids < max_doc)
-    hits = hits.filter(F.col("doc_id") < index.max_doc)
+    # elevated docs must exist AND be live — a doc_id < max_doc check
+    # alone resurrects tombstoned docs (the reference only surfaces
+    # elevated ids that still exist in the index)
+    hits = hits.join(
+        index.live_docmap().select("doc_id"), "doc_id", "semi")
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("pri"), F.desc("score"), F.asc("doc_id"))
@@ -345,7 +352,9 @@ def duplicate_filter(
     if field not in _DOCMAP_FIELDS:
         raise ValueError(f"unknown field {field!r}")
     agg = F.min("doc_id") if keep == "first" else F.max("doc_id")
-    masters = index.docmap().groupBy(field).agg(agg.alias("doc_id"))
+    # masters over LIVE docs only (DuplicateFilter honors liveDocs):
+    # otherwise deleting a group's master hides the whole group
+    masters = index.live_docmap().groupBy(field).agg(agg.alias("doc_id"))
     res = scores(index, q).join(masters.select("doc_id"), "doc_id", "semi")
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -404,13 +413,24 @@ def cursor_page(
                 f"{len(clauses)} clauses"
             )
         # strictly-after predicate on the lexicographic total order:
-        # OR_i ( AND_{j<i} c_j == v_j ) AND (c_i > v_i | c_i < v_i)
+        # OR_i ( AND_{j<i} c_j == v_j ) AND (c_i strictly-after v_i).
+        # NULL-aware: Spark orders NULLs FIRST under asc and LAST under
+        # desc, so a NULL cursor value must not poison the comparison (a
+        # plain col > lit(None) is NULL for every row and silently
+        # truncates pagination) — equality uses eqNullSafe and the
+        # strict step encodes the null ordering explicitly
+        def _after(col, v, asc):
+            if v is None:
+                # asc: non-null sorts after null; desc: nothing does
+                return col.isNotNull() if asc else F.lit(False)
+            return (col > F.lit(v)) if asc else \
+                ((col < F.lit(v)) | col.isNull())
+
         pred = None
         for i, (field, asc) in enumerate(clauses):
-            col = F.col(field)
-            term = col > F.lit(vals[i]) if asc else col < F.lit(vals[i])
+            term = _after(F.col(field), vals[i], asc)
             for pf, pv in zip(fields[:i], vals[:i]):
-                term = term & (F.col(pf) == F.lit(pv))
+                term = term & F.col(pf).eqNullSafe(F.lit(pv))
             pred = term if pred is None else (pred | term)
         joined = joined.filter(pred)
 
@@ -679,8 +699,10 @@ def facet_domain(
     docmap for q=None / *:*) filtered by fq through the filterCache —
     faceted browsing re-sends the SAME fq set with every drill, which is
     exactly the workload the cache exists for.  Feed the result to
-    `jsonfacet.json_facet`."""
-    dm = index.docmap()
+    `jsonfacet.json_facet`.  The match-all domain is the LIVE docmap —
+    counting tombstoned docs would diverge from the scored domains,
+    which exclude them via _apply_live_docs."""
+    dm = index.live_docmap()
     if q is not None and q.strip() not in ("", "*:*"):
         dm = dm.join(scores(index, q).select("doc_id"), "doc_id", "semi")
     if fq:
@@ -709,6 +731,11 @@ def _fq_predicate(fq: str):
             return F.col(fld).isin(vals)
         if name == "hash":
             return _hash_qparser_predicate(params)
+        if name == "frange":
+            # a pure docmap-field predicate (field vars validated inside),
+            # so EVERY fq consumer accepts it — /select, /export, cursor
+            # paging, facet domains — and it rides the filterCache
+            return _frange_predicate(lp)
         raise ValueError(f"unsupported fq query parser {name!r}")
     m = _FQ_RE.match(fq.strip())
     if not m:
@@ -809,19 +836,20 @@ def solr_select(
                 collapse = dict(p.split("=", 1)
                                 for p in lp.group(2).split())
                 continue
-            if lp and lp.group(1) == "frange":
-                joined = joined.filter(_frange_predicate(lp))
-                continue
             joined = apply_fq(index, joined, f_)
     if collapse is not None:
         joined = _apply_collapse(joined, collapse)
     if sort is None or sort.strip().lower() in ("score desc", "score"):
         ordered = joined.orderBy(F.desc("score"), F.asc("doc_id"))
     else:
-        field, _, direction = sort.strip().partition(" ")
-        d = direction.strip().lower() or "asc"
-        key = F.desc(field) if d == "desc" else F.asc(field)
-        ordered = joined.orderBy(key, F.asc("doc_id"))
+        # full multi-clause Solr sort syntax, validated — a malformed
+        # direction or a silently-dropped second clause must be loud,
+        # exactly like export()/cursor_page() (which share this parser)
+        keys = [
+            (F.col(f).asc() if asc else F.col(f).desc())
+            for f, asc in _parse_sort_clauses(sort)
+        ]
+        ordered = joined.orderBy(*keys, F.asc("doc_id"))
     paged = ordered.offset(start).limit(rows) if start else ordered.limit(rows)
     if fl:
         if isinstance(fl, str):
