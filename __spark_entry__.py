@@ -445,6 +445,97 @@ def _sql_phrase2(t1: str, t2: str) -> str:
   ) pw"""
 
 
+def _sloppy_sql(t1: str, t2: str, slop: int, k: int = 10) -> str:
+    """Two-term sloppy-phrase BM25 oracle (E10 — SloppyPhraseScorer.java:
+    92-128, BM25Similarity.java:72-74 slop factor 1/(distance+1)).
+
+    For two DISTINCT terms the greedy priority-queue walk degenerates to a
+    two-pointer state machine: the in-hand pp is the one with the smaller
+    adjusted position (tie -> smaller phrase offset, i.e. t1), each step
+    advances it, `end` tracks the max position seen across both, and a
+    match of length `ml` is scored fl(freq + fl(1/(ml+1))) when the
+    in-hand pp overtakes the other (`pos > next`) and once at exhaustion.
+    The walk runs as a recursive CTE over the per-doc sorted position
+    lists (bit-parity with sloppy.sloppy_phrase_freq verified over the
+    whole corpus at slop 1/2/4); the final score is the standard phrase
+    chain fl(fl(wv*freq)/fl(freq+cache)) with freq already float32 and
+    wv = fl(fl(idf1+idf2) * fl(k1+1))."""
+    base = _engine_base_sql().replace("\nWITH ", "\nWITH RECURSIVE ", 1)
+    return base + f"""
+        , spp AS (
+          SELECT doc_id,
+                 list(pos ORDER BY pos)
+                   FILTER (WHERE term = '{t1}') AS ap,
+                 list(pos - 1 ORDER BY pos)
+                   FILTER (WHERE term = '{t2}') AS bp
+          FROM tok WHERE term IN ('{t1}', '{t2}')
+          GROUP BY doc_id
+          HAVING count(*) FILTER (WHERE term = '{t1}') > 0
+             AND count(*) FILTER (WHERE term = '{t2}') > 0
+        ),
+        walk AS (
+          SELECT doc_id, ap, bp, 1 AS ia, 1 AS ib,
+                 CASE WHEN ap[1] <= bp[1] THEN 'a' ELSE 'b' END AS hand,
+                 greatest(ap[1], bp[1]) AS end_,
+                 greatest(ap[1], bp[1]) - least(ap[1], bp[1]) AS ml,
+                 CAST(0.0 AS FLOAT) AS freq,
+                 FALSE AS done
+          FROM spp
+          UNION ALL
+          SELECT doc_id, ap, bp,
+                 CASE WHEN exhausted OR hand = 'b' THEN ia
+                      ELSE ia + 1 END AS ia,
+                 CASE WHEN exhausted OR hand = 'a' THEN ib
+                      ELSE ib + 1 END AS ib,
+                 CASE WHEN exhausted THEN hand
+                      WHEN pos > other THEN
+                        (CASE WHEN hand = 'a' THEN 'b' ELSE 'a' END)
+                      ELSE hand END AS hand,
+                 CASE WHEN exhausted THEN end_
+                      ELSE greatest(end_, pos) END AS end_,
+                 CASE WHEN exhausted THEN ml
+                      WHEN pos > other THEN greatest(end_, pos) - other
+                      ELSE least(ml, greatest(end_, pos) - pos) END AS ml,
+                 CASE WHEN (exhausted OR pos > other) AND ml <= {slop}
+                      THEN CAST(freq + CAST(CAST(1.0 AS FLOAT)
+                             / CAST(ml + 1 AS FLOAT) AS FLOAT) AS FLOAT)
+                      ELSE freq END AS freq,
+                 exhausted AS done
+          FROM (
+            SELECT doc_id, ap, bp, ia, ib, hand, end_, ml, freq,
+                   CASE WHEN hand = 'a' THEN ia >= len(ap)
+                        ELSE ib >= len(bp) END AS exhausted,
+                   CASE WHEN hand = 'a' THEN ap[ia + 1]
+                        ELSE bp[ib + 1] END AS pos,
+                   CASE WHEN hand = 'a' THEN bp[ib]
+                        ELSE ap[ia] END AS other
+            FROM walk WHERE NOT done
+          )
+        ),
+        sloppy_freq AS (
+          SELECT doc_id, freq FROM walk WHERE done AND freq > 0
+        )
+        SELECT rank, doc_id, score FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+                   AS rank, doc_id, score
+          FROM (
+            SELECT sf.doc_id,
+                   CAST(CAST(pw.wv * sf.freq AS FLOAT)
+                        / CAST(sf.freq + qn.cache AS FLOAT) AS FLOAT)
+                     AS score
+            FROM sloppy_freq sf
+            JOIN qn ON sf.doc_id = qn.doc_id
+            CROSS JOIN (
+              SELECT CAST(CAST((SELECT idf FROM w WHERE term = '{t1}')
+                            + (SELECT idf FROM w WHERE term = '{t2}')
+                            AS FLOAT)
+                          * CAST(CAST(1.2 AS FLOAT) + CAST(1.0 AS FLOAT)
+                                 AS FLOAT) AS FLOAT) AS wv
+            ) pw
+          )
+        ) WHERE rank <= {k}"""
+
+
 _SQL_PHRASE = """
   SELECT ph.doc_id,
          CAST(CAST(pw.wv * CAST(ph.freq AS FLOAT) AS FLOAT)
@@ -859,7 +950,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # flagship pipeline ops so the hard driver-side signal gates the product
 # core; analysis/facet/dedup rows fill the remainder of the window and the
 # rest keep their registration order.
-_DRIVER_GATE_PRIORITY = (
+_PERMANENT_GATES = (
     # engine serving path (full index: codec + columnar scorer, float32)
     "engine_topk_hot", "engine_topk_and", "engine_topk_or",
     "engine_topk_phrase", "engine_topk_grouped", "engine_topk_boost",
@@ -874,15 +965,35 @@ _DRIVER_GATE_PRIORITY = (
     "engine_sharded_or", "engine_sharded_phrase",
     # flagship pipeline ops
     "dedup_pipeline", "ann_ivf_topk",
-    # relational double-precision core: analysis, stats, BM25, booleans
-    "tokenize_tf", "doclen", "term_stats", "collection_stats",
-    "bm25_term_hot", "bm25_term_rare", "bm25_term_absent",
-    "bool_and", "bool_or", "bool_not", "min_should_match",
-    "phrase_freq", "topk_term",
-    # facets / grouping / dedup signatures
-    "facet_lang", "facet_range_nchars", "facet_pivot", "json_facet",
-    "stats_full", "group_topk", "dedup_exact", "minhash_signature",
 )
+
+# Round-5 rotation (VERDICT r4 next #2): the permanent core keeps its
+# driver record every round; the remaining window slots rotate through
+# the entry families that have only ever had local-mirror records, so by
+# ~r6 every gate family earns at least one driver-grade record.  Rounds
+# r1-r4 driver-gated the relational core / facets / signatures rows now
+# rotated out (tokenize_tf, doclen, term_stats, bm25_*, bool_*, facet_*,
+# stats_full, group_topk, dedup_exact, minhash_signature, ...).
+_ROTATING_GATES = (
+    # new oracle gates this round (mix-msm semantics fix + sloppy phrase)
+    "engine_mm_mix", "engine_sloppy", "engine_sloppy2",
+    # spans / surround family (positional SQL oracles)
+    "engine_span_near", "engine_span_or", "engine_span_first",
+    "engine_span_not",
+    # non-default similarities (Classic TF-IDF, LM, DFR, IB)
+    "engine_classic_term", "engine_classic_or", "engine_classic_and",
+    "engine_lmd_term", "engine_lmjm_or", "engine_dfr_term",
+    "engine_ib_term",
+    # LTR rescoring
+    "engine_ltr_linear", "engine_ltr_trees",
+    # block join / payloads
+    "engine_block_join_max", "engine_block_join_total",
+    "engine_payload_max", "engine_payload_sum",
+    # tuple streams + local-param query parsers
+    "tuple_rank", "engine_fq_qparsers",
+)
+
+_DRIVER_GATE_PRIORITY = _PERMANENT_GATES + _ROTATING_GATES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1117,7 +1228,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # E7 ReqOptSumScorer: MUST hot + SHOULD rare (optional score added
         # where aligned); E6 ReqExclScorer: hot minus rare, score untouched
         "engine_must_should": _engine_search_ranked(f"+{_HOT} {_RARE}", 10),
+        # MUST+SHOULD with minShouldMatch>0: msm FILTERS in a mix — the
+        # doc must match the required clause AND >= 2 of the 3 optionals
+        # (ConjunctionScorer(req, opt), BooleanWeight.java:326-342)
+        "engine_mm_mix": _engine_mm_mix,
         "engine_not": _engine_search_ranked(f"{_HOT} -{_RARE}", 10),
+        # E10 sloppy phrase ("fast key"~N): greedy SloppyPhraseScorer walk
+        # (SloppyPhraseScorer.java:92-128), freq = float32 sum of
+        # 1/(matchLength+1), BM25 over the summed-idf phrase weight
+        "engine_sloppy": _engine_search_ranked(
+            f'"{_OR3[0]} {_OR3[1]}"~1', 10),
+        "engine_sloppy2": _engine_search_ranked(
+            f'"{_OR3[0]} {_OR3[1]}"~2', 10),
         # S3/E14 delete + live-docs: tombstoned docs excluded from results
         # while BM25 stats stay stale until merge (Lucene semantics) — the
         # oracle keeps full-corpus stats and only filters the deleted ids
@@ -3183,6 +3305,30 @@ def _engine_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_mm_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST hot + (fast key vector) with minShouldMatch=2: in a mix,
+    msm>0 builds ConjunctionScorer(req, opt) — the doc must match the
+    required clause AND >= 2 optionals (BooleanWeight.java:326-342, opt()
+    wrapping MinShouldMatchSumScorer); all matching optional scores still
+    sum in clause order after the required score."""
+    from pyspark.sql import Window
+
+    from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
+    from voyagr_spark.search import search
+
+    idx = _engine_index(spark, sf_dir)
+    q = BooleanQuery(
+        ((MUST, TermQuery(_HOT)),)
+        + tuple((SHOULD, TermQuery(t)) for t in _OR3),
+        min_should_match=2,
+    )
+    res = search(idx, q, k=10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"), "doc_id", "score"
+    )
+
+
 def _knn_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN classification of the MLT seed doc by lang (class, score)."""
     from voyagr_spark.classify import knn_classify
@@ -4146,6 +4292,26 @@ def oracle_sql() -> dict[str, str]:
                    AS score
           FROM ({_SQL_TERM.format(t=_HOT)}) h
           LEFT JOIN ({_SQL_TERM.format(t=_RARE)}) r USING (doc_id)"""),
+        # mix + msm=2: required term AND >= 2 of the 3 optionals
+        # (ConjunctionScorer(req, MinShouldMatchSumScorer) — msm filters);
+        # score folds MUST-first then optionals in clause order, float32
+        # per addition, absent optionals adding exact +0.0f
+        "engine_mm_mix": _engine_topk_sql(f"""
+          SELECT h.doc_id,
+                 CAST(CAST(CAST(h.score
+                       + COALESCE(s0.score, CAST(0 AS FLOAT)) AS FLOAT)
+                       + COALESCE(s1.score, CAST(0 AS FLOAT)) AS FLOAT)
+                      + COALESCE(s2.score, CAST(0 AS FLOAT)) AS FLOAT)
+                   AS score
+          FROM ({_SQL_TERM.format(t=_HOT)}) h
+          JOIN (SELECT doc_id FROM fscored
+                WHERE term IN ('{_OR3[0]}', '{_OR3[1]}', '{_OR3[2]}')
+                GROUP BY doc_id HAVING count(*) >= 2) u USING (doc_id)
+          LEFT JOIN ({_SQL_TERM.format(t=_OR3[0])}) s0 USING (doc_id)
+          LEFT JOIN ({_SQL_TERM.format(t=_OR3[1])}) s1 USING (doc_id)
+          LEFT JOIN ({_SQL_TERM.format(t=_OR3[2])}) s2 USING (doc_id)"""),
+        "engine_sloppy": _sloppy_sql(_OR3[0], _OR3[1], 1),
+        "engine_sloppy2": _sloppy_sql(_OR3[0], _OR3[1], 2),
         "engine_not": _engine_topk_sql(f"""
           SELECT doc_id, score FROM ({_SQL_TERM.format(t=_HOT)})
           WHERE doc_id NOT IN

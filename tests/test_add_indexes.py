@@ -98,3 +98,95 @@ def test_add_indexes_then_append_still_works(spark, corpus_pdf, tmp_path):
     assert dest.max_doc == 150
     n = scores(dest, "file").count()
     assert n > 0
+
+
+def test_add_indexes_from_crash_recovered_source(spark, corpus_pdf,
+                                                 tmp_path):
+    """A crash-recovered source carries meta['dead_segs']: its orphaned
+    posting/doc rows (whose doc_ids were re-issued by the tlog replay)
+    must NOT copy into dest — else dest gets duplicate doc_ids and a doc
+    count exceeding its max_doc (ADVICE r4)."""
+    from voyagr_spark import tlog
+    from voyagr_spark.streaming import append_batch
+
+    pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True)
+    src = build_index(spark, spark.createDataFrame(pdf.iloc[:80]),
+                      str(tmp_path / "crash_src"), num_segments=2)
+    # crashed append: segment files landed, meta swap lost
+    saved = (src.dir / "meta.json").read_bytes()
+    batch = spark.createDataFrame(pdf.iloc[80:100])
+    v = tlog.log_batch(src, batch, num_partitions=2)
+    append_batch(src, batch, num_partitions=2, tlog_version=v)
+    (src.dir / "meta.json").write_bytes(saved)
+    from voyagr_spark.indexer import Index
+
+    src = Index(spark, str(src.dir))
+    assert tlog.recover(src) == [v]
+    assert len(src.meta["dead_segs"]) == 1
+    assert src.max_doc == 100
+
+    dest = build_index(spark, spark.createDataFrame(pdf.iloc[100:140]),
+                       str(tmp_path / "crash_dest"), num_segments=2)
+    add_indexes(dest, src, num_partitions=2)
+    dm = dest.docmap()
+    assert dm.count() == dest.max_doc == 140
+    assert dm.select("doc_id").distinct().count() == 140
+    # postings carry no doc_id above max_doc and no duplicates either
+    from voyagr_spark.checkindex import check_index
+
+    assert check_index(dest) == {}
+
+
+def test_add_indexes_from_empty_shard(spark, corpus_pdf, tmp_path):
+    """A fileless empty shard (valid output of split_index) as source:
+    reads as a typed empty frame instead of UNABLE_TO_INFER_SCHEMA, and
+    dest is unchanged apart from the epoch bump."""
+    from voyagr_spark.shards import split_index
+
+    pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True)
+    tiny = build_index(spark, spark.createDataFrame(pdf.iloc[:1]),
+                       str(tmp_path / "tiny"), num_segments=1)
+    shards = split_index(tiny, [str(tmp_path / "sh0"),
+                                str(tmp_path / "sh1")])
+    empty = next(s for s in shards if s.max_doc == 0)
+    dest = build_index(spark, spark.createDataFrame(pdf.iloc[1:41]),
+                       str(tmp_path / "esh_dest"), num_segments=2)
+    before = dest.max_doc
+    add_indexes(dest, empty, num_partitions=2)
+    assert dest.max_doc == before
+    assert dest.docmap().count() == before
+    assert scores(dest, "file").count() > 0
+
+
+def test_add_indexes_live_segments_only_posting_segs(spark, corpus_pdf,
+                                                     tmp_path):
+    """After addIndexes from a merged-away source, dest live_segments
+    must contain only seg ids that actually carry posting rows — no
+    phantom doc-only ids (ADVICE r4 low)."""
+    from voyagr_spark.merge import merge_segments
+
+    pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(
+        drop=True)
+    src = build_index(spark, spark.createDataFrame(pdf.iloc[:60]),
+                      str(tmp_path / "ls_src"), num_segments=3)
+    segs = sorted(r["seg"] for r in
+                  src.postings().select("seg").distinct().collect())
+    merge_segments(src, segs, new_seg=max(segs) + 1)
+    dest = build_index(spark, spark.createDataFrame(pdf.iloc[60:100]),
+                       str(tmp_path / "ls_dest"), num_segments=2)
+    # force dest to track live_segments (merge its own segs first)
+    dsegs = sorted(r["seg"] for r in
+                   dest.postings().select("seg").distinct().collect())
+    merge_segments(dest, dsegs, new_seg=max(dsegs) + 1)
+    assert dest.live_segments is not None
+    add_indexes(dest, src, num_partitions=2)
+    actual_post_segs = {
+        r["seg"] for r in spark.read.parquet(
+            str(dest.dir / "segments" / "kind=posting")
+        ).select("seg").distinct().collect()}
+    assert set(dest.live_segments) <= actual_post_segs
+    # all 100 docs present and searchable
+    assert dest.docmap().count() == dest.max_doc == 100
+    assert scores(dest, "file").count() > 0

@@ -1,0 +1,78 @@
+"""attach_stream (S7 — NRT streaming ingest via foreachBatch).
+
+Covers the exactly-once watermark's SCOPING (ADVICE r4): batch ids are
+0-based per streaming query, so the applied-watermark must be keyed by
+the query (checkpoint/stream name).  A global int watermark would make a
+NEW query's batches (ids restarting at 0) silently skip until the OLD
+query's high-water mark was exceeded — data loss, not replay protection.
+"""
+
+import shutil
+
+import pytest
+
+from voyagr_spark.indexer import Index, build_index
+from voyagr_spark.search import search
+from voyagr_spark.streaming import attach_stream
+
+
+def _build(spark, corpus_pdf, tmp_path, name):
+    docs = spark.createDataFrame(corpus_pdf.iloc[:100]).repartition(4)
+    return build_index(spark, docs, str(tmp_path / name), num_segments=2)
+
+
+def _run_stream(spark, idx, corpus_pdf, tmp_path, tag, lo, hi,
+                stream_name=None):
+    src = str(tmp_path / f"src_{tag}")
+    pdf = corpus_pdf.iloc[lo:hi].copy()
+    pdf["content"] = pdf["content"] + f" streamed{tag}"
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = attach_stream(idx, stream, str(tmp_path / f"ckpt_{tag}"),
+                      num_partitions=2, stream_name=stream_name).start()
+    q.awaitTermination()
+
+
+def test_new_query_after_old_watermark_is_not_skipped(spark, corpus_pdf,
+                                                      tmp_path):
+    """The ADVICE regression: a prior query left a high watermark; a NEW
+    query (fresh checkpoint, batch ids restart at 0) must still apply."""
+    idx = _build(spark, corpus_pdf, tmp_path, "as_idx")
+    try:
+        # stream 1 applies and records its watermark under its own key
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "one", 100, 120)
+        assert idx.max_doc == 120
+        marks = idx.meta["stream_batches_applied"]
+        assert list(marks.values()) == [0]
+        # legacy global int from an older build must also not interfere
+        idx.meta["stream_batch_applied"] = 99
+        # stream 2: fresh checkpoint, batch ids restart at 0 — with a
+        # global watermark this batch would be silently dropped
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "two", 120, 140)
+        assert idx.max_doc == 140
+        assert search(idx, "streamedtwo", k=5).count() > 0
+        assert len(idx.meta["stream_batches_applied"]) == 2
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_replayed_batch_of_same_query_is_skipped(spark, corpus_pdf,
+                                                 tmp_path):
+    """Replay protection within ONE query still holds: if the watermark
+    for THIS stream's key already covers batch 0, the re-delivered batch
+    is skipped instead of indexed twice."""
+    idx = _build(spark, corpus_pdf, tmp_path, "as_idx2")
+    try:
+        idx.meta["stream_batches_applied"] = {"myquery": 0}
+        idx._swap_meta()
+        # same stream_name => same key; its only batch has id 0 => skipped
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "rep", 100, 120,
+                    stream_name="myquery")
+        assert idx.max_doc == 100  # nothing applied (replay)
+        # a later batch id under the same query DOES apply
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "rep2", 120, 140,
+                    stream_name="other")
+        assert idx.max_doc == 120
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)

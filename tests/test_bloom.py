@@ -171,17 +171,16 @@ def test_conjunction_pruning_is_all_terms(bloom_index):
         min_should_match=2,
     )
     assert prune_segments_query(idx, q_msm) == []
-    # MUST+SHOULD: optionals NEVER gate matching when requireds exist
-    # (the engine's ReqOptSum ignores msm there), so pruning must not
-    # count SHOULD liveness — '+file zzqxabsent' with msm=1 keeps every
-    # segment 'file' keeps, and search still returns file's hits
+    # MUST+SHOULD with msm == 0: optionals never gate matching (ReqOptSum)
+    # — '+file zzqxabsent' keeps every segment 'file' keeps, and search
+    # still returns file's hits with file's scores
     from voyagr_spark.parser import MUST
     from voyagr_spark.search import search as _search
 
     q_opt = BooleanQuery(
         clauses=((MUST, TermQuery("file")),
                  (SHOULD, TermQuery("zzqxabsentterm"))),
-        min_should_match=1,
+        min_should_match=0,
     )
     assert prune_segments_query(idx, q_opt) == file_surv
     got = [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
@@ -189,6 +188,16 @@ def test_conjunction_pruning_is_all_terms(bloom_index):
     want = [(int(r["doc_id"]), np.float32(r["score"]).tobytes())
             for r in _search(idx, "file", k=10).collect()]
     assert got == want and got
+    # MUST+SHOULD with msm > 0 FILTERS (ConjunctionScorer(req, opt),
+    # BooleanWeight.java:326-342): >= msm optionals must also match, so an
+    # absent-only optional side prunes every segment and matches nothing
+    q_mix = BooleanQuery(
+        clauses=((MUST, TermQuery("file")),
+                 (SHOULD, TermQuery("zzqxabsentterm"))),
+        min_should_match=1,
+    )
+    assert prune_segments_query(idx, q_mix) == []
+    assert _search(idx, q_mix, k=10).collect() == []
 
 
 def test_driver_budget_skips_oversized_sidecar(bloom_index):

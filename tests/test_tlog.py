@@ -103,6 +103,50 @@ def test_recover_dead_lists_orphan_segments(spark, corpus_pdf,
         shutil.rmtree(idx.dir, ignore_errors=True)
 
 
+def test_durable_upsert_crash_dead_lists_orphans(spark, corpus_pdf,
+                                                 tmp_path_factory):
+    """Crash inside durable_upsert AFTER the append's segment files landed
+    but BEFORE its meta swap (the exact window durable_upsert exists to
+    close): replay must dead-list the orphan seg range first — otherwise
+    append_batch re-lands in the SAME deterministic range (parquet
+    mode=append) and every posting/doc row of the batch is doubled."""
+    from voyagr_spark.streaming import upsert_batch
+
+    def _mutated(spark):
+        pdf = corpus_pdf.iloc[40:60].copy()
+        pdf["content"] = pdf["content"] + " upserted sentinel"
+        return spark.createDataFrame(pdf)
+
+    twin = _build(spark, corpus_pdf, tmp_path_factory, "tlog_ups_twin")
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_ups_crash")
+    try:
+        upsert_batch(twin, _mutated(spark), num_partitions=2)
+        batch = _mutated(spark)
+        # durable_upsert's steps, crashing after the final append's
+        # parquet writes but before its meta swap:
+        v = tlog.log_batch(idx, batch, op="upsert", num_partitions=2)
+        idx.delete_by_keys(batch)
+        saved = (idx.dir / "meta.json").read_bytes()  # post-delete meta
+        append_batch(idx, batch, num_partitions=2, tlog_version=v)
+        (idx.dir / "meta.json").write_bytes(saved)  # ...swap "lost"
+        reopened = Index(spark, str(idx.dir))
+        assert [e["version"] for e in tlog.pending(reopened)] == [v]
+        assert tlog.recover(reopened) == [v]
+        assert len(reopened.meta["dead_segs"]) == 1
+        dm = reopened.docmap()
+        assert dm.count() == dm.select("doc_id").distinct().count() == 270
+        assert _results(reopened, "upserted AND sentinel") == \
+            _results(twin, "upserted AND sentinel")
+        assert _results(reopened) == _results(twin)
+        from voyagr_spark.checkindex import check_index
+
+        assert check_index(reopened) == {}
+        assert tlog.recover(reopened) == []  # idempotent
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+        shutil.rmtree(twin.dir, ignore_errors=True)
+
+
 def test_durable_delete_and_replay(spark, corpus_pdf, tmp_path_factory):
     idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_del")
     try:

@@ -505,14 +505,20 @@ def _node_may_match(q, maybe) -> bool:
     if isinstance(q, BooleanQuery):
         musts = [c for occ, c in q.clauses if occ == MUST]
         shoulds = [c for occ, c in q.clauses if occ == SHOULD]
+        msm = int(q.min_should_match or 0)
         if musts:
-            # SHOULD clauses are purely optional here: the engine's
-            # ReqOptSum path (_bool_scorer) never count-filters when
-            # required clauses exist — msm is intentionally ignored, so
-            # pruning on it would LOSE matches the scorer returns
-            return all(_node_may_match(c, maybe) for c in musts)
+            if not all(_node_may_match(c, maybe) for c in musts):
+                return False
+            # with required clauses present, msm > 0 FILTERS (mix builds
+            # ConjunctionScorer(req, opt) — BooleanWeight.java:326-342):
+            # >= msm SHOULD clauses must also be alive; msm == 0 leaves
+            # optionals purely optional (ReqOptSum, never prune on them)
+            if msm > 0:
+                alive = sum(_node_may_match(c, maybe) for c in shoulds)
+                return alive >= msm
+            return True
         if shoulds:
-            need = max(int(q.min_should_match or 0), 1)
+            need = max(msm, 1)
             alive = sum(_node_may_match(c, maybe) for c in shoulds)
             return alive >= need
         return True

@@ -393,11 +393,12 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
     # tracks POSTING segments only — checkindex documents the same), so a
     # merged source still carries doc rows under its original seg ids;
     # the seg-id remap must cover the union or those docs' stored fields
-    # and norms would be dropped on copy
+    # and norms would be dropped on copy.  docstats() (not a raw read) so
+    # a crash-recovered source's dead-listed orphan rows — whose doc_ids
+    # were re-issued by the tlog replay — are excluded, and a fileless
+    # empty shard reads as a typed empty frame
     doc_segs = sorted(
-        r["seg"] for r in spark.read.parquet(
-            str(src.dir / "segments" / "kind=doc")
-        ).select("seg").distinct().collect()
+        r["seg"] for r in src.docstats().select("seg").distinct().collect()
     )
     all_src_segs = sorted(set(src_segs) | set(doc_segs))
     pid_base = max(
@@ -489,7 +490,10 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
 
     seg_dir = dest.dir / "segments"
     for kind, kern in (("posting", post_kernel), ("doc", doc_kernel)):
-        part = spark.read.parquet(str(src.dir / "segments" / f"kind={kind}"))
+        # _read_kind handles a fileless empty-shard dir; dead-seg ranges
+        # (crashed-append orphans) are dropped BEFORE the kernels so no
+        # orphan posting or doc row is ever copied into dest
+        part = src._drop_dead_segs(src._read_kind(kind))
         (
             part.repartition(num_partitions)
             .mapInArrow(kern, part.schema)
@@ -509,6 +513,11 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
     stats_dirs = dest.stats_dirs() + [delta_rel]
 
     new_segs = sorted(seg_map.values())
+    # only posting-bearing remapped segs join dest's live set / manifest:
+    # doc-only seg ids (merged-away source segments) never carry posting
+    # rows, and inserting them would put phantom posting seg ids into
+    # live_segments
+    new_post_segs = sorted(seg_map[s] for s in src_segs)
     live = dest.live_segments
     dest.meta["max_doc"] = base + src.max_doc
     dest.meta["sum_total_term_freq"] = (
@@ -519,7 +528,7 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
     dest.meta.pop("stats_dir", None)
     dest.meta["stats_dirs"] = stats_dirs
     if live is not None:
-        dest.meta["live_segments"] = sorted(set(live) | set(new_segs))
+        dest.meta["live_segments"] = sorted(set(live) | set(new_post_segs))
     dest.meta["codec"] = CODEC_VERSION  # re-based doc blobs use the current encoder
     tmp = dest.dir / "meta.json.tmp"
     tmp.write_text(json.dumps(dest.meta))
@@ -527,6 +536,6 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
     dest._stats_df = None
     _append_manifest(
         dest.spark, dest.dir / "manifest", f"add_indexes_{epoch}",
-        [(s, -1, 0) for s in new_segs], 0.0,
+        [(s, -1, 0) for s in new_post_segs], 0.0,
     )
     return new_segs

@@ -734,6 +734,13 @@ def _bool_scorer(
     should = [sub for occ, sub in q.clauses if occ == SHOULD]
     must_not = [sub for occ, sub in q.clauses if occ == MUST_NOT]
 
+    # BooleanWeight.java:299-304: fewer optional clauses than
+    # minNrShouldMatch -> no scorer, the query matches NOTHING (this also
+    # covers required-only queries carrying msm > 0)
+    msm = int(q.min_should_match or 0)
+    if msm > len(should):
+        return _EMPTY
+
     if must:
         simple = all(isinstance(m, TermQuery) for m in must)
         if simple:
@@ -763,7 +770,12 @@ def _bool_scorer(
                     scores = (scores + add).astype(np.float32)
                 if docs.size == 0:
                     return _EMPTY
-        # ReqOptSumScorer: optional scores added where aligned (E7)
+        # msm == 0: ReqOptSumScorer — optional scores added where aligned
+        # (E7).  msm > 0: ConjunctionScorer(req, opt) with opt =
+        # MinShouldMatchSumScorer (BooleanWeight.java:326-342) — the doc
+        # must ALSO match >= msm optional clauses; matching optional
+        # scores still sum in clause order
+        cnt = np.zeros(docs.size, dtype=np.int64) if msm > 0 else None
         for sh in should:
             d, s = _clause_scorer(sh, rows, plan, boost)
             if d.size:
@@ -771,6 +783,13 @@ def _bool_scorer(
                 pos_c = np.minimum(pos, d.size - 1)
                 m = d[pos_c] == docs
                 scores[m] = (scores[m] + s[pos_c[m]]).astype(np.float32)
+                if cnt is not None:
+                    cnt[m] += 1
+        if cnt is not None:
+            keep = cnt >= msm
+            docs, scores = docs[keep], scores[keep]
+            if docs.size == 0:
+                return _EMPTY
     else:
         # pure disjunction (E3), MaxScore-pruned when plan.prune
         docs, scores = _union_scorer(should, rows, plan, q.min_should_match, boost)
@@ -1563,11 +1582,11 @@ def _columnar_clauses(plan: "QueryPlan"):
     Returns (mode, [(clause_boost, term), ...], must_not_terms, extra) when
     the query is a shape the declarative scorer reproduces BIT-EXACTLY —
     a TermQuery, a flat BooleanQuery of TermQuery leaves (pure-MUST,
-    pure-SHOULD with minShouldMatch, or MUST+SHOULD regardless of msm —
-    ReqOptSum ignores it; plus MUST_NOT), or a flat DisjunctionMaxQuery
-    of TermQuery disjuncts —
-    else None.  `extra` is msm for "or", the MUST-clause count for "mix"
-    (clauses list MUST-first, mirroring _bool_scorer's ReqOptSum fold
+    pure-SHOULD with minShouldMatch, or MUST+SHOULD where msm>0 FILTERS —
+    >= msm optionals must also match, BooleanWeight.java:326-342; plus
+    MUST_NOT), or a flat DisjunctionMaxQuery of TermQuery disjuncts —
+    else None.  `extra` is msm for "or", the (MUST-count, msm) pair for
+    "mix" (clauses list MUST-first, mirroring _bool_scorer's fold
     order), and the tie-break multiplier for "dismax".  Standalone exact
     phrases have their own columnar path (`_columnar_phrase_topk`);
     sloppy/multi phrases, spans, multi-term rewrites, non-BM25
@@ -1608,18 +1627,22 @@ def _columnar_clauses(plan: "QueryPlan"):
             must_not.append(sub.term)
         else:  # FILTER and anything else: pandas path
             return None
+    msm = int(q.min_should_match or 0)
     if must and should:
-        # msm is intentionally NOT consulted here: with required clauses
-        # present the engine's ReqOptSum path (_bool_scorer) adds optional
-        # scores where aligned and never count-filters — Lucene's
-        # BooleanWeight builds the same ReqOptSumScorer for msm==0 and the
-        # engine keeps that shape for msm>0 too (oracle-gated); the
-        # columnar form must mirror the Pandas form bit for bit
-        return "mix", must + should, must_not, len(must)
+        # reference semantics (BooleanWeight.java:326-342): msm == 0
+        # builds ReqOptSumScorer (optionals score but never filter);
+        # msm > 0 builds ConjunctionScorer(req, opt) — the doc must ALSO
+        # match >= msm optional clauses.  extra carries both counts
+        return "mix", must + should, must_not, (len(must), msm)
     if must:
+        if msm > 0:
+            # required-only with msm > #optionals matches NOTHING
+            # (BooleanWeight.java:299-304) — the Pandas path returns the
+            # correct empty result
+            return None
         return "and", must, must_not, 0
     if should:
-        return "or", should, must_not, q.min_should_match
+        return "or", should, must_not, msm
     return None
 
 
@@ -1757,24 +1780,34 @@ def _columnar_hits(index, plan: "QueryPlan") -> DataFrame | None:
             )
             tie_f = F.lit(float(np.float32(extra))).cast("float")
             score = smax + tie_f * (score - smax)
-        # match predicate: count present clauses — ALL for "and", the
-        # MUST prefix for "mix" (clauses are MUST-first), >=msm ("or") or
-        # >=1 ("dismax") otherwise
-        count_n = extra if mode == "mix" else n_cl
-        nm = None
-        for i in range(count_n):
-            e = F.col(f"_s{i}").isNotNull().cast("int")
-            nm = e if nm is None else nm + e
-        if mode == "and":
-            need = n_cl
-        elif mode == "mix":
-            need = extra
-        elif mode == "dismax":
-            need = 1
+        # match predicate: count present clauses — ALL for "and"; for
+        # "mix" the MUST prefix must be complete AND (when msm>0) the
+        # SHOULD suffix must reach msm (clauses are MUST-first); >=msm
+        # ("or") or >=1 ("dismax") otherwise
+        def _present_count(idxs):
+            e = None
+            for i in idxs:
+                c = F.col(f"_s{i}").isNotNull().cast("int")
+                e = c if e is None else e + c
+            return e
+
+        if mode == "mix":
+            n_must, msm = extra
+            keep = _present_count(range(n_must)) >= F.lit(n_must)
+            if msm > 0:
+                keep = keep & (
+                    _present_count(range(n_must, n_cl)) >= F.lit(msm)
+                )
         else:
-            need = max(extra, 1)
+            if mode == "and":
+                need = n_cl
+            elif mode == "dismax":
+                need = 1
+            else:
+                need = max(extra, 1)
+            keep = _present_count(range(n_cl)) >= F.lit(need)
         hits = grouped.filter(
-            (nm >= F.lit(need)) & (F.coalesce(F.col("_mn"), F.lit(0)) == 0)
+            keep & (F.coalesce(F.col("_mn"), F.lit(0)) == 0)
         ).select("doc_id", score.alias("score"))
     return hits
 
@@ -2122,20 +2155,26 @@ def _columnar_many_clause_hits(decoded, specs: list) -> DataFrame:
             )
             tie_f = F.lit(float(np.float32(extra))).cast("float")
             score = smax + tie_f * (score - smax)
-        count_names = names[:extra] if mode == "mix" else names
-        nm = None
-        for name in count_names:
-            e = F.col(name).isNotNull().cast("int")
-            nm = e if nm is None else nm + e
-        if mode == "and":
-            need = len(names)
-        elif mode == "mix":
-            need = extra
-        elif mode == "dismax":
-            need = 1
+        def _present_count(nms):
+            e = None
+            for name in nms:
+                c = F.col(name).isNotNull().cast("int")
+                e = c if e is None else e + c
+            return e
+
+        if mode == "mix":
+            n_must, msm = extra
+            keep = _present_count(names[:n_must]) >= F.lit(n_must)
+            if msm > 0:  # >= msm optionals must also match (mix filters)
+                keep = keep & (_present_count(names[n_must:]) >= F.lit(msm))
         else:
-            need = max(extra, 1)
-        keep = nm >= F.lit(need)
+            if mode == "and":
+                need = len(names)
+            elif mode == "dismax":
+                need = 1
+            else:
+                need = max(extra, 1)
+            keep = _present_count(names) >= F.lit(need)
         if mn_name is not None:
             keep = keep & (F.coalesce(F.col(mn_name), F.lit(0)) == 0)
         structs.append(
@@ -2393,23 +2432,32 @@ def count_df(index, query_or_text) -> DataFrame:
     spec = _columnar_clauses(plan) if decoded is not None else None
     if spec is not None:
         mode, clauses, must_not, extra = spec
-        # matching clauses: for "mix" (MUST+SHOULD) only the MUST prefix
-        # gates matching — the engine's ReqOptSum semantics score the
-        # optionals but never filter on them (and ignore msm once
-        # requireds exist); counting SHOULD hits toward the requirement
-        # would overcount docs that miss a required term.  "and"/"or"/
-        # "dismax" count every clause.
-        match_clauses = clauses[:extra] if mode == "mix" else clauses
+        # matching clauses: for "mix" (MUST+SHOULD) the MUST prefix must
+        # be complete, and with msm > 0 the SHOULD suffix must reach msm
+        # too (mix filters — BooleanWeight.java:326-342; with msm == 0
+        # the optionals score but never filter, so they don't count).
+        # "and"/"or"/"dismax" count every clause.
+        if mode == "mix":
+            n_must, msm = extra
+            match_clauses = clauses[:n_must]
+            should_clauses = clauses[n_must:] if msm > 0 else []
+        else:
+            match_clauses, should_clauses = clauses, []
         n_by_term: dict[str, int] = {}
         for _, t in match_clauses:
             n_by_term[t] = n_by_term.get(t, 0) + 1
-        all_terms = sorted(set(n_by_term) | set(must_not))
-        ncl_e, mn_e = None, None
+        ns_by_term: dict[str, int] = {}
+        for _, t in should_clauses:
+            ns_by_term[t] = ns_by_term.get(t, 0) + 1
+        all_terms = sorted(set(n_by_term) | set(ns_by_term) | set(must_not))
+        ncl_e, nsh_e, mn_e = None, None, None
         for t in all_terms:
             cond = F.col("term") == F.lit(t)
             ce = F.lit(n_by_term.get(t, 0))
+            se = F.lit(ns_by_term.get(t, 0))
             me = F.lit(1 if t in must_not else 0)
             ncl_e = F.when(cond, ce) if ncl_e is None else ncl_e.when(cond, ce)
+            nsh_e = F.when(cond, se) if nsh_e is None else nsh_e.when(cond, se)
             mn_e = F.when(cond, me) if mn_e is None else mn_e.when(cond, me)
         if mode in ("and", "mix"):
             need = len(match_clauses)
@@ -2417,11 +2465,16 @@ def count_df(index, query_or_text) -> DataFrame:
             need = 1
         else:  # "or": msm-many optionals must match
             need = max(int(extra), 1)
+        aggs = [F.sum(ncl_e).alias("_nm"), F.max(mn_e).alias("_mn")]
+        pred = (F.col("_nm") >= F.lit(need)) & (F.col("_mn") == 0)
+        if should_clauses:
+            aggs.append(F.sum(nsh_e).alias("_ns"))
+            pred = pred & (F.col("_ns") >= F.lit(extra[1]))
         grouped = (
             decoded.filter(F.col("term").isin(all_terms))
             .groupBy("doc_id")
-            .agg(F.sum(ncl_e).alias("_nm"), F.max(mn_e).alias("_mn"))
-            .filter((F.col("_nm") >= F.lit(need)) & (F.col("_mn") == 0))
+            .agg(*aggs)
+            .filter(pred)
         )
         return grouped.agg(F.count("*").cast("long").alias("n_hits"))
     rows = index.postings().filter(_posting_filter(terms, multis))

@@ -33,6 +33,7 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
                  docs_per_segment: int = 100_000,
                  tlog_version: int | None = None,
                  stream_batch_id: int | None = None,
+                 stream_key: str | None = None,
                  allow_blocks: bool = False) -> list[int]:
     """Index a micro-batch into new segments; returns the new segment ids.
 
@@ -183,11 +184,21 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
     if stream_batch_id is not None:
         # the streaming analog (foreachBatch batch_id watermark) — a
         # SEPARATE key: tlog versions are their own monotone counter and
-        # must not collide with Structured Streaming's 0-based batch ids
-        index.meta["stream_batch_applied"] = max(
-            int(index.meta.get("stream_batch_applied", -1)),
-            int(stream_batch_id),
-        )
+        # must not collide with Structured Streaming's 0-based batch ids.
+        # Batch ids are only monotone WITHIN one streaming query
+        # (checkpoint), so the watermark is scoped per stream_key — a
+        # global int watermark would silently drop every batch of a NEW
+        # query whose 0-based ids restart below the old high-water mark
+        if stream_key is None:
+            index.meta["stream_batch_applied"] = max(
+                int(index.meta.get("stream_batch_applied", -1)),
+                int(stream_batch_id),
+            )
+        else:
+            marks = dict(index.meta.get("stream_batches_applied", {}))
+            marks[stream_key] = max(int(marks.get(stream_key, -1)),
+                                    int(stream_batch_id))
+            index.meta["stream_batches_applied"] = marks
     index.meta.pop("stats_dir", None)  # legacy single-pointer form
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
@@ -229,22 +240,36 @@ def upsert_batch(index: Index, docs: DataFrame, num_partitions: int = 4) -> list
 
 
 def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
-                  num_partitions: int = 4):
+                  num_partitions: int = 4, stream_name: str | None = None):
     """foreachBatch writer: each micro-batch becomes new published segments.
 
     Exactly-once under replay: foreachBatch re-delivers a micro-batch when
     the driver dies between the append's meta swap and the streaming
     checkpoint commit; the batch_id rides append_batch's stream_batch_id
     so the already-applied batch is skipped instead of indexed twice (the
-    same swap that publishes the segments records the watermark)."""
+    same swap that publishes the segments records the watermark).
+
+    Batch ids are only meaningful within ONE streaming query, so the
+    watermark is scoped to the query: keyed by `stream_name` if given,
+    else by the checkpoint path.  A NEW query (fresh checkpoint, ids
+    restart at 0) therefore gets a fresh watermark instead of silently
+    losing every batch below the previous query's high-water mark.
+    Resuming an interrupted stream requires reusing the SAME checkpoint
+    (that is already Structured Streaming's contract — a fresh checkpoint
+    replays the source from scratch)."""
+    import hashlib
+
+    key = stream_name or hashlib.sha1(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:16]
 
     def handle(batch_df: DataFrame, batch_id: int):
-        if int(batch_id) <= int(index.meta.get("stream_batch_applied", -1)):
+        marks = index.meta.get("stream_batches_applied", {})
+        if int(batch_id) <= int(marks.get(key, -1)):
             return  # replayed batch: the index already holds it
         if batch_df.isEmpty():
             return
         append_batch(index, batch_df, num_partitions=num_partitions,
-                     stream_batch_id=int(batch_id))
+                     stream_batch_id=int(batch_id), stream_key=key)
 
     return (
         stream_df.writeStream.foreachBatch(handle)

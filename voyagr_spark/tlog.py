@@ -143,6 +143,39 @@ def pending(index: Index) -> list[dict]:
     return out
 
 
+def _dead_list_orphans(index: Index, nparts: int) -> bool:
+    """Dead-list the current epoch's deterministic seg-id range if a
+    crashed apply attempt left orphan segment files there, then bump the
+    epoch so the replay lands in a fresh range.  One footer-pruned
+    existence probe; records the range only when orphan rows exist.
+    Returns True if a range was dead-listed."""
+    from .streaming import STREAM_PARTITION_BASE
+
+    spark = index.spark
+    epoch = int(index.meta.get("stream_epoch", 0))
+    pid_base = STREAM_PARTITION_BASE + epoch * max(nparts, 1) * 2
+    lo = pid_base << 20
+    hi = (pid_base + 2 * max(nparts, 1)) << 20
+    orphans = (
+        spark.read.parquet(str(index.dir / "segments"))
+        .filter((F.col("seg") >= lo) & (F.col("seg") < hi))
+        .limit(1)
+        .count()
+    )
+    if not orphans:
+        return False
+    dead = list(index.meta.get("dead_segs", []))
+    dead.append([lo, hi])
+    index.meta["dead_segs"] = dead
+    # epoch bump moves the replay out of the dead range; the swap is
+    # atomic, so a crash here just re-runs this probe
+    index.meta["stream_epoch"] = epoch + 1
+    index._swap_meta()
+    index._postings_df = None
+    index._df_cache = None
+    return True
+
+
 def recover(index: Index) -> list[int]:
     """Replay unapplied tlog entries (LogReplayer analog); returns the
     versions replayed.  Safe to call any time; a clean index is a no-op.
@@ -153,7 +186,7 @@ def recover(index: Index) -> list[int]:
     the orphans become invisible (and file-pruned) everywhere.  The dead
     range is only recorded when orphan rows actually exist (one
     footer-pruned existence probe)."""
-    from .streaming import STREAM_PARTITION_BASE, append_batch
+    from .streaming import append_batch
 
     spark = index.spark
     replayed = []
@@ -162,29 +195,15 @@ def recover(index: Index) -> list[int]:
         nparts = int(rec.get("num_partitions", 4))
         payload = spark.read.parquet(rec["path"])
         if rec["op"] == "add":
-            epoch = int(index.meta.get("stream_epoch", 0))
-            pid_base = STREAM_PARTITION_BASE + epoch * max(nparts, 1) * 2
-            lo = pid_base << 20
-            hi = (pid_base + 2 * max(nparts, 1)) << 20
-            orphans = (
-                spark.read.parquet(str(index.dir / "segments"))
-                .filter((F.col("seg") >= lo) & (F.col("seg") < hi))
-                .limit(1)
-                .count()
-            )
-            if orphans:
-                dead = list(index.meta.get("dead_segs", []))
-                dead.append([lo, hi])
-                index.meta["dead_segs"] = dead
-                # epoch bump moves the replay out of the dead range; the
-                # swap is atomic, so a crash here just re-runs this branch
-                index.meta["stream_epoch"] = epoch + 1
-                index._swap_meta()
-                index._postings_df = None
-                index._df_cache = None
+            _dead_list_orphans(index, nparts)
             append_batch(index, payload, num_partitions=nparts,
                          tlog_version=v)
         elif rec["op"] == "upsert":
+            # the crashed attempt's append_batch may have landed orphan
+            # segment files exactly as a crashed add's can (the delete
+            # half is idempotent meta-only) — dead-list that range first,
+            # or the replay doubles every posting/doc row of the batch
+            _dead_list_orphans(index, nparts)
             # delete is idempotent and unversioned; the append's swap
             # marks v applied (see durable_upsert)
             index.delete_by_keys(payload)
