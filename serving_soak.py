@@ -39,8 +39,12 @@ QTERMS = ["batch", "dup", "fast", "key", "vector", "merge", "scan",
 
 
 def pct(ls, p):
+    """True median for p=0.5; nearest-rank over len-1 otherwise (the old
+    int(p*len) form returned the MAX of a 2-sample as its 'median')."""
     ls = sorted(ls)
-    return ls[min(len(ls) - 1, int(p * len(ls)))]
+    if p == 0.5:
+        return statistics.median(ls)
+    return ls[min(len(ls) - 1, max(0, round(p * (len(ls) - 1))))]
 
 
 def main() -> None:

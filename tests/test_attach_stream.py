@@ -76,3 +76,77 @@ def test_replayed_batch_of_same_query_is_skipped(spark, corpus_pdf,
         assert idx.max_doc == 120
     finally:
         shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_legacy_global_watermark_migrates(spark, corpus_pdf, tmp_path):
+    """A pre-upgrade index carries one global int watermark
+    (stream_batch_applied).  Resuming it must keep exactly-once: batch
+    ids at or below the legacy value are skipped, the first applied
+    batch migrates the watermark into the per-stream map and drops the
+    legacy key."""
+    idx = _build(spark, corpus_pdf, tmp_path, "as_legacy")
+    try:
+        idx.meta["stream_batch_applied"] = 0  # legacy: batch 0 applied
+        idx.meta.pop("stream_batches_applied", None)
+        idx._swap_meta()
+        # replayed batch 0 of the resumed legacy stream: skipped
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "leg0", 100, 120)
+        assert idx.max_doc == 100
+        # batch 1 (a second file through the SAME checkpoint): applied,
+        # and the legacy key is migrated away
+        src = str(tmp_path / "src_leg0")
+        pdf = corpus_pdf.iloc[120:140].copy()
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        from voyagr_spark.streaming import attach_stream
+
+        q = attach_stream(idx, stream, str(tmp_path / "ckpt_leg0"),
+                          num_partitions=2).start()
+        q.awaitTermination()
+        assert idx.max_doc == 120
+        assert "stream_batch_applied" not in idx.meta
+        assert list(idx.meta["stream_batches_applied"].values()) == [1]
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_reset_stream_watermark(spark, corpus_pdf, tmp_path):
+    """Reprocessing a source at a REUSED checkpoint path: without a reset
+    the path-keyed watermark skips every replayed batch; after
+    reset_stream_watermark the batches apply."""
+    from voyagr_spark.streaming import reset_stream_watermark
+
+    idx = _build(spark, corpus_pdf, tmp_path, "as_reset")
+    try:
+        ckpt = str(tmp_path / "ckpt_rst")
+        idx.meta["stream_batches_applied"] = {}
+        _run_stream_at(spark, idx, corpus_pdf, tmp_path, "rst", 100, 120,
+                       ckpt)
+        assert idx.max_doc == 120
+        # wipe the checkpoint (restart-from-scratch) and replay: skipped
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _run_stream_at(spark, idx, corpus_pdf, tmp_path, "rst2", 120, 140,
+                       ckpt, src_tag="rst")  # same source dir re-read
+        assert idx.max_doc == 120  # watermark still blocks batch 0
+        reset_stream_watermark(idx, checkpoint=ckpt)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _run_stream_at(spark, idx, corpus_pdf, tmp_path, "rst3", 140, 160,
+                       ckpt, src_tag="rst")
+        assert idx.max_doc > 120  # batches apply again after the reset
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def _run_stream_at(spark, idx, corpus_pdf, tmp_path, tag, lo, hi, ckpt,
+                   src_tag=None):
+    from voyagr_spark.streaming import attach_stream
+
+    src = str(tmp_path / f"src_{src_tag or tag}")
+    pdf = corpus_pdf.iloc[lo:hi].copy()
+    pdf["content"] = pdf["content"] + f" streamed{tag}"
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = attach_stream(idx, stream, ckpt, num_partitions=2).start()
+    q.awaitTermination()

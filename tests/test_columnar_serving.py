@@ -390,9 +390,9 @@ def test_append_reopen_repins_decoded(spark, corpus_pdf, tmp_path_factory):
 
 
 def test_msm_mix_parity_and_python_free(cold_and_pinned):
-    """MUST+SHOULD with msm>0 (r4 widened eligibility): identical rows to
-    the Pandas ReqOptSum scorer — which never count-filters when required
-    clauses exist — and a Python-free plan."""
+    """MUST+SHOULD with msm>0: msm FILTERS in a mix (ConjunctionScorer
+    (req, opt), BooleanWeight.java:326-342 — r5 semantics fix); columnar
+    rows identical to the Pandas scorer, and a Python-free plan."""
     from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
 
     idx, _, _ = cold_and_pinned
@@ -436,9 +436,10 @@ def test_scores_full_matchset_columnar(cold_and_pinned):
 
 
 def test_count_mix_matches_pandas(cold_and_pinned):
-    """count() on MUST+SHOULD shapes: the columnar count must gate on the
-    MUST prefix only (ReqOptSum — optionals score, never filter), msm or
-    not (r4 review fix: SHOULD hits used to count toward the MUST
+    """count() on MUST+SHOULD shapes: the columnar count gates on the
+    full MUST prefix, plus — when msm>0 — on >= msm SHOULD hits (the r5
+    mix-filters semantics); with msm=0 optionals score but never filter
+    (r4 review fix: SHOULD hits used to count toward the MUST
     requirement, so a doc matching only the optional term was counted)."""
     from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
     from voyagr_spark.search import count

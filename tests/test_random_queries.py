@@ -261,3 +261,39 @@ def test_random_span_sweep_rank_identical(built_index, oracle_index):
                for r in search(built_index, q, k=10).collect()]
         want = [(d, s) for d, s in oracle_index.search(q, 10)]
         assert got == want, repr(q)
+
+
+def test_random_mix_msm_rank_identical(built_index, oracle_index):
+    """MUST+SHOULD with minShouldMatch>0 (r5 semantics fix: msm FILTERS
+    in a mix — ConjunctionScorer(req, opt), BooleanWeight.java:326-342):
+    random programmatic mixes, engine vs the pure-Python oracle, ids AND
+    float32 scores rank-identical; includes msm == #optionals (all
+    required) and msm > #optionals (matches nothing)."""
+    from voyagr_spark.parser import MUST, SHOULD, BooleanQuery, TermQuery
+    from voyagr_spark.search import count, search
+
+    rng = np.random.default_rng(13)
+    head, tail = _vocab(oracle_index, rng)
+
+    def pick(pool):
+        return pool[int(rng.integers(0, len(pool)))]
+
+    failures = []
+    for i in range(40):
+        n_must = int(rng.integers(1, 3))
+        n_should = int(rng.integers(1, 4))
+        msm = int(rng.integers(0, n_should + 2))  # includes > n_should
+        clauses = tuple((MUST, TermQuery(pick(head))) for _ in range(n_must))
+        clauses += tuple(
+            (SHOULD, TermQuery(pick(head + tail))) for _ in range(n_should))
+        q = BooleanQuery(clauses, min_should_match=msm)
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in search(built_index, q, k=10).collect()]
+        want = [(d, s) for d, s in oracle_index.search(q, 10)]
+        if got != want:
+            failures.append((i, msm, got[:3], want[:3]))
+        n = count(built_index, q)
+        n_want = len(oracle_index.search(q, 10**9))
+        if n != n_want:
+            failures.append((i, msm, "count", n, n_want))
+    assert not failures, failures[:5]

@@ -289,3 +289,38 @@ def test_realtime_get_upserted_key_newest_copy(spark, corpus_pdf,
         assert got["doc_id"] == 250  # the re-added copy, not the tombstoned
     finally:
         shutil.rmtree(idx.dir, ignore_errors=True)
+
+
+def test_recover_probe_uses_pid_hwm_clamp(spark, corpus_pdf,
+                                          tmp_path_factory):
+    """Review regression (r5): the orphan probe must compute the crashed
+    attempt's seg range with the SAME max(epoch-formula, pid_hwm) clamp
+    append_batch uses.  Here a wide append (nparts=8) raises pid_hwm far
+    past the epoch formula; a narrow durable add (nparts=2) then crashes
+    after its files landed.  Probing the bare epoch formula would
+    dead-list LIVE segments of the wide append (data loss) and miss the
+    real orphans (batch doubled on replay)."""
+    idx = _build(spark, corpus_pdf, tmp_path_factory, "tlog_hwm")
+    twin = _build(spark, corpus_pdf, tmp_path_factory, "tlog_hwm_twin")
+    try:
+        wide = spark.createDataFrame(corpus_pdf.iloc[250:280])
+        append_batch(idx, wide, num_partitions=8)
+        append_batch(twin, wide, num_partitions=8)
+        saved = (idx.dir / "meta.json").read_bytes()
+        narrow = spark.createDataFrame(corpus_pdf.iloc[280:300])
+        v = tlog.log_batch(idx, narrow, num_partitions=2)
+        append_batch(idx, narrow, num_partitions=2, tlog_version=v)
+        (idx.dir / "meta.json").write_bytes(saved)  # crash: swap lost
+        append_batch(twin, narrow, num_partitions=2)
+        reopened = Index(spark, str(idx.dir))
+        assert tlog.recover(reopened) == [v]
+        assert len(reopened.meta["dead_segs"]) == 1
+        dm = reopened.docmap()
+        assert dm.count() == dm.select("doc_id").distinct().count() == 300
+        assert _results(reopened) == _results(twin)
+        from voyagr_spark.checkindex import check_index
+
+        assert check_index(reopened) == {}
+    finally:
+        shutil.rmtree(idx.dir, ignore_errors=True)
+        shutil.rmtree(twin.dir, ignore_errors=True)

@@ -538,4 +538,7 @@ def add_indexes(dest: Index, src: Index, num_partitions: int = 4) -> list[int]:
         dest.spark, dest.dir / "manifest", f"add_indexes_{epoch}",
         [(s, -1, 0) for s in new_post_segs], 0.0,
     )
-    return new_segs
+    # return the POSTING-bearing new seg ids only — doc-only remapped ids
+    # (merged-away source segments) are an internal storage detail and
+    # would read as phantom ids to callers feeding this into merge plans
+    return new_post_segs

@@ -380,6 +380,10 @@ class OracleIndex:
         must = [s for o, s in q.clauses if o == MUST]
         should = [s for o, s in q.clauses if o == SHOULD]
         must_not = [s for o, s in q.clauses if o == MUST_NOT]
+        msm = int(q.min_should_match or 0)
+        # BooleanWeight.java:299-304: fewer optionals than msm -> no match
+        if msm > len(should):
+            return {}
         if must:
             res: dict[int, np.float32] | None = None
             for m in must:
@@ -391,11 +395,19 @@ class OracleIndex:
                         d: np.float32(s + part[d]) for d, s in res.items() if d in part
                     }
             assert res is not None
+            # msm == 0: ReqOptSum (optionals score, never filter);
+            # msm > 0: ConjunctionScorer(req, opt) — >= msm optionals must
+            # also match (BooleanWeight.java:326-342)
+            counts_m: dict[int, int] = {}
             for sh in should:
                 part = self._clause(sh, cache, boost)
                 for d in res:
                     if d in part:
                         res[d] = np.float32(res[d] + part[d])
+                        counts_m[d] = counts_m.get(d, 0) + 1
+            if msm > 0:
+                res = {d: s for d, s in res.items()
+                       if counts_m.get(d, 0) >= msm}
         else:
             res = {}
             counts: dict[int, int] = {}

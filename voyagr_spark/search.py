@@ -1646,6 +1646,36 @@ def _columnar_clauses(plan: "QueryPlan"):
     return None
 
 
+def _clause_match_pred(mode: str, extra, names: list[str]):
+    """Keep-predicate over per-clause max-score columns (NULL = the doc
+    missed that clause): ALL present for "and"; for "mix" the MUST prefix
+    complete AND — when msm > 0 — the SHOULD suffix reaching msm
+    (ConjunctionScorer(req, opt), BooleanWeight.java:326-342); >= 1 for
+    "dismax"; >= msm for "or".  Shared by the single-query and batched
+    columnar paths so the mix/msm semantics live in exactly one place."""
+
+    def cnt(nms):
+        e = None
+        for n in nms:
+            c = F.col(n).isNotNull().cast("int")
+            e = c if e is None else e + c
+        return e
+
+    if mode == "mix":
+        n_must, msm = extra
+        keep = cnt(names[:n_must]) >= F.lit(n_must)
+        if msm > 0:
+            keep = keep & (cnt(names[n_must:]) >= F.lit(msm))
+        return keep
+    if mode == "and":
+        need = len(names)
+    elif mode == "dismax":
+        need = 1
+    else:
+        need = max(extra, 1)
+    return cnt(names) >= F.lit(need)
+
+
 def _columnar_hits(index, plan: "QueryPlan") -> DataFrame | None:
     """ALL matching (doc_id, score) rows for a columnar-eligible query as
     ONE declarative plan over the decoded cache — no Python stage, no
@@ -1780,32 +1810,10 @@ def _columnar_hits(index, plan: "QueryPlan") -> DataFrame | None:
             )
             tie_f = F.lit(float(np.float32(extra))).cast("float")
             score = smax + tie_f * (score - smax)
-        # match predicate: count present clauses — ALL for "and"; for
-        # "mix" the MUST prefix must be complete AND (when msm>0) the
-        # SHOULD suffix must reach msm (clauses are MUST-first); >=msm
-        # ("or") or >=1 ("dismax") otherwise
-        def _present_count(idxs):
-            e = None
-            for i in idxs:
-                c = F.col(f"_s{i}").isNotNull().cast("int")
-                e = c if e is None else e + c
-            return e
-
-        if mode == "mix":
-            n_must, msm = extra
-            keep = _present_count(range(n_must)) >= F.lit(n_must)
-            if msm > 0:
-                keep = keep & (
-                    _present_count(range(n_must, n_cl)) >= F.lit(msm)
-                )
-        else:
-            if mode == "and":
-                need = n_cl
-            elif mode == "dismax":
-                need = 1
-            else:
-                need = max(extra, 1)
-            keep = _present_count(range(n_cl)) >= F.lit(need)
+        # match predicate: shared mix/msm-aware clause counting
+        # (_clause_match_pred; clauses are MUST-first for "mix")
+        keep = _clause_match_pred(
+            mode, extra, [f"_s{i}" for i in range(n_cl)])
         hits = grouped.filter(
             keep & (F.coalesce(F.col("_mn"), F.lit(0)) == 0)
         ).select("doc_id", score.alias("score"))
@@ -2155,26 +2163,7 @@ def _columnar_many_clause_hits(decoded, specs: list) -> DataFrame:
             )
             tie_f = F.lit(float(np.float32(extra))).cast("float")
             score = smax + tie_f * (score - smax)
-        def _present_count(nms):
-            e = None
-            for name in nms:
-                c = F.col(name).isNotNull().cast("int")
-                e = c if e is None else e + c
-            return e
-
-        if mode == "mix":
-            n_must, msm = extra
-            keep = _present_count(names[:n_must]) >= F.lit(n_must)
-            if msm > 0:  # >= msm optionals must also match (mix filters)
-                keep = keep & (_present_count(names[n_must:]) >= F.lit(msm))
-        else:
-            if mode == "and":
-                need = len(names)
-            elif mode == "dismax":
-                need = 1
-            else:
-                need = max(extra, 1)
-            keep = _present_count(names) >= F.lit(need)
+        keep = _clause_match_pred(mode, extra, names)
         if mn_name is not None:
             keep = keep & (F.coalesce(F.col(mn_name), F.lit(0)) == 0)
         structs.append(

@@ -198,7 +198,17 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
             marks = dict(index.meta.get("stream_batches_applied", {}))
             marks[stream_key] = max(int(marks.get(stream_key, -1)),
                                     int(stream_batch_id))
+            # bound the map: dicts round-trip through JSON in insertion
+            # order, so dropping from the front evicts the longest-idle
+            # stream keys (32 concurrent named streams is far past any
+            # real attach fan-in)
+            while len(marks) > 32:
+                del marks[next(iter(marks))]
             index.meta["stream_batches_applied"] = marks
+            # legacy global watermark (pre-per-stream meta) is migrated by
+            # the first applied batch — attach_stream adopted it as this
+            # stream's floor, so dropping it loses nothing
+            index.meta.pop("stream_batch_applied", None)
     index.meta.pop("stats_dir", None)  # legacy single-pointer form
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
@@ -256,15 +266,27 @@ def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
     losing every batch below the previous query's high-water mark.
     Resuming an interrupted stream requires reusing the SAME checkpoint
     (that is already Structured Streaming's contract — a fresh checkpoint
-    replays the source from scratch)."""
+    replays the source from scratch).  Deleting and RECREATING a
+    checkpoint directory at the same path to reprocess a source keeps the
+    old path-keyed watermark — pass a fresh `stream_name` or call
+    `reset_stream_watermark` first, or every replayed batch is skipped.
+
+    Migration: an index written before per-stream watermarks carries a
+    single legacy int (`stream_batch_applied`).  The first attach after
+    the upgrade adopts it as this stream's initial watermark — a resumed
+    pre-upgrade checkpoint keeps exactly-once (and a brand-new query sees
+    exactly the pre-upgrade behavior, no worse); the first applied batch
+    migrates the value into the per-stream map and drops the legacy key."""
     import hashlib
 
     key = stream_name or hashlib.sha1(
         os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+    legacy = (int(index.meta.get("stream_batch_applied", -1))
+              if "stream_batches_applied" not in index.meta else -1)
 
     def handle(batch_df: DataFrame, batch_id: int):
         marks = index.meta.get("stream_batches_applied", {})
-        if int(batch_id) <= int(marks.get(key, -1)):
+        if int(batch_id) <= max(int(marks.get(key, -1)), legacy):
             return  # replayed batch: the index already holds it
         if batch_df.isEmpty():
             return
@@ -276,6 +298,26 @@ def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def reset_stream_watermark(index: Index, checkpoint: str | None = None,
+                           stream_name: str | None = None) -> None:
+    """Forget the applied-batch watermark for one stream (by the same key
+    attach_stream derives: `stream_name` if given, else the checkpoint
+    path).  Use before reprocessing a source from scratch at a REUSED
+    checkpoint path — the path-keyed watermark would otherwise skip every
+    replayed batch."""
+    import hashlib
+
+    if stream_name is None and checkpoint is None:
+        raise ValueError("pass checkpoint or stream_name")
+    key = stream_name or hashlib.sha1(
+        os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+    marks = dict(index.meta.get("stream_batches_applied", {}))
+    if key in marks:
+        del marks[key]
+        index.meta["stream_batches_applied"] = marks
+        index._swap_meta()
 
 
 def windowed_event_counts(events: DataFrame, hours: int = 6,

@@ -144,16 +144,28 @@ def pending(index: Index) -> list[dict]:
 
 
 def _dead_list_orphans(index: Index, nparts: int) -> bool:
-    """Dead-list the current epoch's deterministic seg-id range if a
-    crashed apply attempt left orphan segment files there, then bump the
-    epoch so the replay lands in a fresh range.  One footer-pruned
-    existence probe; records the range only when orphan rows exist.
-    Returns True if a range was dead-listed."""
+    """Dead-list the seg-id range a crashed apply attempt would have
+    written, then advance the id allocator so the replay lands in a fresh
+    range.  One footer-pruned existence probe; records the range only
+    when orphan rows exist.  Returns True if a range was dead-listed.
+
+    The probed range MUST be computed with the same
+    max(epoch-formula, pid_hwm) clamp `append_batch` uses to pick its
+    pid_base — probing the bare epoch formula when pid_hwm dominates
+    would both miss the real orphans (the replay then re-appends into
+    the identical seg ids, doubling the batch) and dead-list seg ids a
+    PREVIOUS successful append legitimately owns (data loss).  For the
+    same reason the swap bumps pid_hwm past the dead range, not just the
+    epoch: when pid_hwm was the binding term, an epoch bump alone would
+    re-issue the dead-listed ids to the replay itself."""
     from .streaming import STREAM_PARTITION_BASE
 
     spark = index.spark
     epoch = int(index.meta.get("stream_epoch", 0))
-    pid_base = STREAM_PARTITION_BASE + epoch * max(nparts, 1) * 2
+    pid_base = max(
+        STREAM_PARTITION_BASE + epoch * max(nparts, 1) * 2,
+        int(index.meta.get("pid_hwm", 0)),
+    )
     lo = pid_base << 20
     hi = (pid_base + 2 * max(nparts, 1)) << 20
     orphans = (
@@ -167,9 +179,11 @@ def _dead_list_orphans(index: Index, nparts: int) -> bool:
     dead = list(index.meta.get("dead_segs", []))
     dead.append([lo, hi])
     index.meta["dead_segs"] = dead
-    # epoch bump moves the replay out of the dead range; the swap is
-    # atomic, so a crash here just re-runs this probe
+    # epoch + pid_hwm bump together guarantee the replay's pid_base lands
+    # past the dead range; the swap is atomic, so a crash here just
+    # re-runs this probe
     index.meta["stream_epoch"] = epoch + 1
+    index.meta["pid_hwm"] = pid_base + 2 * max(nparts, 1)
     index._swap_meta()
     index._postings_df = None
     index._df_cache = None
