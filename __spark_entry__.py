@@ -977,9 +977,10 @@ _PERMANENT_GATES = (
 _ROTATING_GATES = (
     # new oracle gates this round (mix-msm semantics fix + sloppy phrase)
     "engine_mm_mix", "engine_sloppy", "engine_sloppy2",
-    # spans / surround family (positional SQL oracles)
+    # spans family (positional SQL oracles; span_not/surround rotate r6)
     "engine_span_near", "engine_span_or", "engine_span_first",
-    "engine_span_not",
+    # QUERY fq through the filterCache (new r5 surface)
+    "engine_fq_query",
     # non-default similarities (Classic TF-IDF, LM, DFR, IB)
     "engine_classic_term", "engine_classic_or", "engine_classic_and",
     "engine_lmd_term", "engine_lmjm_or", "engine_dfr_term",
@@ -1262,6 +1263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Solr /select flow: fq numeric range filtered BEFORE the top-k cut
         # (E15 on the engine surface), fl projection
         "engine_fq_select": _engine_fq_select,
+        # QUERY fq (Solr: any query can be a filter): filter-before-rank
+        # by the fq query's match set, served through the filterCache
+        "engine_fq_query": _engine_fq_query,
         # Solr QParsers in fq: {!terms} set filter + {!hash} worker
         # partitioner ((hash & 0x7FFFFFFF) % workers == worker)
         "engine_fq_qparsers": _engine_fq_qparsers,
@@ -3191,6 +3195,21 @@ def _engine_fq_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return solr_select(
         idx, _HOT, fq="doclen:[50 TO 200]",
         fl=["doc_id", "score", "doclen"], rows=10,
+    )
+
+
+def _engine_fq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /select with a QUERY fq: q=hot, fq='fast AND key' — any query
+    is a valid filter (SolrIndexSearcher.getDocSet over the parsed filter
+    list); the match set filters BEFORE ranking and rides the
+    filterCache (its DocSet costs a scoring pass to recompute — the exact
+    shape the cache exists for)."""
+    from voyagr_spark.solr_api import solr_select
+
+    idx = _engine_index(spark, sf_dir)
+    return solr_select(
+        idx, _HOT, fq=f"{_OR3[0]} AND {_OR3[1]}",
+        fl=["doc_id", "score"], rows=10,
     )
 
 
@@ -5766,6 +5785,19 @@ docmap AS (SELECT doc_id, text FROM bdoc)"""
                      ORDER BY t.score DESC, t.doc_id ASC) AS rn
             FROM ({_SQL_TERM.format(t=_HOT)}) t JOIN dl USING (doc_id)
             WHERE dl.doclen BETWEEN 50 AND 200
+          ) WHERE rn <= 10"""
+    # QUERY fq: the fq's match set is a plain doc-set intersection (its
+    # scores are discarded — fq never contributes to ranking)
+    d["engine_fq_query"] = _engine_base_sql() + f"""
+          SELECT doc_id, score FROM (
+            SELECT t.doc_id, t.score,
+                   row_number() OVER (
+                     ORDER BY t.score DESC, t.doc_id ASC) AS rn
+            FROM ({_SQL_TERM.format(t=_HOT)}) t
+            WHERE t.doc_id IN (SELECT doc_id FROM tf
+                               WHERE term = '{_OR3[0]}')
+              AND t.doc_id IN (SELECT doc_id FROM tf
+                               WHERE term = '{_OR3[1]}')
           ) WHERE rn <= 10"""
     # filterCache-backed faceted browse: BM25 match set (term presence),
     # fq DocSet intersection, per-repo bucket counts

@@ -31,8 +31,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = int(os.environ.get("VOYAGR_SOAK_RUNS", "5"))
 
 #: 4 repeating fqs x 20 q terms = the browse workload (hit-heavy: after
-#: the first pass every fq is cached until a commit)
-FQS = ["lang:python", "lang:java", "doclen:[50 TO 200]", "lang:go"]
+#: the first pass every fq is cached until a commit).  Two fq families
+#: measured separately: docmap-field predicates (recompute = a pushed
+#: scan predicate) vs QUERY fqs (recompute = a scoring pass — the DocSet
+#: shape the filterCache exists for)
+FQS_PRED = ["lang:python", "lang:java", "doclen:[50 TO 200]", "lang:go"]
+FQS_QUERY = ["fast AND key", "batch OR merge", '"fast key"',
+             "scan AND row"]
 QTERMS = ["batch", "dup", "fast", "key", "vector", "merge", "scan",
           "join", "sort", "group", "table", "row", "column", "query",
           "stream", "window", "filter", "value", "data", "spark"]
@@ -69,40 +74,41 @@ def main() -> None:
             search(idx, q, k=10).collect()
 
         # ---- A. filterCache: browse workload, cache vs bypass ----------
-        def browse(prefix: str) -> float:
+        def browse(fqs, prefix: str) -> float:
             t0 = time.time()
             for qt in QTERMS:
-                for f_ in FQS:
+                for f_ in fqs:
                     solr_select(idx, qt, fq=prefix + f_, rows=10).collect()
             return time.time() - t0
 
-        clear_filter_cache(idx)
-        browse("")  # warm pass: populates the cache (all misses)
-        stats0 = dict(idx._fq_cache_stats)
-        t_cached = min(browse("") for _ in range(3))
-        stats1 = dict(idx._fq_cache_stats)
-        t_bypass = min(browse("{!cache=false}") for _ in range(3))
-        reqs = len(QTERMS) * len(FQS)
-        hits = stats1["hits"] - stats0["hits"]
-        misses = stats1["misses"] - stats0["misses"]
         lines += [
             "## filterCache under a browse workload "
-            f"({len(QTERMS)} q x {len(FQS)} fq = {reqs} requests/pass)",
+            f"({len(QTERMS)} q x 4 fq = {len(QTERMS) * 4} requests/pass, "
+            "min of 3 post-warm passes)",
             "",
-            f"| config | wall/pass (min of 3) | per-request |",
-            f"|---|---|---|",
-            f"| cached (post-warm) | {t_cached:.2f}s "
-            f"| {1000 * t_cached / reqs:.0f}ms |",
-            f"| `{{!cache=false}}` bypass | {t_bypass:.2f}s "
-            f"| {1000 * t_bypass / reqs:.0f}ms |",
-            "",
-            f"Post-warm passes: {hits} hits / {misses} misses over "
-            f"{3 * reqs} requests (hit rate "
-            f"{100 * hits / max(1, hits + misses):.1f}%); speedup "
-            f"{t_bypass / t_cached:.2f}x.",
-            "",
+            "| fq family | cached wall/pass | bypass wall/pass | speedup "
+            "| hit rate |",
+            "|---|---|---|---|---|",
         ]
-        print(lines[-2], flush=True)
+        for fam, fqs in (("docmap predicates", FQS_PRED),
+                         ("QUERY fqs", FQS_QUERY)):
+            clear_filter_cache(idx)
+            browse(fqs, "")  # warm pass: populates the cache (all misses)
+            stats0 = dict(idx._fq_cache_stats)
+            t_cached = min(browse(fqs, "") for _ in range(3))
+            stats1 = dict(idx._fq_cache_stats)
+            t_bypass = min(browse(fqs, "{!cache=false}") for _ in range(3))
+            reqs = len(QTERMS) * len(fqs)
+            hits = stats1["hits"] - stats0["hits"]
+            misses = stats1["misses"] - stats0["misses"]
+            lines.append(
+                f"| {fam} | {t_cached:.2f}s "
+                f"({1000 * t_cached / reqs:.0f}ms/req) | {t_bypass:.2f}s "
+                f"({1000 * t_bypass / reqs:.0f}ms/req) "
+                f"| {t_bypass / t_cached:.2f}x "
+                f"| {100 * hits / max(1, hits + misses):.1f}% |")
+            print(lines[-1], flush=True)
+        lines.append("")
 
         # ---- A2. eviction churn: distinct fqs > FILTER_CACHE_MAX -------
         churn_fqs = [f"doclen:[10 TO {200 + i}]" for i in range(96)]

@@ -164,3 +164,73 @@ def test_facet_domain_consults_cache(built_index):
         SA.scores(built_index, "file").select("doc_id"), "doc_id", "semi"
     ).filter(SA._fq_predicate(fq))
     assert json_facet(dm, spec) == r1
+
+
+def test_query_fq_matches_predicate_free_semantics(built_index):
+    """fq as a FULL QUERY (r5 surface — Solr: any query is a filter):
+    /select with fq='open AND file' equals filtering the scored set by
+    the fq query's match set; cached and {!cache=false} bypass agree."""
+    import numpy as np
+
+    from voyagr_spark.search import scores, search
+
+    clear_filter_cache(built_index)
+    fq = "open AND file"
+    got = solr_select(built_index, "parse", fq=fq, rows=10**6).collect()
+    allowed = {r["doc_id"] for r in scores(built_index, fq).collect()}
+    want = [r for r in search(built_index, "parse", k=10**6)
+            .join(built_index.docmap(), "doc_id").collect()
+            if r["doc_id"] in allowed]
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in want}
+    gs = {r["doc_id"]: np.float32(r["score"]) for r in got}
+    ws = {r["doc_id"]: np.float32(r["score"]) for r in want}
+    assert gs == ws  # fq never changes the q scores
+    bypass = solr_select(built_index, "parse",
+                         fq="{!cache=false}" + fq, rows=10**6).collect()
+    assert {r["doc_id"] for r in bypass} == {r["doc_id"] for r in got}
+
+
+def test_query_fq_rides_the_cache(built_index, monkeypatch):
+    """A repeated query-fq is a HIT: the DocSet (a scoring pass to
+    recompute) is served from the cache with zero re-evaluation."""
+    clear_filter_cache(built_index)
+    fq = "open AND file"
+    ds0, small = filter_docset(built_index, fq)
+    s1 = _stats(built_index)
+    assert s1["misses"] == 1
+    # poison both evaluation inputs: a hit must touch neither
+    def boom(*a, **k):
+        raise AssertionError("fq re-evaluated on a cache hit")
+
+    monkeypatch.setattr(built_index, "docmap", boom, raising=False)
+    monkeypatch.setattr(built_index, "postings", boom, raising=False)
+    ds1, _ = filter_docset(built_index, fq)
+    assert _stats(built_index)["hits"] == 1
+    assert ds1 is ds0
+
+
+def test_query_fq_everywhere_consumers(built_index):
+    """export / cursor_page / facet_domain accept query fqs too (they all
+    route through apply_fq)."""
+    from voyagr_spark.solr_api import cursor_page, export, facet_domain
+
+    clear_filter_cache(built_index)
+    fq = "open AND file"
+    ex = export(built_index, "parse", fl=["doc_id"], sort="doc_id asc",
+                fq=fq).collect()
+    from voyagr_spark.search import scores
+
+    allowed = {r["doc_id"] for r in scores(built_index, fq).collect()}
+    assert ex and {r["doc_id"] for r in ex} <= allowed
+    page, _mark = cursor_page(built_index, "parse", sort="doc_id asc",
+                              rows=5, fq=fq)
+    assert {r["doc_id"] for r in page.collect()} <= allowed
+    dom = facet_domain(built_index, q="parse", fq=fq)
+    assert {r["doc_id"] for r in dom.select("doc_id").collect()} <= allowed
+
+
+def test_unknown_field_fq_still_loud(built_index):
+    """`field:value` with an unknown field stays a loud error — it must
+    NOT silently fall back to a query parse of 'nofield:x'."""
+    with pytest.raises(ValueError, match="unknown fq field"):
+        solr_select(built_index, "file", fq="nofield:x", rows=5).collect()

@@ -7,10 +7,14 @@ sort, offset, len; solr/core/src/java/org/apache/solr/handler/component/
 QueryComponent.java builds it from the params):
 
 * q      -> the main scored query (our parser syntax)
-* fq     -> non-scoring filter queries over docmap metadata fields
-            (`lang:java`, `repo:foo*`) — Solr's cached filters become plain
-            Catalyst predicates, applied to ALL matches BEFORE ranking, so
-            the top-k cut is taken on the filtered set exactly like Solr
+* fq     -> non-scoring filter queries, applied to ALL matches BEFORE
+            ranking so the top-k cut is taken on the filtered set exactly
+            like Solr.  Two forms: docmap metadata predicates
+            (`lang:java`, `repo:foo*`, ranges, {!terms}/{!hash}/{!frange})
+            compile to plain pushed-down Catalyst predicates; anything
+            else parses as a FULL QUERY (Solr's fq accepts any query) and
+            filters by its match set — the expensive-to-recompute DocSet
+            shape the filterCache exists for
 * fl     -> projection over docmap fields (+ score)
 * sort   -> "score desc" (default), or "<field> asc|desc" over docmap
             fields; doc_id is always the final tiebreaker
@@ -636,7 +640,7 @@ def filter_docset(index, fq: str) -> tuple[DataFrame, bool]:
     # tier (<= FILTER_CACHE_SMALL_ROWS ids) into the driver-side
     # LocalRelation, releasing the executor copy
     pers = (
-        index.docmap().filter(_fq_predicate(fq)).select("doc_id")
+        _fq_docset_df(index, fq)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = pers.count()
@@ -674,9 +678,36 @@ def apply_fq(index, df: DataFrame, fq: str, use_cache: bool = True) -> DataFrame
     if m:
         fq, use_cache = m.group(1), False
     if not use_cache or getattr(index, "_no_filter_cache", False):
-        return df.filter(_fq_predicate(fq))
+        try:
+            return df.filter(_fq_predicate(fq))
+        except ValueError as e:
+            if "unsupported fq syntax" not in str(e):
+                raise  # unknown field / unknown qparser stay loud
+            # QUERY fq, uncached: one-shot semi join against its match set
+            return df.join(scores(index, fq).select("doc_id"),
+                           "doc_id", "semi")
     ds, small = filter_docset(index, fq)
     return df.join(F.broadcast(ds) if small else ds, "doc_id", "semi")
+
+
+def _fq_docset_df(index, fq: str) -> DataFrame:
+    """The fq's DocSet as a doc_id frame.
+
+    `field:value` forms (ranges, wildcards, {!terms}/{!hash}/{!frange})
+    compile to a docmap predicate; anything else parses as a FULL QUERY —
+    Solr's fq accepts any query (SolrIndexSearcher.getDocSet over the
+    parsed filter list), e.g. fq=batch AND dup — whose doc set is the
+    match set of the engine's own scorer (scores(), scores discarded,
+    live-docs filtered).  Query fqs are exactly the DocSets the
+    filterCache exists for: recomputing one costs a scoring pass, not a
+    pushed-down scan predicate."""
+    try:
+        pred = _fq_predicate(fq)
+    except ValueError as e:
+        if "unsupported fq syntax" not in str(e):
+            raise  # unknown field / unknown qparser stay loud
+        return scores(index, fq).select("doc_id")
+    return index.docmap().filter(pred).select("doc_id")
 
 
 def clear_filter_cache(index) -> None:
