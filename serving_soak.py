@@ -92,11 +92,12 @@ def main() -> None:
         ]
         for fam, fqs in (("docmap predicates", FQS_PRED),
                          ("QUERY fqs", FQS_QUERY)):
+            _zero = {"hits": 0, "misses": 0, "evictions": 0}
             clear_filter_cache(idx)
             browse(fqs, "")  # warm pass: populates the cache (all misses)
-            stats0 = dict(idx._fq_cache_stats)
+            stats0 = dict(getattr(idx, "_fq_cache_stats", _zero))
             t_cached = min(browse(fqs, "") for _ in range(3))
-            stats1 = dict(idx._fq_cache_stats)
+            stats1 = dict(getattr(idx, "_fq_cache_stats", _zero))
             t_bypass = min(browse(fqs, "{!cache=false}") for _ in range(3))
             reqs = len(QTERMS) * len(fqs)
             hits = stats1["hits"] - stats0["hits"]
@@ -106,19 +107,25 @@ def main() -> None:
                 f"({1000 * t_cached / reqs:.0f}ms/req) | {t_bypass:.2f}s "
                 f"({1000 * t_bypass / reqs:.0f}ms/req) "
                 f"| {t_bypass / t_cached:.2f}x "
-                f"| {100 * hits / max(1, hits + misses):.1f}% |")
+                + ("| n/a (predicates never cache) |"
+                   if hits + misses == 0 else
+                   f"| {100 * hits / (hits + misses):.1f}% |"))
             print(lines[-1], flush=True)
         lines.append("")
 
-        # ---- A2. eviction churn: distinct fqs > FILTER_CACHE_MAX -------
-        churn_fqs = [f"doclen:[10 TO {200 + i}]" for i in range(96)]
+        # ---- A2. eviction churn: distinct QUERY fqs > FILTER_CACHE_MAX
+        # (field predicates never cache since r5, so churn is a
+        # query-fq-only phenomenon)
+        churn_fqs = [f"{a} OR {b}" for a in QTERMS[:12]
+                     for b in QTERMS[12:20]][:96]
         clear_filter_cache(idx)
         t0 = time.time()
         for _ in range(2):  # 2 cycles: second cycle re-misses evicted fqs
             for f_ in churn_fqs:
                 solr_select(idx, "batch", fq=f_, rows=10).collect()
         t_churn = time.time() - t0
-        st = dict(idx._fq_cache_stats)
+        st = dict(getattr(idx, "_fq_cache_stats",
+                          {"hits": 0, "misses": 0, "evictions": 0}))
         lines += [
             f"## Eviction churn ({len(churn_fqs)} distinct fqs > "
             f"FILTER_CACHE_MAX={FILTER_CACHE_MAX}, 2 cycles)",

