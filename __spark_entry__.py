@@ -1108,6 +1108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the codebooks/LUT embedded as literals (test_pq pins the argmin
         # and round-boundary margins that make the float compare stable)
         "ann_pq_topk": _ann_pq_topk,
+        # IVFADC (Jegou et al. TPAMI 2011, non-residual): coarse cell
+        # pruning + PQ ADC over the (vec_id, cell, code) layout — the
+        # billion-scale ANN composition of the two gates above
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         # real BPE token counting (Sennrich 2016): corpus-trained merges,
         # distinct-word encode, broadcast-join counts back (n_words, n_bpe)
         "bpe_token_counts": lambda s, d: _BPE.bpe_token_counts(s, d, 40),
@@ -1669,6 +1673,32 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(codes, books, q, k=10, exclude_vec_id=0)
 
 
+def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN end-to-end at the gate sf: deterministic full-table
+    coarse k-means (ivf_kmeans — the same numpy loop ivf_train_centroids
+    runs after its sample; full-table + id-ordered so the DuckDB oracle
+    re-trains bit-identical centroids) + the gate PQ codebooks, encode to
+    the (vec_id, cell, code) IVFADC layout, probe 3 of 8 cells, ADC
+    top-10 (query = vec 0, excluded)."""
+    import numpy as np
+
+    from voyagr_spark.pipeline import (_l2_normalize, ivf_assign,
+                                       ivf_kmeans, ivfpq_encode,
+                                       ivfpq_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    xn = _l2_normalize(x)
+    cents = ivf_kmeans(xn, n_centroids=8, iters=5, seed=42)
+    books = _pq_gate_books(xn)
+    assigned = ivf_assign(emb, cents)
+    index_df = ivfpq_encode(assigned, books)
+    q = x[int(np.flatnonzero(pdf["vec_id"].to_numpy() == 0)[0])]
+    return ivfpq_topk(index_df, books, cents, q, k=10, nprobe=3,
+                      exclude_vec_id=0)
+
+
 def _bpe_oracle() -> str:
     """The bpe_token_counts oracle: learn the same merge table from the same
     corpus word counts with the same pure-python bpe_learn (bit-identical by
@@ -1728,6 +1758,36 @@ def _pq_oracle() -> str:
     q = x[int(np.flatnonzero(ids == 0)[0])]
     lut = pq_adc_table(books, q)
     return pq_oracle_sql(books, lut, k=10, exclude_vec_id=0)
+
+
+def _ivfpq_oracle() -> str:
+    """The ann_ivfpq_topk oracle: re-train the identical coarse centroids
+    (ivf_kmeans on the id-ordered full table) and PQ codebooks, compute
+    the probe list driver-side (argsort of centroid dots, same as
+    ivfpq_topk), and render cell-assign + probe filter + encode + ADC
+    top-k as one DuckDB statement (pq_oracle_sql coarse extension)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from voyagr_spark.pipeline import (
+        _l2_normalize, ivf_kmeans, pq_adc_table, pq_oracle_sql)
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = papq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = np.asarray(t.column("vec_id"))
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    xn = _l2_normalize(x)
+    cents = ivf_kmeans(xn, n_centroids=8, iters=5, seed=42)
+    books = _pq_gate_books(xn)
+    q = x[int(np.flatnonzero(ids == 0)[0])]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cents @ qn))[:3].tolist()
+    lut = pq_adc_table(books, q)
+    return pq_oracle_sql(books, lut, k=10, exclude_vec_id=0,
+                         coarse_cents=cents, probe_cells=probe)
 
 
 _ADDIDX_CACHE: dict = {}
@@ -4689,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
     # the codebooks/LUT as literals — upgrades the former rows-only entry
     # to hash-exact (margins pinned in test_pq.py::test_gate_margins)
     d["ann_pq_topk"] = _pq_oracle()
+    d["ann_ivfpq_topk"] = _ivfpq_oracle()
     # BPE token counting: the oracle learns the identical merge table from
     # the same corpus word counts and embeds word -> subtoken-count literals
     d["bpe_token_counts"] = _bpe_oracle()

@@ -452,17 +452,7 @@ def ivf_train_centroids(
     # a bare limit() would read only the first partitions
     pdf = src.orderBy(F.rand(seed)).limit(sample_rows).toPandas()
     x = _l2_normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
-                         replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(cents.shape[0]):
-            members = x[assign == c]
-            if members.shape[0]:
-                cents[c] = members.mean(axis=0)
-        cents = _l2_normalize(cents)
-    return cents
+    return ivf_kmeans(x, n_centroids=n_centroids, iters=iters, seed=seed)
 
 
 def ivf_assign(
@@ -732,6 +722,96 @@ def pq_topk(
     return _ranked(distributed_topk(scored, k, by), by, ["vec_id", "adc4"])
 
 
+def ivf_kmeans(x: np.ndarray, n_centroids: int = 8, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd's k-means over an already L2-normalized float64
+    matrix -> (n_centroids, dim) unit centroids — the same loop
+    ivf_train_centroids runs after its Spark-side sample, factored out so
+    a deterministic full-table caller (the gate / its DuckDB oracle
+    generator) re-trains bit-identical centroids."""
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]),
+                         replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                cents[c] = members.mean(axis=0)
+        cents = _l2_normalize(cents)
+    return cents
+
+
+def ivfpq_encode(assigned: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """-> DataFrame(vec_id, cell, code): the IVFADC storage layout —
+    coarse cell + PQ code per vector (Jegou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011, §V —
+    the non-residual variant: ONE global codebook over the vectors
+    themselves, so the code is cell-independent and re-bucketing never
+    re-encodes).
+
+    Scale shape: one Arrow-batch encode pass over the ivf_assign output;
+    at 100 TB the result is written partitioned/bucketed by `cell`, so a
+    query reads only the probed cells' code files — M bytes/vector
+    instead of 4*dim, the reason IVFADC is the standard billion-scale
+    layout."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    sel = assigned.select("vec_id", "cell", F.col("embedding").alias("vec"))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("code", T.ArrayType(T.LongType())),
+    ])
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            pdf = b.to_pandas()
+            if not len(pdf):
+                continue
+            x = _l2_normalize(np.array(pdf["vec"].tolist(), dtype=np.float64))
+            codes = np.empty((x.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {"vec_id": pdf["vec_id"].to_numpy(),
+                 "cell": pdf["cell"].to_numpy(),
+                 "code": list(codes)},
+                schema=pa.schema([pa.field("vec_id", pa.int64()),
+                                  pa.field("cell", pa.int64()),
+                                  pa.field("code", pa.list_(pa.int64()))]),
+            )
+
+    return sel.mapInArrow(kernel, schema)
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVFADC search (Jegou et al., TPAMI 2011, Algorithm: coarse probe
+    + asymmetric distance over codes): filter the (vec_id, cell, code)
+    table to the `nprobe` cells nearest the query — a plain Catalyst
+    predicate that partition-prunes when the table is bucketed by cell —
+    then the standard PQ ADC top-k over the surviving codes.
+    nprobe = n_centroids degrades to exact pq_topk over every code (the
+    correctness anchor the tests pin)."""
+    cents = _l2_normalize(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cents @ qn))[:nprobe].tolist()
+    sel = index_df.filter(F.col("cell").isin(probe))
+    return pq_topk(sel, codebooks, query_vec, k=k,
+                   exclude_vec_id=exclude_vec_id)
+
+
 def pq_reconstruct(codebooks: np.ndarray, code: np.ndarray) -> np.ndarray:
     """Decode one PQ code back to its centroid concatenation (the ADC
     identity anchor: adc(q, code) == dot(q_norm, reconstruct(code)))."""
@@ -746,6 +826,8 @@ def pq_oracle_sql(
     k: int = 10,
     exclude_vec_id: int | None = 0,
     table: str = "embeddings",
+    coarse_cents: np.ndarray | None = None,
+    probe_cells: list[int] | None = None,
 ) -> str:
     """Render the whole PQ pipeline (encode + ADC top-k) as one DuckDB
     statement with the trained codebooks and the per-query ADC table
@@ -783,6 +865,38 @@ def pq_oracle_sql(
         fold = f"({fold} + max(CASE WHEN j = {j} THEN lv END))"
     excl = (f"WHERE vec_id <> {int(exclude_vec_id)}"
             if exclude_vec_id is not None else "")
+    # optional IVFADC coarse stage: assign each vector to its nearest
+    # (max-dot, tie -> lowest cell like np.argmax) embedded centroid and
+    # keep only the probed cells' vectors — the SQL twin of
+    # ivf_assign + ivfpq_topk's cell predicate
+    coarse_ctes, src = "", "xn"
+    if coarse_cents is not None:
+        cc = np.asarray(coarse_cents, dtype=np.float64)
+        dim = cc.shape[1]
+        cc_rows = ", ".join(
+            "(" + f"{int(i)}, " + ", ".join(
+                f"{float(v)!r}::DOUBLE" for v in cc[i]) + ")"
+            for i in range(cc.shape[0])
+        )
+        wcols = ", ".join(f"w{i}" for i in range(1, dim + 1))
+        cdot = " + ".join(f"x.emb[{i}]/x.nrm*cc.w{i}"
+                          for i in range(1, dim + 1))
+        probes = ", ".join(str(int(p)) for p in (probe_cells or []))
+        coarse_ctes = f"""
+ccent(cc, {wcols}) AS (VALUES {cc_rows}),
+cellassign AS (
+  SELECT vec_id, cc FROM (
+    SELECT x.vec_id, cc.cc,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY ({cdot}) DESC, cc.cc ASC) AS rn
+    FROM xn x CROSS JOIN ccent cc
+  ) WHERE rn = 1
+),
+xp AS (
+  SELECT x.* FROM xn x JOIN cellassign ca USING (vec_id)
+  WHERE ca.cc IN ({probes})
+),"""
+        src = "xp"
     return f"""
 WITH xv AS (
   SELECT vec_id,
@@ -793,12 +907,12 @@ xn AS (
   SELECT vec_id, emb,
          sqrt(list_sum(list_transform(emb, e -> e * e))) AS nrm
   FROM xv
-),
+),{coarse_ctes}
 cent(j, c, cn2, {vcols}) AS (VALUES {", ".join(cent_rows)}),
 d AS (
   SELECT x.vec_id, ct.j, ct.c,
          -2 * ({dot}) + ct.cn2 AS dist
-  FROM xn x CROSS JOIN cent ct
+  FROM {src} x CROSS JOIN cent ct
 ),
 code AS (
   SELECT vec_id, j, c FROM (
