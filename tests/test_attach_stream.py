@@ -45,14 +45,25 @@ def test_new_query_after_old_watermark_is_not_skipped(spark, corpus_pdf,
         assert idx.max_doc == 120
         marks = idx.meta["stream_batches_applied"]
         assert list(marks.values()) == [0]
-        # legacy global int from an older build must also not interfere
-        idx.meta["stream_batch_applied"] = 99
         # stream 2: fresh checkpoint, batch ids restart at 0 — with a
         # global watermark this batch would be silently dropped
         _run_stream(spark, idx, corpus_pdf, tmp_path, "two", 120, 140)
         assert idx.max_doc == 140
         assert search(idx, "streamedtwo", k=5).count() > 0
         assert len(idx.meta["stream_batches_applied"]) == 2
+        # a LEGACY global watermark (pre-upgrade index) is a global
+        # floor: new streams under it are skipped (pre-upgrade
+        # behavior), and reset_stream_watermark lifts it
+        from voyagr_spark.streaming import reset_stream_watermark
+
+        idx.meta["stream_batch_applied"] = 99
+        idx._swap_meta()
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "three", 140, 160)
+        assert idx.max_doc == 140  # floored by the legacy watermark
+        reset_stream_watermark(idx, stream_name="any")  # pops the floor
+        assert "stream_batch_applied" not in idx.meta
+        _run_stream(spark, idx, corpus_pdf, tmp_path, "four", 140, 160)
+        assert idx.max_doc == 160
     finally:
         shutil.rmtree(idx.dir, ignore_errors=True)
 
@@ -80,10 +91,10 @@ def test_replayed_batch_of_same_query_is_skipped(spark, corpus_pdf,
 
 def test_legacy_global_watermark_migrates(spark, corpus_pdf, tmp_path):
     """A pre-upgrade index carries one global int watermark
-    (stream_batch_applied).  Resuming it must keep exactly-once: batch
-    ids at or below the legacy value are skipped, the first applied
-    batch migrates the watermark into the per-stream map and drops the
-    legacy key."""
+    (stream_batch_applied).  Resuming ANY pre-upgrade checkpoint keeps
+    exactly-once — the legacy value floors every stream regardless of
+    attach order; batches above it apply and earn per-stream map
+    entries.  The legacy key stays until reset_stream_watermark."""
     idx = _build(spark, corpus_pdf, tmp_path, "as_legacy")
     try:
         idx.meta["stream_batch_applied"] = 0  # legacy: batch 0 applied
@@ -105,7 +116,9 @@ def test_legacy_global_watermark_migrates(spark, corpus_pdf, tmp_path):
                           num_partitions=2).start()
         q.awaitTermination()
         assert idx.max_doc == 120
-        assert "stream_batch_applied" not in idx.meta
+        # legacy floor STAYS (a second pre-upgrade stream attaching later
+        # must keep its floor too); per-stream map has the new watermark
+        assert idx.meta["stream_batch_applied"] == 0
         assert list(idx.meta["stream_batches_applied"].values()) == [1]
     finally:
         shutil.rmtree(idx.dir, ignore_errors=True)

@@ -237,3 +237,16 @@ def test_unknown_field_fq_still_loud(built_index):
     NOT silently fall back to a query parse of 'nofield:x'."""
     with pytest.raises(ValueError, match="unknown fq field"):
         solr_select(built_index, "file", fq="nofield:x", rows=5).collect()
+
+
+def test_fielded_boolean_fq_is_loud(built_index):
+    """'lang:java OR lang:go' must neither bind as the literal equality
+    lang == 'java OR lang:go' (silent zero rows) nor fall into the
+    query-fq parse (the engine has no fielded query syntax): loud."""
+    with pytest.raises(ValueError, match="fielded boolean"):
+        solr_select(built_index, "file", fq="lang:java OR lang:go",
+                    rows=5).collect()
+    # the supported union spelling still works
+    rows = solr_select(built_index, "file",
+                       fq="{!terms f=lang}python,java", rows=5).collect()
+    assert isinstance(rows, list)

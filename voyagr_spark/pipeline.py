@@ -633,17 +633,22 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple = (),
 ) -> DataFrame:
-    """-> DataFrame(vec_id, code array<long> len m): per-subspace nearest
-    centroid, one distance matmul per subspace per Arrow batch."""
+    """-> DataFrame(vec_id, *carry, code array<long> len m): per-subspace
+    nearest centroid, one distance matmul per subspace per Arrow batch.
+    `carry` names long-typed columns passed through untouched (the
+    IVFADC layout rides this with carry=("cell",))."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = books.shape
     sel = emb.select(F.col(id_col).alias("vec_id"),
+                     *[F.col(c) for c in carry],
                      F.col(vec_col).alias("vec"))
-    schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("code", T.ArrayType(T.LongType())),
-    ])
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(c, T.LongType()) for c in carry]
+        + [T.StructField("code", T.ArrayType(T.LongType()))]
+    )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -658,11 +663,15 @@ def pq_encode(
                 # per row, so argmin over (-2 s.c + ||c||^2)
                 d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
                 codes[:, j] = np.argmin(d, axis=1)
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            cols.update({c: pdf[c].to_numpy() for c in carry})
+            cols["code"] = list(codes)
             yield pa.RecordBatch.from_pydict(
-                {"vec_id": pdf["vec_id"].to_numpy(),
-                 "code": list(codes)},
-                schema=pa.schema([pa.field("vec_id", pa.int64()),
-                                  pa.field("code", pa.list_(pa.int64()))]),
+                cols,
+                schema=pa.schema(
+                    [pa.field("vec_id", pa.int64())]
+                    + [pa.field(c, pa.int64()) for c in carry]
+                    + [pa.field("code", pa.list_(pa.int64()))]),
             )
 
     return sel.mapInArrow(kernel, schema)
@@ -750,41 +759,13 @@ def ivfpq_encode(assigned: DataFrame, codebooks: np.ndarray) -> DataFrame:
     themselves, so the code is cell-independent and re-bucketing never
     re-encodes).
 
-    Scale shape: one Arrow-batch encode pass over the ivf_assign output;
-    at 100 TB the result is written partitioned/bucketed by `cell`, so a
-    query reads only the probed cells' code files — M bytes/vector
-    instead of 4*dim, the reason IVFADC is the standard billion-scale
-    layout."""
-    books = np.asarray(codebooks, dtype=np.float64)
-    m, ksub, dsub = books.shape
-    sel = assigned.select("vec_id", "cell", F.col("embedding").alias("vec"))
-    schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("cell", T.LongType()),
-        T.StructField("code", T.ArrayType(T.LongType())),
-    ])
-
-    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            pdf = b.to_pandas()
-            if not len(pdf):
-                continue
-            x = _l2_normalize(np.array(pdf["vec"].tolist(), dtype=np.float64))
-            codes = np.empty((x.shape[0], m), dtype=np.int64)
-            for j in range(m):
-                sub = x[:, j * dsub:(j + 1) * dsub]
-                d = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)
-                codes[:, j] = np.argmin(d, axis=1)
-            yield pa.RecordBatch.from_pydict(
-                {"vec_id": pdf["vec_id"].to_numpy(),
-                 "cell": pdf["cell"].to_numpy(),
-                 "code": list(codes)},
-                schema=pa.schema([pa.field("vec_id", pa.int64()),
-                                  pa.field("cell", pa.int64()),
-                                  pa.field("code", pa.list_(pa.int64()))]),
-            )
-
-    return sel.mapInArrow(kernel, schema)
+    Scale shape: one Arrow-batch encode pass over the ivf_assign output
+    (pq_encode's kernel with the cell column carried through); at 100 TB
+    the result is written partitioned/bucketed by `cell`, so a query
+    reads only the probed cells' code files — M bytes/vector instead of
+    4*dim, the reason IVFADC is the standard billion-scale layout."""
+    out = pq_encode(assigned, codebooks, carry=("cell",))
+    return out.select("vec_id", "cell", "code")
 
 
 def ivfpq_topk(
@@ -871,6 +852,10 @@ def pq_oracle_sql(
     # ivf_assign + ivfpq_topk's cell predicate
     coarse_ctes, src = "", "xn"
     if coarse_cents is not None:
+        if not probe_cells:
+            raise ValueError(
+                "coarse_cents given but probe_cells is empty — an empty "
+                "IN () is invalid SQL; pass the probed cell ids")
         cc = np.asarray(coarse_cents, dtype=np.float64)
         dim = cc.shape[1]
         cc_rows = ", ".join(

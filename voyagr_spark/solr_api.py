@@ -690,12 +690,7 @@ def apply_fq(index, df: DataFrame, fq: str, use_cache: bool = True) -> DataFrame
     m = _CACHE_FALSE_RE.match(fq.strip())
     if m:
         fq, use_cache = m.group(1), False
-    try:
-        pred = _fq_predicate(fq)
-    except ValueError as e:
-        if "unsupported fq syntax" not in str(e):
-            raise  # unknown field / unknown qparser stay loud
-        pred = None
+    pred = _try_fq_predicate(fq)
     if pred is not None:
         return df.filter(pred)
     if not use_cache or getattr(index, "_no_filter_cache", False):
@@ -717,11 +712,8 @@ def _fq_docset_df(index, fq: str) -> DataFrame:
     live-docs filtered).  Query fqs are exactly the DocSets the
     filterCache exists for: recomputing one costs a scoring pass, not a
     pushed-down scan predicate."""
-    try:
-        pred = _fq_predicate(fq)
-    except ValueError as e:
-        if "unsupported fq syntax" not in str(e):
-            raise  # unknown field / unknown qparser stay loud
+    pred = _try_fq_predicate(fq)
+    if pred is None:
         return scores(index, fq).select("doc_id")
     return index.docmap().filter(pred).select("doc_id")
 
@@ -760,6 +752,18 @@ def facet_domain(
     return dm
 
 
+def _try_fq_predicate(fq: str):
+    """Field-form fq -> its Catalyst predicate; None when the fq is not
+    field-form (i.e. a QUERY fq).  Unknown fields, unknown qparsers, and
+    fielded boolean expressions stay loud — only the one 'not a
+    field:value form at all' case routes to the query-fq path.  The
+    single dispatch point apply_fq and _fq_docset_df share."""
+    if not (_LOCAL_PARAMS_RE.match(fq.strip())
+            or _FQ_RE.match(fq.strip())):
+        return None
+    return _fq_predicate(fq)
+
+
 def _fq_predicate(fq: str):
     lp = _LOCAL_PARAMS_RE.match(fq.strip())
     if lp:
@@ -779,9 +783,11 @@ def _fq_predicate(fq: str):
         if name == "hash":
             return _hash_qparser_predicate(params)
         if name == "frange":
-            # a pure docmap-field predicate (field vars validated inside),
-            # so EVERY fq consumer accepts it — /select, /export, cursor
-            # paging, facet domains — and it rides the filterCache
+            # a pure docmap-field predicate (field vars validated
+            # inside), so EVERY fq consumer accepts it — /select,
+            # /export, cursor paging, facet domains — applied as a
+            # pushed-down Catalyst predicate (field-form fqs never
+            # consult the filterCache since r5)
             return _frange_predicate(lp)
         raise ValueError(f"unsupported fq query parser {name!r}")
     m = _FQ_RE.match(fq.strip())
@@ -790,6 +796,14 @@ def _fq_predicate(fq: str):
     field, value = m.group(1), m.group(2)
     if field not in _DOCMAP_FIELDS and field != "doc_id":
         raise ValueError(f"unknown fq field {field!r}")
+    if " " in value and not re.match(r"^\[\S+ TO \S+\]$", value):
+        # 'lang:java OR lang:go' would otherwise bind as the literal
+        # equality lang == 'java OR lang:go' (silently zero rows), and
+        # the engine parser has no fielded syntax either — refuse loudly
+        raise ValueError(
+            f"fq {fq!r}: fielded boolean expressions are not supported — "
+            "use {!terms f=" + field + "}v1,v2 for a union, or separate "
+            "fq clauses for an intersection")
     col = F.col(field)
     if value.endswith("*"):
         return col.startswith(value[:-1])

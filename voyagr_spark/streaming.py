@@ -196,19 +196,18 @@ def append_batch(index: Index, docs: DataFrame, num_partitions: int = 4,
             )
         else:
             marks = dict(index.meta.get("stream_batches_applied", {}))
-            marks[stream_key] = max(int(marks.get(stream_key, -1)),
-                                    int(stream_batch_id))
-            # bound the map: dicts round-trip through JSON in insertion
-            # order, so dropping from the front evicts the longest-idle
-            # stream keys (32 concurrent named streams is far past any
+            new_mark = max(int(marks.get(stream_key, -1)),
+                           int(stream_batch_id))
+            # re-insert at the END so the JSON round-trip's insertion
+            # order tracks RECENCY — the bound below must evict the
+            # longest-idle stream's key, never the one just written
+            marks.pop(stream_key, None)
+            marks[stream_key] = new_mark
+            # bound the map (32 concurrent named streams is far past any
             # real attach fan-in)
             while len(marks) > 32:
                 del marks[next(iter(marks))]
             index.meta["stream_batches_applied"] = marks
-            # legacy global watermark (pre-per-stream meta) is migrated by
-            # the first applied batch — attach_stream adopted it as this
-            # stream's floor, so dropping it loses nothing
-            index.meta.pop("stream_batch_applied", None)
     index.meta.pop("stats_dir", None)  # legacy single-pointer form
     index.meta["stats_dirs"] = stats_dirs
     if keep is not None:
@@ -272,17 +271,19 @@ def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
     `reset_stream_watermark` first, or every replayed batch is skipped.
 
     Migration: an index written before per-stream watermarks carries a
-    single legacy int (`stream_batch_applied`).  The first attach after
-    the upgrade adopts it as this stream's initial watermark — a resumed
-    pre-upgrade checkpoint keeps exactly-once (and a brand-new query sees
-    exactly the pre-upgrade behavior, no worse); the first applied batch
-    migrates the value into the per-stream map and drops the legacy key."""
+    single legacy int (`stream_batch_applied`).  Every attach treats it
+    as a global floor — EVERY resumed pre-upgrade checkpoint keeps
+    exactly-once, regardless of attach order (and a brand-new query on a
+    legacy index sees exactly the pre-upgrade behavior, no worse).  The
+    key stays in meta; `reset_stream_watermark` removes it for a
+    deliberate reprocess (it is global, so the reset lifts the floor for
+    every legacy stream — the map entries written since keep their own
+    per-stream watermarks)."""
     import hashlib
 
     key = stream_name or hashlib.sha1(
         os.path.abspath(checkpoint).encode()).hexdigest()[:16]
-    legacy = (int(index.meta.get("stream_batch_applied", -1))
-              if "stream_batches_applied" not in index.meta else -1)
+    legacy = int(index.meta.get("stream_batch_applied", -1))
 
     def handle(batch_df: DataFrame, batch_id: int):
         marks = index.meta.get("stream_batches_applied", {})
@@ -314,8 +315,12 @@ def reset_stream_watermark(index: Index, checkpoint: str | None = None,
     key = stream_name or hashlib.sha1(
         os.path.abspath(checkpoint).encode()).hexdigest()[:16]
     marks = dict(index.meta.get("stream_batches_applied", {}))
-    if key in marks:
-        del marks[key]
+    # the legacy pre-upgrade watermark is a GLOBAL floor every attach
+    # consults — a reset that left it in place would be a silent no-op
+    # on a pre-upgrade index (replays still skipped under the floor)
+    had_legacy = index.meta.pop("stream_batch_applied", None) is not None
+    if key in marks or had_legacy:
+        marks.pop(key, None)
         index.meta["stream_batches_applied"] = marks
         index._swap_meta()
 
