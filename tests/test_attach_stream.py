@@ -60,7 +60,11 @@ def test_new_query_after_old_watermark_is_not_skipped(spark, corpus_pdf,
         idx._swap_meta()
         _run_stream(spark, idx, corpus_pdf, tmp_path, "three", 140, 160)
         assert idx.max_doc == 140  # floored by the legacy watermark
-        reset_stream_watermark(idx, stream_name="any")  # pops the floor
+        # a plain reset leaves the GLOBAL legacy floor (other pre-upgrade
+        # checkpoints still rely on it); include_legacy=True opts in
+        reset_stream_watermark(idx, stream_name="any")
+        assert idx.meta["stream_batch_applied"] == 99
+        reset_stream_watermark(idx, stream_name="any", include_legacy=True)
         assert "stream_batch_applied" not in idx.meta
         _run_stream(spark, idx, corpus_pdf, tmp_path, "four", 140, 160)
         assert idx.max_doc == 160

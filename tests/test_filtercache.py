@@ -250,3 +250,25 @@ def test_fielded_boolean_fq_is_loud(built_index):
     rows = solr_select(built_index, "file",
                        fq="{!terms f=lang}python,java", rows=5).collect()
     assert isinstance(rows, list)
+
+
+def test_fq_space_values_and_tab_bool_are_handled(built_index):
+    """Plain spaces in a field value stay LEGAL (equality/prefix on a
+    path containing a space); boolean structure is loud even with tabs
+    (the whitespace-class guard); lenient dispatch still routes query
+    fqs."""
+    # no doc matches, but it must compile to a plain equality, not raise
+    assert solr_select(built_index, "file", fq="path:my doc.py",
+                       rows=5).collect() == []
+    assert solr_select(built_index, "file", fq="path:my doc*",
+                       rows=5).collect() == []
+    with pytest.raises(ValueError, match="fielded boolean"):
+        solr_select(built_index, "file", fq="lang:java\tOR\tlang:go",
+                    rows=5).collect()
+    with pytest.raises(ValueError, match="fielded boolean"):
+        solr_select(built_index, "file", fq="lang:java doclen:3",
+                    rows=5).collect()
+    # ranges with their one interior space still parse
+    assert isinstance(solr_select(built_index, "file",
+                                  fq="doclen:[10 TO 99999]",
+                                  rows=5).collect(), list)

@@ -39,6 +39,12 @@ from pyspark.sql import functions as F
 from .search import scores
 
 _FQ_RE = re.compile(r"^(\w+):(.*)$")
+#: Solr bracket-range value (fq=doclen:[10 TO 200]) — ONE definition
+#: shared by the boolean-structure guard and the range parse below
+_FQ_RANGE_RE = re.compile(r"^\[(\S+) TO (\S+)\]$")
+#: boolean structure inside a field value: an operator token or a second
+#: field: segment (any whitespace, so tabs cannot sneak past the guard)
+_FQ_BOOL_RE = re.compile(r"\s(OR|AND|NOT)\s|\s\w+:")
 
 _DOCMAP_FIELDS = ("repo", "path", "commit", "lang", "doclen",
                   "content_sha256", "seg", "nchars")
@@ -758,13 +764,10 @@ def _try_fq_predicate(fq: str):
     fielded boolean expressions stay loud — only the one 'not a
     field:value form at all' case routes to the query-fq path.  The
     single dispatch point apply_fq and _fq_docset_df share."""
-    if not (_LOCAL_PARAMS_RE.match(fq.strip())
-            or _FQ_RE.match(fq.strip())):
-        return None
-    return _fq_predicate(fq)
+    return _fq_predicate(fq, lenient=True)
 
 
-def _fq_predicate(fq: str):
+def _fq_predicate(fq: str, lenient: bool = False):
     lp = _LOCAL_PARAMS_RE.match(fq.strip())
     if lp:
         name, raw, rest = lp.group(1), lp.group(2), lp.group(3)
@@ -792,14 +795,18 @@ def _fq_predicate(fq: str):
         raise ValueError(f"unsupported fq query parser {name!r}")
     m = _FQ_RE.match(fq.strip())
     if not m:
+        if lenient:
+            return None  # not field-form at all: the QUERY-fq shape
         raise ValueError(f"unsupported fq syntax: {fq!r}")
     field, value = m.group(1), m.group(2)
     if field not in _DOCMAP_FIELDS and field != "doc_id":
         raise ValueError(f"unknown fq field {field!r}")
-    if " " in value and not re.match(r"^\[\S+ TO \S+\]$", value):
+    if _FQ_BOOL_RE.search(value) and not _FQ_RANGE_RE.match(value):
         # 'lang:java OR lang:go' would otherwise bind as the literal
         # equality lang == 'java OR lang:go' (silently zero rows), and
-        # the engine parser has no fielded syntax either — refuse loudly
+        # the engine parser has no fielded syntax either — refuse loudly.
+        # Plain spaces WITHOUT boolean structure stay legal values
+        # (path:my doc.py equality, path:my doc* prefix)
         raise ValueError(
             f"fq {fq!r}: fielded boolean expressions are not supported — "
             "use {!terms f=" + field + "}v1,v2 for a union, or separate "
@@ -807,7 +814,7 @@ def _fq_predicate(fq: str):
     col = F.col(field)
     if value.endswith("*"):
         return col.startswith(value[:-1])
-    m2 = re.match(r"^\[(\S+) TO (\S+)\]$", value)
+    m2 = _FQ_RANGE_RE.match(value)
     if m2:  # Solr range syntax fq=doclen:[10 TO 200]
         lo, hi = m2.group(1), m2.group(2)
         pred = None

@@ -274,21 +274,36 @@ def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
     single legacy int (`stream_batch_applied`).  Every attach treats it
     as a global floor — EVERY resumed pre-upgrade checkpoint keeps
     exactly-once, regardless of attach order (and a brand-new query on a
-    legacy index sees exactly the pre-upgrade behavior, no worse).  The
-    key stays in meta; `reset_stream_watermark` removes it for a
-    deliberate reprocess (it is global, so the reset lifts the floor for
-    every legacy stream — the map entries written since keep their own
-    per-stream watermarks)."""
+    legacy index sees exactly the pre-upgrade behavior, no worse).  A
+    skip under the legacy floor is WARNING-logged with the batch id (the
+    offsets commit at that checkpoint regardless — Structured Streaming
+    will not redeliver them there), so an unintended floor is loud in
+    the driver log instead of silent data loss; the key stays in meta
+    until `reset_stream_watermark(..., include_legacy=True)` removes it
+    for a deliberate reprocess."""
     import hashlib
+    import logging
 
+    log = logging.getLogger(__name__)
     key = stream_name or hashlib.sha1(
         os.path.abspath(checkpoint).encode()).hexdigest()[:16]
-    legacy = int(index.meta.get("stream_batch_applied", -1))
 
     def handle(batch_df: DataFrame, batch_id: int):
         marks = index.meta.get("stream_batches_applied", {})
-        if int(batch_id) <= max(int(marks.get(key, -1)), legacy):
-            return  # replayed batch: the index already holds it
+        # read the legacy floor FRESH each batch (not closed over at
+        # attach time) so a reset between attach and start takes effect
+        legacy = int(index.meta.get("stream_batch_applied", -1))
+        if int(batch_id) <= int(marks.get(key, -1)):
+            return  # replayed batch of THIS stream: the index holds it
+        if int(batch_id) <= legacy:
+            log.warning(
+                "attach_stream[%s]: skipping batch %s under the legacy "
+                "global watermark %s (pre-upgrade index) — its offsets "
+                "commit at this checkpoint; if this source was NOT "
+                "already indexed, reset_stream_watermark(..., "
+                "include_legacy=True) and restart from a fresh "
+                "checkpoint", key, batch_id, legacy)
+            return
         if batch_df.isEmpty():
             return
         append_batch(index, batch_df, num_partitions=num_partitions,
@@ -302,12 +317,22 @@ def attach_stream(index: Index, stream_df: DataFrame, checkpoint: str,
 
 
 def reset_stream_watermark(index: Index, checkpoint: str | None = None,
-                           stream_name: str | None = None) -> None:
+                           stream_name: str | None = None,
+                           include_legacy: bool = False) -> None:
     """Forget the applied-batch watermark for one stream (by the same key
     attach_stream derives: `stream_name` if given, else the checkpoint
     path).  Use before reprocessing a source from scratch at a REUSED
     checkpoint path — the path-keyed watermark would otherwise skip every
-    replayed batch."""
+    replayed batch.
+
+    On a pre-upgrade index the legacy `stream_batch_applied` int is a
+    GLOBAL floor shared by every stream that has no per-stream entry
+    yet; clearing it for one stream's reset would strip the only replay
+    protection the OTHER pre-upgrade checkpoints still have.  It is
+    therefore only removed when `include_legacy=True` — the explicit
+    opt-in for a deliberate whole-index reprocess (without it, a reset
+    on a purely-legacy index leaves the floor and attach_stream's
+    WARNING log points here)."""
     import hashlib
 
     if stream_name is None and checkpoint is None:
@@ -315,10 +340,9 @@ def reset_stream_watermark(index: Index, checkpoint: str | None = None,
     key = stream_name or hashlib.sha1(
         os.path.abspath(checkpoint).encode()).hexdigest()[:16]
     marks = dict(index.meta.get("stream_batches_applied", {}))
-    # the legacy pre-upgrade watermark is a GLOBAL floor every attach
-    # consults — a reset that left it in place would be a silent no-op
-    # on a pre-upgrade index (replays still skipped under the floor)
-    had_legacy = index.meta.pop("stream_batch_applied", None) is not None
+    had_legacy = False
+    if include_legacy:
+        had_legacy = index.meta.pop("stream_batch_applied", None) is not None
     if key in marks or had_legacy:
         marks.pop(key, None)
         index.meta["stream_batches_applied"] = marks
