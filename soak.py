@@ -2,7 +2,7 @@
 one dedup-pipeline pass at ~250k docs — 10x the sf0.1 bench corpus —
 to convert the 100x-readiness argument from plans to measurement.
 
-Writes BENCH/SOAK_250K.md with per-unit rates next to the sf0.1 bench
+Writes BENCH/SOAK_{N}K.md with per-unit rates next to the sf0.1 bench
 record so sub/super-linear drift is visible at a glance.
 
 Env: VOYAGR_SOAK_DOCS (default 250000), SPARK_GRAFT_CPUS (default 32),
@@ -133,7 +133,8 @@ def main() -> None:
             "over a pinned columnar cache: one task wave + k-row merge).",
             "",
         ]
-        out = Path(__file__).parent / "BENCH" / "SOAK_250K.md"
+        out = (Path(__file__).parent / "BENCH"
+               / f"SOAK_{N_DOCS // 1000}K.md")
         out.write_text("\n".join(lines))
         print(f"wrote {out}")
         shutil.rmtree(idx_dir, ignore_errors=True)
